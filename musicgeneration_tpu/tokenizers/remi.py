@@ -1,0 +1,370 @@
+"""REMI tokenizer (reference: mg/model/utils/REMI.py).
+
+Pipeline parity: read_items -> quantize_items (120-tick grid snap) ->
+extract_chords -> group_items (bar windows with the reference's inclusive
+boundary quirk) -> item2event; decode via write_midi reconstructing
+notes/chords/tempi bar-by-bar at 480 ticks/beat assuming 4/4
+(REMI.py:64-257, 539-674).
+
+Vocab (dim 336): note_on 127 | note_duration 64 | note_velocity 4 | bar 1 |
+position 16 | tempo_class 3 | tempo_value 60 | chord 61 (REMI.py:449-458).
+
+Known reference quirks handled behind `strict=False` (default clamps instead
+of crashing):
+* velocity bins have 31 edges but the vocab reserves only 4 slots
+  (REMI.py:19-22 vs :452) — indices >=4 would IndexError in the reference's
+  `to_array`; we clamp to 3.
+* pitch 127 is outside `range(0,127)` (REMI.py:17) — clamped to 126.
+* tempo exactly 210 falls through every interval branch (REMI.py:237-254) —
+  we treat it as fast/59.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import vocab
+from ..midi import Instrument, Marker, MidiFile, Note, TempoChange
+from .chords import MIDIChord
+
+SPEC = vocab.REMI
+
+DEFAULT_FRACTION = vocab.REMI_FRACTION
+DEFAULT_DURATION_BINS = vocab.REMI_DURATION_BINS
+DEFAULT_TEMPO_INTERVALS = vocab.REMI_TEMPO_INTERVALS
+DEFAULT_VELOCITY_BINS = vocab.REMI_VELOCITY_BINS
+DEFAULT_RESOLUTION = vocab.REMI_RESOLUTION
+TICKS_PER_BAR = DEFAULT_RESOLUTION * 4  # assume 4/4
+
+
+class Item:
+    """General storage for note/tempo/chord items (ticks domain)."""
+
+    __slots__ = ("name", "start", "end", "velocity", "pitch", "track")
+
+    def __init__(self, name, start, end=None, velocity=None, pitch=None,
+                 track=""):
+        self.name = name
+        self.start = start
+        self.end = end
+        self.velocity = velocity
+        self.pitch = pitch
+        self.track = track
+
+    def __repr__(self):
+        return (f"Item(name={self.name}, start={self.start}, end={self.end}, "
+                f"velocity={self.velocity}, pitch={self.pitch})")
+
+
+@dataclasses.dataclass
+class Event:
+    name: str
+    time: Optional[int]
+    value: object
+    text: Optional[str] = None
+
+    def __repr__(self):
+        return (f"Event(name={self.name}, time={self.time}, "
+                f"value={self.value}, text={self.text})")
+
+
+# ---------------------------------------------------------------------------
+# Item extraction stages (REMI.py:64-165)
+# ---------------------------------------------------------------------------
+
+def read_items(file_path: str) -> Tuple[List[Item], List[Item]]:
+    """Notes of track 0 + per-beat-expanded tempo items."""
+    midi = MidiFile(file_path)
+    note_items: List[Item] = []
+    if midi.instruments:
+        notes = sorted(midi.instruments[0].notes,
+                       key=lambda x: (x.start, x.pitch))
+        for n in notes:
+            note_items.append(Item("note", int(n.start), int(n.end),
+                                   n.velocity, n.pitch))
+    note_items.sort(key=lambda x: x.start)
+
+    tempo_events = sorted(midi.tempo_changes, key=lambda t: t.time)
+    existing = {int(t.time): int(t.tempo) for t in tempo_events}
+    max_tick = int(tempo_events[-1].time) if tempo_events else 0
+    tempo_items: List[Item] = []
+    last = None
+    for tick in range(0, max_tick + 1, DEFAULT_RESOLUTION):
+        last = existing.get(tick, last if last is not None
+                            else int(tempo_events[0].tempo))
+        tempo_items.append(Item("tempo", tick, pitch=last))
+    if not tempo_items:
+        tempo_items.append(Item("tempo", 0, pitch=120))
+    return note_items, tempo_items
+
+
+def quantize_items(items: List[Item], ticks: int = 120) -> List[Item]:
+    """Snap starts to the grid, preserving duration (REMI.py:113-122)."""
+    if not items:
+        return items
+    grid_stop = max(items[-1].start, 1)
+    grids = np.arange(0, grid_stop, ticks, dtype=int)
+    starts = np.array([it.start for it in items])
+    idx = np.argmin(np.abs(grids[None, :] - starts[:, None]), axis=1)
+    shifts = grids[idx] - starts
+    for item, shift in zip(items, shifts):
+        item.start += int(shift)
+        item.end += int(shift)
+    return items
+
+
+def extract_chords(items: Sequence[Item]) -> List[Item]:
+    chords = MIDIChord().extract(notes=items)
+    return [Item("chord", chord[0], chord[1],
+                 pitch=chord[2].split("/")[0]) for chord in chords]
+
+
+def group_items(items: List[Item], max_time: int,
+                ticks_per_bar: int = TICKS_PER_BAR) -> List[list]:
+    """Bar grouping with the reference's sliding l/r pointers — items that
+    land exactly on a downbeat appear in BOTH adjacent bars (REMI.py:139-165).
+    """
+    items.sort(key=lambda x: x.start)
+    downbeats = np.arange(0, max_time + ticks_per_bar, ticks_per_bar)
+    groups = []
+    l = r = 0
+    mx = len(items)
+    for db1, db2 in zip(downbeats[:-1], downbeats[1:]):
+        while l < mx and items[l].start < db1:
+            l += 1
+        while r < mx and items[r].start <= db2:
+            r += 1
+        insiders = items[l:r] if l < r else []
+        groups.append([db1] + insiders + [db2])
+    return groups
+
+
+def _tempo_events(start: int, tempo: int, strict: bool) -> Tuple[Event, Event]:
+    iv = DEFAULT_TEMPO_INTERVALS
+    if tempo in iv[0]:
+        return (Event("tempo_class", start, 0),
+                Event("tempo_value", start, tempo - iv[0].start))
+    if tempo in iv[1]:
+        return (Event("tempo_class", start, 1),
+                Event("tempo_value", start, tempo - iv[1].start))
+    if tempo in iv[2]:
+        return (Event("tempo_class", start, 2),
+                Event("tempo_value", start, tempo - iv[2].start))
+    if tempo < iv[0].start:
+        return (Event("tempo_class", start, 0), Event("tempo_value", start, 0))
+    # reference only handles tempo > iv[2].stop; ==210 falls through
+    if strict and tempo == iv[2].stop:
+        raise ValueError(f"tempo {tempo} unhandled by reference intervals")
+    return (Event("tempo_class", start, 2), Event("tempo_value", start, 59))
+
+
+def item2event(groups: List[list], strict: bool = False) -> List[Event]:
+    events: List[Event] = []
+    n_downbeat = 0
+    for group in groups:
+        if "note" not in [item.name for item in group[1:-1]]:
+            continue
+        bar_st, bar_et = group[0], group[-1]
+        n_downbeat += 1
+        events.append(Event("bar", None, 0, text=str(n_downbeat)))
+        flags = np.linspace(bar_st, bar_et, DEFAULT_FRACTION, endpoint=False)
+        for item in group[1:-1]:
+            index = int(np.argmin(np.abs(flags - item.start)))
+            events.append(Event("position", item.start, index,
+                                text=str(item.start)))
+            if item.name == "note":
+                velocity_index = int(np.searchsorted(
+                    DEFAULT_VELOCITY_BINS, item.velocity, side="right")) - 1
+                events.append(Event("note_velocity", item.start,
+                                    velocity_index))
+                events.append(Event("note_on", item.start, item.pitch))
+                duration = item.end - item.start
+                dur_index = int(np.argmin(
+                    np.abs(DEFAULT_DURATION_BINS - duration)))
+                events.append(Event("note_duration", item.start, dur_index))
+            elif item.name == "chord":
+                events.append(Event("chord", item.start, item.pitch))
+            elif item.name == "tempo":
+                style, value = _tempo_events(item.start, item.pitch, strict)
+                events.append(style)
+                events.append(value)
+    return events
+
+
+# ---------------------------------------------------------------------------
+# REMI_EventSeq
+# ---------------------------------------------------------------------------
+
+class REMI_EventSeq:
+    pitch_range = vocab.REMI_PITCH_RANGE
+    velocity_steps = vocab.REMI_VELOCITY_STEPS
+    duration_bins = DEFAULT_DURATION_BINS
+
+    # -- vocab ----------------------------------------------------------------
+
+    @staticmethod
+    def dim() -> int:
+        return SPEC.dim()
+
+    @staticmethod
+    def feat_dims():
+        return SPEC.feat_dims()
+
+    @staticmethod
+    def feat_ranges():
+        return SPEC.feat_ranges()
+
+    @staticmethod
+    def dims_feat():
+        return SPEC.dims_feat()
+
+    # -- encode ---------------------------------------------------------------
+
+    @staticmethod
+    def extract_events(input_path: str, strict: bool = False) -> List[Event]:
+        note_items, tempo_items = read_items(input_path)
+        note_items = quantize_items(note_items)
+        if not note_items:
+            return []
+        max_time = note_items[-1].end
+        chord_items = extract_chords(note_items)
+        items = chord_items + tempo_items + note_items
+        groups = group_items(items, max_time)
+        return item2event(groups, strict=strict)
+
+    @staticmethod
+    def to_array(events: List[Event], strict: bool = False) -> np.ndarray:
+        ranges = SPEC.feat_ranges()
+        idxs = []
+        for ev in events:
+            if ev.name == "chord":
+                idxs.append(ranges["chord"].start + vocab.CHORD_MAP[ev.value])
+            else:
+                rng = ranges[ev.name]
+                value = int(ev.value)
+                if value >= len(rng):
+                    if strict:
+                        raise IndexError(
+                            f"{ev.name} value {value} out of vocab range")
+                    value = len(rng) - 1
+                idxs.append(rng.start + value)
+        return np.array(idxs, dtype=SPEC.array_dtype())
+
+    # -- decode ---------------------------------------------------------------
+
+    @staticmethod
+    def to_event(words) -> List[Event]:
+        feat_idx, values = SPEC.decode_ids(np.asarray(words, dtype=np.int64))
+        names = SPEC.names
+        events = []
+        for f, v in zip(feat_idx, values):
+            name = names[f]
+            value: object = int(v)
+            if name == "chord":
+                value = vocab.INV_CHORD_MAP[int(v)]
+            events.append(Event(name, None, value))
+        return events
+
+    @staticmethod
+    def from_array(words) -> List[Event]:
+        return REMI_EventSeq.to_event(words)
+
+    @staticmethod
+    def write_midi(events: List[Event], output_path: str,
+                   prompt_path: Optional[str] = None) -> MidiFile:
+        """Reconstruct a MIDI file (REMI.py:539-674). NOTE: the reference
+        scans only len(events)-3 entries, silently dropping trailing tokens —
+        kept for parity."""
+        temp_notes: List = []
+        temp_chords: List = []
+        temp_tempos: List = []
+        for i in range(len(events) - 3):
+            if events[i].name == "bar" and i > 0:
+                temp_notes.append("bar")
+                temp_chords.append("bar")
+                temp_tempos.append("bar")
+            elif (events[i].name == "position"
+                  and events[i + 1].name == "note_velocity"
+                  and events[i + 2].name == "note_on"
+                  and events[i + 3].name == "note_duration"):
+                position = int(events[i].value)
+                velocity = int(DEFAULT_VELOCITY_BINS[int(events[i + 1].value)])
+                pitch = int(events[i + 2].value)
+                duration = int(DEFAULT_DURATION_BINS[int(events[i + 3].value)])
+                temp_notes.append([position, velocity, pitch, duration])
+            elif (events[i].name == "position"
+                  and events[i + 1].name == "chord"):
+                temp_chords.append([int(events[i].value), events[i + 1].value])
+            elif (events[i].name == "position"
+                  and events[i + 1].name == "tempo_class"
+                  and events[i + 2].name == "tempo_value"):
+                position = int(events[i].value)
+                tempo = (DEFAULT_TEMPO_INTERVALS[int(events[i + 1].value)].start
+                         + int(events[i + 2].value))
+                temp_tempos.append([position, tempo])
+
+        def bar_flags(current_bar: int) -> np.ndarray:
+            st = current_bar * TICKS_PER_BAR
+            et = (current_bar + 1) * TICKS_PER_BAR
+            return np.linspace(st, et, DEFAULT_FRACTION, endpoint=False,
+                               dtype=int)
+
+        notes: List[Note] = []
+        current_bar = 0
+        for note in temp_notes:
+            if note == "bar":
+                current_bar += 1
+            else:
+                position, velocity, pitch, duration = note
+                st = int(bar_flags(current_bar)[position])
+                notes.append(Note(velocity=velocity, pitch=pitch,
+                                  start=st, end=st + duration))
+        chords: List = []
+        current_bar = 0
+        for chord in temp_chords:
+            if chord == "bar":
+                current_bar += 1
+            else:
+                position, value = chord
+                st = int(bar_flags(current_bar)[position])
+                chords.append([st, value])
+        tempos: List = []
+        current_bar = 0
+        for tempo in temp_tempos:
+            if tempo == "bar":
+                current_bar += 1
+            else:
+                position, value = tempo
+                st = int(bar_flags(current_bar)[position])
+                tempos.append([st, value])
+
+        if prompt_path:
+            midi = MidiFile(prompt_path)
+            last_time = DEFAULT_RESOLUTION * 4 * 4
+            for note in notes:
+                note.start += last_time
+                note.end += last_time
+            midi.instruments[0].notes.extend(notes)
+            kept = [t for t in midi.tempo_changes if t.time < last_time]
+            for st, bpm in tempos:
+                kept.append(TempoChange(tempo=bpm, time=st + last_time))
+            midi.tempo_changes = kept
+            if temp_chords:
+                for st, value in chords:
+                    midi.markers.append(Marker(text=value,
+                                               time=st + last_time))
+        else:
+            midi = MidiFile(ticks_per_beat=DEFAULT_RESOLUTION)
+            inst = Instrument(0, is_drum=False)
+            inst.notes = notes
+            midi.instruments.append(inst)
+            midi.tempo_changes = [TempoChange(tempo=bpm, time=st)
+                                  for st, bpm in tempos]
+            if temp_chords:
+                for st, value in chords:
+                    midi.markers.append(Marker(text=value, time=st))
+        midi.dump(output_path)
+        return midi

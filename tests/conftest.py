@@ -1,0 +1,15 @@
+"""Test harness config: force CPU backend with 8 virtual devices so
+multi-chip sharding paths compile and run without TPU hardware
+(SURVEY.md §4: the test pyramid the reference never had)."""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
