@@ -1,0 +1,11 @@
+"""Decode engine: KV-cached autoregressive generation under lax.scan with
+on-device sampling, plus beam / stochastic-beam search for the RNN family.
+
+The reference generates by re-forwarding the whole prefix for every token
+with no cache (MusicTransformer/network.py:52-78) — O(L^2) per token. This
+engine is the 10x-win replacement (BASELINE.md)."""
+
+from .engine import DecodeParams, generate
+from .sampling import sample_logits
+
+__all__ = ["generate", "DecodeParams", "sample_logits"]

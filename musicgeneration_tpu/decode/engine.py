@@ -1,0 +1,99 @@
+"""KV-cached autoregressive generation as one compiled lax.scan.
+
+Two phases, both on device:
+  1. prefill — teacher-force the prompt through `decode_step` under scan,
+     filling the KV cache (prompt logits are discarded except the last),
+  2. generate — scan `steps` times: sample from the last logits, feed the
+     token back, update the cache.
+
+Contrast with the reference (MusicTransformer/network.py:44-80): per token
+it re-runs the FULL prefix forward (no cache, O(L^2) per token, Python
+loop, host-device sync per step, progress-bar in the hot loop). Here the
+entire continuation is a single XLA program: O(L) per token, zero host
+round-trips.
+
+Works with any model exposing `init_cache(batch, cache_len)` and
+`decode_step(token, cache, t) -> (logits, cache)` (MusicTransformer, the
+GRU LMs wrap their recurrent state in the same interface).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import SamplingParams, sample_logits
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeParams:
+    max_len: int                  # cache length (prompt + generated)
+    steps: int                    # tokens to generate
+    sampling: SamplingParams = SamplingParams()
+
+
+def _prefill(model, params, tokens, cache, start_t):
+    """Scan the prompt through decode_step. tokens: [B, P]."""
+
+    def body(carry, tok):
+        cache, t = carry
+        logits, cache = model.apply({"params": params}, tok, cache, t,
+                                    method=model.decode_step)
+        return (cache, t + 1), logits
+
+    (cache, t), logits = jax.lax.scan(
+        body, (cache, start_t), tokens.T)  # scan over time-major
+    return cache, t, logits[-1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "decode_params"))
+def generate(
+    model,
+    params,
+    prompt: jnp.ndarray,
+    rng: jax.Array,
+    decode_params: DecodeParams,
+) -> jnp.ndarray:
+    """prompt: [B, P] int32 -> generated tokens [B, steps] int32.
+
+    The full prompt+generation must fit in decode_params.max_len.
+    """
+    b, p = prompt.shape
+    dp = decode_params
+    if p + dp.steps > dp.max_len:
+        raise ValueError(
+            f"prompt ({p}) + steps ({dp.steps}) exceeds cache max_len "
+            f"({dp.max_len}); the KV cache would overflow")
+    cache = model.apply({"params": params}, b, dp.max_len,
+                        method=model.init_cache)
+    cache, t, last_logits = _prefill(model, params, prompt, cache,
+                                     jnp.int32(0))
+
+    def body(carry, rng_i):
+        cache, t, logits = carry
+        token = sample_logits(rng_i, logits, dp.sampling)
+        new_logits, cache = model.apply({"params": params}, token, cache, t,
+                                        method=model.decode_step)
+        return (cache, t + 1, new_logits), token
+
+    rngs = jax.random.split(rng, dp.steps)
+    _, tokens = jax.lax.scan(body, (cache, t, last_logits), rngs)
+    return tokens.T  # [B, steps]
+
+
+def generate_events(model, params, prompt_ids, rng, steps: int,
+                    max_len: Optional[int] = None,
+                    sampling: SamplingParams = SamplingParams()):
+    """Host-friendly wrapper: 1D numpy prompt -> 1D numpy continuation."""
+    import numpy as np
+
+    prompt = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
+    max_len = max_len or (prompt.shape[1] + steps)
+    dp = DecodeParams(max_len=max_len, steps=steps, sampling=sampling)
+    out = generate(model, params, prompt, rng, dp)
+    return np.asarray(out[0])

@@ -1,0 +1,22 @@
+"""Model zoo (reference parity, SURVEY.md §2.4):
+
+    MusicTransformer — decoder-only transformer with relative global
+        attention (mg/model/MusicTransformer/{network,layers}.py)
+    EventMelodyRNN   — GRU LM over MIDI-like events
+        (mg/model/Event_MelodyRNN/network.py)
+    PerformanceRNN   — control-conditioned GRU LM
+        (mg/model/PerformanceRNN/network.py)
+    PoPMAGRNN        — melody->arrangement seq2seq over MuMIDI
+        (mg/model/PoPMAG_RNN/network.py)
+    MelodyRNN        — LSTM LM over monophonic note arrays
+        (mg/model/MelodyRNN/train_basic_rnn.py)
+
+All are Flax modules with a full-sequence training `__call__` plus
+TPU-shaped incremental decoding (`init_cache` / `decode_step`) driven by
+`musicgeneration_tpu.decode`.
+"""
+
+from .music_transformer import MusicTransformer
+from .registry import get_model, register_model
+
+__all__ = ["MusicTransformer", "get_model", "register_model"]

@@ -1,0 +1,217 @@
+"""MusicTransformer: decoder-only transformer with relative global attention.
+
+Architecture parity with the reference (mg/model/MusicTransformer/
+{network.py:14-40, layers.py:42-233}):
+
+* embedding * sqrt(d_model) + the reference's idiosyncratic sinusoid,
+* N x [RGA -> dropout -> post-LN -> FFN(relu, d_model//2) -> dropout ->
+  post-LN], heads = d_model // 64, LayerNorm eps 1e-6,
+* final Dense to vocab; look-ahead | pad mask built from the input
+  (utils.py:58-83), pad id = vocab_size - 1 by convention
+  (config.py:13-16: vocab = event_dim + 1).
+
+What the reference does NOT have and this module adds (TPU-first):
+
+* `init_cache` / `decode_step`: O(L) KV-cached incremental decoding with an
+  exact relative-bias gather (see ops.relative_attention), replacing the
+  reference's per-token full re-forward (network.py:52-78, O(L^2) per
+  token),
+* configurable compute dtype (bfloat16 on TPU; params stay f32),
+* static shapes throughout so the whole model jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.relative_attention import (
+    causal_pad_mask,
+    relative_decode_bias,
+    relative_global_attention,
+    sinusoid_position_encoding,
+)
+from .registry import register_model
+
+Cache = Dict[str, jnp.ndarray]
+
+
+class RelativeGlobalAttentionBlock(nn.Module):
+    """Multi-head self-attention with learned relative embeddings
+    (layers.py:42-133)."""
+
+    d_model: int
+    num_heads: int
+    max_seq: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        dh = self.d_model // self.num_heads
+        self.wq = nn.Dense(self.d_model, dtype=self.dtype, name="Wq")
+        self.wk = nn.Dense(self.d_model, dtype=self.dtype, name="Wk")
+        self.wv = nn.Dense(self.d_model, dtype=self.dtype, name="Wv")
+        self.fc = nn.Dense(self.d_model, dtype=self.dtype, name="fc")
+        # reference: torch.randn -> stddev 1.0 (layers.py:60)
+        self.e = self.param("E", nn.initializers.normal(1.0),
+                            (self.max_seq, dh), jnp.float32)
+
+    def _heads(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        q = self._heads(self.wq(x))
+        k = self._heads(self.wk(x))
+        v = self._heads(self.wv(x))
+        out = relative_global_attention(q, k, v,
+                                        self.e.astype(jnp.float32), mask)
+        b, h, l, dh = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+        return self.fc(out)
+
+    def decode(self, x: jnp.ndarray, k_cache: jnp.ndarray,
+               v_cache: jnp.ndarray, t: jnp.ndarray):
+        """One-token step. x: [B, d_model]; caches: [B, H, S, dh];
+        t: scalar absolute position. Returns (out [B, d_model], k, v)."""
+        b = x.shape[0]
+        dh = self.d_model // self.num_heads
+        q = self.wq(x).reshape(b, self.num_heads, dh)
+        k_new = self.wk(x).reshape(b, self.num_heads, 1, dh)
+        v_new = self.wv(x).reshape(b, self.num_heads, 1, dh)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, t, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, t, 0))
+        s = k_cache.shape[2]
+        qk = jnp.einsum("bhd,bhsd->bhs", q, k_cache,
+                        preferred_element_type=jnp.float32)
+        bias = relative_decode_bias(q, self.e.astype(jnp.float32), t, s)
+        logits = (qk + bias) / jnp.sqrt(jnp.float32(dh))
+        future = jnp.arange(s)[None, None, :] > t
+        logits = jnp.where(future, -1e9, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhs,bhsd->bhd", w.astype(v_cache.dtype), v_cache,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, self.d_model).astype(self.dtype)
+        return self.fc(out), k_cache, v_cache
+
+
+class EncoderLayer(nn.Module):
+    """RGA + FFN with post-LN (layers.py:136-161)."""
+
+    d_model: int
+    num_heads: int
+    max_seq: int
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.rga = RelativeGlobalAttentionBlock(
+            self.d_model, self.num_heads, self.max_seq, dtype=self.dtype)
+        self.ffn_pre = nn.Dense(self.d_model // 2, dtype=self.dtype)
+        self.ffn_suf = nn.Dense(self.d_model, dtype=self.dtype)
+        self.ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.drop1 = nn.Dropout(self.dropout_rate)
+        self.drop2 = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        attn = self.rga(x, mask)
+        attn = self.drop1(attn, deterministic=deterministic)
+        out1 = self.ln1(attn + x)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        ffn = self.drop2(ffn, deterministic=deterministic)
+        return self.ln2(out1 + ffn)
+
+    def decode(self, x, k_cache, v_cache, t):
+        attn, k_cache, v_cache = self.rga.decode(x, k_cache, v_cache, t)
+        out1 = self.ln1(attn + x)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        return self.ln2(out1 + ffn), k_cache, v_cache
+
+
+@register_model("music_transformer")
+class MusicTransformer(nn.Module):
+    """Reference defaults: vocab 388+2, d_model 256, 6 layers, max_seq 2048
+    (network.py:15-16); the MIDI-like trainer uses vocab = 308+1
+    (config.py:11-16)."""
+
+    vocab_size: int = 390
+    num_layers: int = 6
+    d_model: int = 256
+    max_seq: int = 2048
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @property
+    def num_heads(self) -> int:
+        return self.d_model // 64
+
+    @property
+    def pad_id(self) -> int:
+        return self.vocab_size - 1
+
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.d_model,
+                                  dtype=self.dtype)
+        self.pos_table = sinusoid_position_encoding(self.max_seq,
+                                                    self.d_model)
+        self.layers = [
+            EncoderLayer(self.d_model, self.num_heads, self.max_seq,
+                         self.dropout_rate, dtype=self.dtype,
+                         name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.fc = nn.Dense(self.vocab_size, dtype=self.dtype)
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """x: [B, L] int tokens -> logits [B, L, vocab] (f32)."""
+        mask = causal_pad_mask(x, self.pad_id)
+        h = self.embedding(x) * jnp.sqrt(jnp.float32(self.d_model)).astype(
+            self.dtype)
+        h = h + jnp.asarray(self.pos_table[: x.shape[1]], self.dtype)[None]
+        h = self.dropout(h, deterministic=deterministic)
+        for layer in self.layers:
+            h = layer(h, mask, deterministic=deterministic)
+        return self.fc(h).astype(jnp.float32)
+
+    # -- incremental decoding -------------------------------------------------
+
+    def init_cache(self, batch: int, cache_len: int) -> Cache:
+        dh = self.d_model // self.num_heads
+        shape = (self.num_layers, batch, self.num_heads, cache_len, dh)
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+        }
+
+    def decode_step(self, token: jnp.ndarray, cache: Cache,
+                    t: jnp.ndarray):
+        """token: [B] int; t: scalar absolute position. Returns
+        (logits [B, vocab] f32, new cache)."""
+        h = self.embedding(token) * jnp.sqrt(
+            jnp.float32(self.d_model)).astype(self.dtype)
+        pos = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
+        h = h + pos
+        ks, vs = [], []
+        for i, layer in enumerate(self.layers):
+            h, k_i, v_i = layer.decode(h, cache["k"][i], cache["v"][i], t)
+            ks.append(k_i)
+            vs.append(v_i)
+        logits = self.fc(h).astype(jnp.float32)
+        return logits, {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+
+def music_transformer_defaults(**overrides) -> dict:
+    cfg = dict(vocab_size=309, num_layers=6, d_model=256, max_seq=2048,
+               dropout_rate=0.1)
+    cfg.update(overrides)
+    return cfg

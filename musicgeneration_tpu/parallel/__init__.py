@@ -1,0 +1,24 @@
+"""Parallelism: device meshes and sharding rules.
+
+The reference's only multi-device machinery is a vendored single-process
+DataParallel built on manual AllReduce autograd functions
+(mg/model/MusicTransformer/parallel.py). The TPU-native equivalent is
+compiler-driven SPMD: build a `jax.sharding.Mesh` over ('data', 'model'),
+annotate batch and parameter shardings, and let XLA insert the ICI
+collectives that parallel.py hand-rolled (SURVEY.md §5)."""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "param_shardings",
+    "shard_batch",
+]

@@ -1,0 +1,105 @@
+"""Mesh construction and name-rule parameter sharding (t5x-style).
+
+Axes:
+    data  — batch (data parallel; XLA all-reduces grads over ICI, the
+            compiler-generated analogue of the reference's
+            parallel.py:34-66 AllReduce)
+    model — tensor parallel (attention heads / FFN hidden / vocab)
+
+`param_shardings` maps a params pytree to NamedShardings by parameter-path
+rules: attention/FFN input projections split their output dim over 'model',
+output projections split their input dim, embeddings split d_model, biases
+and layernorms replicate. With inputs batch-sharded over 'data' and these
+constraints on parameters, XLA's SPMD partitioner propagates everything
+else (the scaling-book recipe: pick a mesh, annotate, let XLA insert
+collectives)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """('data', 'model') mesh. dp defaults to n_devices // tp."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the batch axis split over 'data'."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch)
+
+
+# -- parameter sharding rules -------------------------------------------------
+
+# (path-substring match, partition spec builder). First match wins.
+# Specs are expressed per-ndim so biases fall through to replication.
+_COL = object()  # split last (output) dim
+_ROW = object()  # split first-of-last-two (input) dim
+
+
+def _spec_for(path: str, ndim: int):
+    """Rules keyed on flax param path names (models/*.py)."""
+    if ndim < 2:
+        return P()  # biases, layernorm scales
+    # attention input projections + FFN up: split output dim
+    if any(s in path for s in ("Wq", "Wk", "Wv", "ffn_pre")):
+        return P(None, "model")
+    # attention output + FFN down: split input dim
+    if any(s in path for s in ("fc", "ffn_suf")):
+        return P("model", None)
+    # token embedding [vocab, d_model]: split d_model
+    if "embedding" in path or "Embed" in path:
+        return P(None, "model")
+    # relative table E [max_seq, dh] lives per-head-slice; replicate
+    if path.endswith("/E"):
+        return P()
+    # GRU/LSTM kernels etc.: split output dim by default
+    return P(None, "model")
+
+
+def param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings matching `params`."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+
+    specs = {path_str(kp): _spec_for(path_str(kp), np.ndim(v))
+             for kp, v in flat}
+
+    def lookup(kp, v):
+        spec = specs[path_str(kp)]
+        # guard: axis size must divide the dimension, else replicate
+        tp = mesh.shape["model"]
+        for dim, name in zip(np.shape(v), spec):
+            if name == "model" and dim % tp != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(lookup, params)

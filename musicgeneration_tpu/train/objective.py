@@ -1,0 +1,77 @@
+"""Losses and metrics.
+
+Parity targets:
+* SmoothCrossEntropyLoss — one-hot label smoothing with pad masking,
+  mean over non-pad tokens (reference MusicTransformer/criterion.py:28-67),
+* CategoricalAccuracy — argmax match over non-pad tokens
+  (reference metrics.py:40-52),
+* MetricsSet — dict-of-metrics applier (reference metrics.py:63-75).
+
+All functions are pure and jit-safe; computation is f32 regardless of the
+model's compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def smooth_cross_entropy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    vocab_size: int,
+    label_smoothing: float = 0.1,
+    ignore_index: int | None = None,
+) -> jnp.ndarray:
+    """Label-smoothed CE, mean over non-ignored targets.
+
+    logits: [..., V]; targets: [...] int. Matches criterion.py:43-64:
+    q' = (1-eps) * onehot + eps/V, rows for ignored targets zeroed, sum of
+    per-token CE divided by the count of non-ignored tokens.
+    """
+    logits = logits.astype(jnp.float32)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(targets, vocab_size, dtype=jnp.float32)
+    q = (1.0 - label_smoothing) * onehot + label_smoothing / vocab_size
+    if ignore_index is not None:
+        keep = (targets != ignore_index).astype(jnp.float32)
+        q = q * keep[..., None]
+        denom = jnp.maximum(keep.sum(), 1.0)
+    else:
+        denom = jnp.float32(targets.size)
+    ce = -(q * log_probs).sum(axis=-1)
+    return ce.sum() / denom
+
+
+def token_accuracy(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    ignore_index: int | None = None,
+) -> jnp.ndarray:
+    """Argmax accuracy over non-ignored tokens (metrics.py:40-52)."""
+    pred = jnp.argmax(logits, axis=-1)
+    hit = (pred == targets).astype(jnp.float32)
+    if ignore_index is not None:
+        keep = (targets != ignore_index).astype(jnp.float32)
+        return (hit * keep).sum() / jnp.maximum(keep.sum(), 1.0)
+    return hit.mean()
+
+
+def CategoricalAccuracy(ignore_index: int | None = None):
+    return lambda logits, targets: token_accuracy(logits, targets,
+                                                  ignore_index)
+
+
+class MetricsSet:
+    """Compose named metric fns: apply them all to (logits, targets)
+    (reference metrics.py:63-75)."""
+
+    def __init__(self, metrics: Dict[str, Callable]):
+        self.metrics = dict(metrics)
+
+    def __call__(self, logits, targets) -> Dict[str, jnp.ndarray]:
+        return {name: fn(logits, targets)
+                for name, fn in self.metrics.items()}

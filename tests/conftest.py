@@ -12,4 +12,16 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# jax may already be imported by a pytest plugin before this conftest runs
+# (in which case it captured JAX_PLATFORMS=axon from the shell); force the
+# platform through the config API too — this works as long as no backend
+# has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual-device CPU backend, got "
+    + jax.default_backend()
+)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,182 @@
+"""Trainer / decode-engine / mesh tests (SURVEY.md §4 tests #4-5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicgeneration_tpu.decode import DecodeParams, generate
+from musicgeneration_tpu.decode.sampling import SamplingParams, sample_logits
+from musicgeneration_tpu.models import MusicTransformer
+from musicgeneration_tpu.parallel import (
+    make_mesh,
+    param_shardings,
+    shard_batch,
+)
+from musicgeneration_tpu.train import noam_schedule, smooth_cross_entropy
+from musicgeneration_tpu.train.trainer import (
+    TrainerConfig,
+    create_train_state,
+    make_train_step,
+)
+
+VOCAB = 64
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return MusicTransformer(vocab_size=VOCAB, num_layers=1, d_model=64,
+                            max_seq=32)
+
+
+def test_noam_schedule_matches_reference_formula():
+    # criterion.py:88-96
+    sched = noam_schedule(d_model=256, warmup_steps=4000)
+    for step in [1, 100, 4000, 20000]:
+        want = 256 ** -0.5 * min(step ** -0.5, step * 4000 ** -1.5)
+        assert float(sched(step)) == pytest.approx(want, rel=1e-6)
+
+
+def test_smooth_ce_oracle():
+    # hand-computed numpy oracle of criterion.py:43-64
+    rng = np.random.RandomState(0)
+    logits = rng.randn(6, 5).astype(np.float32)
+    targets = np.array([0, 1, 2, 3, 4, 4])
+    eps, v, ignore = 0.2, 5, 4
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    onehot = np.eye(v)[targets]
+    q = (1 - eps) * onehot + eps / v
+    q[targets == ignore] = 0.0
+    want = -(q * lp).sum(-1).sum() / (targets != ignore).sum()
+    got = smooth_cross_entropy(jnp.asarray(logits), jnp.asarray(targets),
+                               v, eps, ignore)
+    assert float(got) == pytest.approx(float(want), rel=1e-5)
+
+
+def test_train_step_overfits_tiny_batch(tiny_model):
+    model = tiny_model
+    cfg = TrainerConfig(vocab_size=VOCAB, d_model=64, warmup_steps=10,
+                        pad_id=VOCAB - 1, label_smoothing=0.0)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, VOCAB - 1)
+    y = jnp.roll(x, -1, axis=1)
+    state, tx = create_train_state(model, cfg, rng, x)
+    step = jax.jit(make_train_step(model, tx, cfg))
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, x, y)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+    assert float(metrics["accuracy"]) > 0.15
+
+
+def test_grad_accumulation_equivalence(tiny_model):
+    """accum_steps=2 over a 2B batch must match accum_steps=1 on the same
+    data (mean-of-micro-grads == full-batch grad for mean losses over equal
+    micro sizes). Dropout off: micro-batches draw different dropout rngs
+    by design, which would break exact equality."""
+    model = MusicTransformer(vocab_size=VOCAB, num_layers=1, d_model=64,
+                             max_seq=32, dropout_rate=0.0)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, VOCAB - 1)
+    y = jnp.roll(x, -1, axis=1)
+    outs = {}
+    for accum in (1, 2):
+        cfg = TrainerConfig(vocab_size=VOCAB, d_model=64, accum_steps=accum,
+                            pad_id=None, label_smoothing=0.1)
+        state, tx = create_train_state(model, cfg, rng, x)
+        step = jax.jit(make_train_step(model, tx, cfg))
+        state, m = step(state, x, y)
+        outs[accum] = (m, state.params)
+    m1, p1 = outs[1]
+    m2, p2 = outs[2]
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)
+    assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+class TestDecodeEngine:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = MusicTransformer(vocab_size=VOCAB, num_layers=1, d_model=64,
+                                 max_seq=32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        return model, params
+
+    def test_generate_shapes_and_range(self, setup):
+        model, params = setup
+        prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, VOCAB)
+        dp = DecodeParams(max_len=16, steps=8,
+                          sampling=SamplingParams(temperature=1.0))
+        out = generate(model, params, prompt, jax.random.PRNGKey(2), dp)
+        assert out.shape == (2, 8)
+        assert int(out.min()) >= 0 and int(out.max()) < VOCAB
+
+    def test_greedy_matches_full_forward_argmax(self, setup):
+        """Greedy cached decode == greedy via repeated full forwards
+        (the reference's generation schedule, network.py:52-78)."""
+        model, params = setup
+        prompt = jax.random.randint(jax.random.PRNGKey(3), (1, 4), 0, VOCAB)
+        steps = 6
+        dp = DecodeParams(max_len=16, steps=steps,
+                          sampling=SamplingParams(greedy=True))
+        fast = generate(model, params, prompt, jax.random.PRNGKey(0), dp)
+
+        apply = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        seq = np.asarray(prompt)
+        slow = []
+        for i in range(steps):
+            logits = apply(params, jnp.asarray(seq))
+            nxt = int(jnp.argmax(logits[0, -1]))
+            slow.append(nxt)
+            seq = np.concatenate([seq, [[nxt]]], axis=1)
+        np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow))
+
+    def test_sampling_transforms(self):
+        logits = jnp.asarray([[0.0, 1.0, 2.0, 10.0]])
+        # greedy
+        tok = sample_logits(jax.random.PRNGKey(0), logits,
+                            SamplingParams(greedy=True))
+        assert int(tok[0]) == 3
+        # top_k=1 == greedy regardless of rng
+        for seed in range(5):
+            tok = sample_logits(jax.random.PRNGKey(seed), logits,
+                                SamplingParams(top_k=1))
+            assert int(tok[0]) == 3
+        # top_p tiny -> only the head survives
+        for seed in range(5):
+            tok = sample_logits(jax.random.PRNGKey(seed), logits,
+                                SamplingParams(top_p=1e-4))
+            assert int(tok[0]) == 3
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(dp=4, tp=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        with pytest.raises(ValueError):
+            make_mesh(dp=3, tp=3)
+
+    def test_sharded_train_step_runs(self, tiny_model):
+        """DP x TP SPMD train step on the 8-virtual-device CPU mesh."""
+        model = tiny_model
+        mesh = make_mesh(dp=4, tp=2)
+        cfg = TrainerConfig(vocab_size=VOCAB, d_model=64, pad_id=VOCAB - 1)
+        x = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, VOCAB - 1)
+        y = jnp.roll(x, -1, axis=1)
+        state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0), x)
+        shardings = param_shardings(mesh, state.params)
+        state = state.replace(
+            params=jax.device_put(state.params, shardings))
+        xb, yb = shard_batch(mesh, (x, y))
+        step = jax.jit(make_train_step(model, tx, cfg))
+        state, metrics = step(state, xb, yb)
+        assert np.isfinite(float(metrics["loss"]))
+        # params keep their shardings through the update
+        flat = jax.tree.leaves(state.params)
+        assert all(hasattr(p, "sharding") for p in flat)
