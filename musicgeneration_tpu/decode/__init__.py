@@ -5,7 +5,9 @@ The reference generates by re-forwarding the whole prefix for every token
 with no cache (MusicTransformer/network.py:52-78) — O(L^2) per token. This
 engine is the 10x-win replacement (BASELINE.md)."""
 
+from .beam import beam_search, replicate_for_beams
 from .engine import DecodeParams, generate
 from .sampling import sample_logits
 
-__all__ = ["generate", "DecodeParams", "sample_logits"]
+__all__ = ["generate", "DecodeParams", "sample_logits", "beam_search",
+           "replicate_for_beams"]

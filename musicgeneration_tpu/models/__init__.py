@@ -16,7 +16,17 @@ TPU-shaped incremental decoding (`init_cache` / `decode_step`) driven by
 `musicgeneration_tpu.decode`.
 """
 
+from .event_rnn import EventMelodyRNN
 from .music_transformer import MusicTransformer
+from .performance_rnn import PerformanceRNN
+from .popmag import PoPMAGRNN
 from .registry import get_model, register_model
 
-__all__ = ["MusicTransformer", "get_model", "register_model"]
+__all__ = [
+    "MusicTransformer",
+    "EventMelodyRNN",
+    "PerformanceRNN",
+    "PoPMAGRNN",
+    "get_model",
+    "register_model",
+]
