@@ -7,11 +7,12 @@ Reference parity (README.md:5-30 of the reference): each scheme exposes
     midilike — Performance-RNN style events, dim 308 (+ControlSeq dim 24)
     remi     — REMI bar/position/chord/tempo events, dim 336
     mumidi   — multi-track PopMAG representation, dim 485
-    perf     — sustain-pedal MIDI-like codec, dim 388 (MusicTransformer lineage)
+    pedal_midilike — sustain-pedal MIDI-like codec, dim 388
+                     (MusicTransformer lineage, reference processor.py)
     chords   — rule-based chord inference shared by remi/mumidi
 """
 
-from . import chords, midilike, mumidi, remi
+from . import chords, midilike, mumidi, pedal_midilike, remi
 from .midilike import ControlSeq, EventSeq, NoteSeq
 from .mumidi import MuMIDI_EventSeq
 from .remi import REMI_EventSeq
@@ -21,6 +22,7 @@ __all__ = [
     "midilike",
     "remi",
     "mumidi",
+    "pedal_midilike",
     "EventSeq",
     "NoteSeq",
     "ControlSeq",
