@@ -17,6 +17,7 @@ TPU-shaped incremental decoding (`init_cache` / `decode_step`) driven by
 """
 
 from .event_rnn import EventMelodyRNN
+from .melody_rnn import MelodyRNN
 from .music_transformer import MusicTransformer
 from .performance_rnn import PerformanceRNN
 from .popmag import PoPMAGRNN
@@ -27,6 +28,7 @@ __all__ = [
     "EventMelodyRNN",
     "PerformanceRNN",
     "PoPMAGRNN",
+    "MelodyRNN",
     "get_model",
     "register_model",
 ]

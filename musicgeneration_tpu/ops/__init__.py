@@ -1,6 +1,8 @@
-"""TPU compute primitives: relative attention (XLA + Pallas), fused GRU
-steps, on-device sampling."""
+"""TPU compute primitives: relative attention (XLA + Pallas), fused
+GRU/LSTM steps, on-device sampling."""
 
+from .gru import GRUStack, gru_cell_step
+from .lstm import LSTMStack, lstm_cell_step
 from .relative_attention import (
     relative_decode_bias,
     relative_global_attention,
@@ -13,4 +15,8 @@ __all__ = [
     "relative_logits",
     "relative_decode_bias",
     "sinusoid_position_encoding",
+    "GRUStack",
+    "gru_cell_step",
+    "LSTMStack",
+    "lstm_cell_step",
 ]

@@ -10,9 +10,11 @@ Reference parity (README.md:5-30 of the reference): each scheme exposes
     pedal_midilike — sustain-pedal MIDI-like codec, dim 388
                      (MusicTransformer lineage, reference processor.py)
     chords   — rule-based chord inference shared by remi/mumidi
+    melody   — monophonic note-array codec (Magenta Melody-RNN format,
+               dim 130) + skyline/TOP melody extraction
 """
 
-from . import chords, midilike, mumidi, pedal_midilike, remi
+from . import chords, melody, midilike, mumidi, pedal_midilike, remi
 from .midilike import ControlSeq, EventSeq, NoteSeq
 from .mumidi import MuMIDI_EventSeq
 from .remi import REMI_EventSeq
@@ -23,6 +25,7 @@ __all__ = [
     "remi",
     "mumidi",
     "pedal_midilike",
+    "melody",
     "EventSeq",
     "NoteSeq",
     "ControlSeq",
