@@ -13,8 +13,23 @@ from .mumidi_packing import (
     pack_compound,
     pack_labels,
 )
+from .pipeline import (
+    TokenCorpus,
+    find_midi_files,
+    split_maestro,
+    split_ratio,
+    tokenize_corpus,
+)
+from .track_extraction import extract_merge, extract_tracks_under
 
 __all__ = [
+    "tokenize_corpus",
+    "TokenCorpus",
+    "find_midi_files",
+    "split_ratio",
+    "split_maestro",
+    "extract_merge",
+    "extract_tracks_under",
     "window_indices",
     "slide_seq2seq_batch",
     "pad_and_batch_sequences",
