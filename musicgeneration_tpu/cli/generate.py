@@ -1,0 +1,130 @@
+"""Generate MIDI from a trained checkpoint.
+
+One CLI replaces the reference's per-model generate.py scripts
+(MusicTransformer/generate.py, Event_MelodyRNN/generate.py, ...):
+
+    python -m musicgeneration_tpu.cli.generate <ckpt_dir_or_file> out.mid \
+        --steps 512 --prime prompt.mid --temperature 1.0 --topk 0
+
+The checkpoint carries the training CLI config + model kwargs (written
+by cli.train), so the model is rebuilt without re-specifying it.
+Decoding is the KV-cached lax.scan engine (decode/engine.py) — the
+reference's per-token full re-forward (network.py:52-78) exists only as
+bench.py's baseline schedule.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _prime_tokens(scheme: str, prime: Optional[str],
+                  prime_len: int) -> List[int]:
+    """Tokenize a prompt MIDI; default prime = [24, 28, 31]
+    (MusicTransformer/generate.py:103-110)."""
+    if prime is None:
+        return [24, 28, 31]
+    if scheme == "midilike":
+        from ..tokenizers import midilike
+        arr = midilike.extract_events(prime).to_array()
+    elif scheme == "remi":
+        from ..tokenizers import remi
+        arr = remi.REMI_EventSeq.to_array(
+            remi.REMI_EventSeq.extract_events(prime))
+    elif scheme == "pedal":
+        from ..tokenizers import pedal_midilike
+        arr = np.asarray(pedal_midilike.encode_midi(prime))
+    elif scheme == "melody":
+        from ..tokenizers import melody
+        arr = melody.midi_to_note_array(prime)
+    else:
+        raise ValueError(f"cannot prime scheme {scheme!r}")
+    return [int(t) for t in arr[:prime_len]]
+
+
+def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
+    if scheme == "midilike":
+        from ..tokenizers import midilike
+        midilike.write_midi(midilike.EventSeq.from_array(tokens), path)
+    elif scheme == "remi":
+        from ..tokenizers import remi
+        remi.REMI_EventSeq.write_midi(
+            remi.REMI_EventSeq.from_array(tokens), path)
+    elif scheme == "pedal":
+        from ..tokenizers import pedal_midilike
+        pedal_midilike.decode_midi([int(t) for t in tokens], path)
+    elif scheme == "melody":
+        from ..tokenizers import melody
+        melody.note_array_to_midi(tokens, path)
+    else:
+        raise ValueError(f"cannot write scheme {scheme!r}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("checkpoint", help="checkpoint file or directory "
+                   "(latest is used)")
+    p.add_argument("output", help="output .mid path")
+    p.add_argument("--steps", type=int, default=512)
+    p.add_argument("--prime", default=None, help="prompt MIDI file")
+    p.add_argument("--prime-len", type=int, default=500,
+                   help="max prompt tokens (reference generate.py:106)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--topk", type=int, default=0)
+    p.add_argument("--topp", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--include-prime", action="store_true",
+                   help="write prompt + continuation instead of "
+                        "continuation only")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ..cli.train import TrainCLIConfig, build_session
+    from ..decode import DecodeParams, generate
+    from ..decode.sampling import SamplingParams
+    from ..utils.checkpoint import restore_checkpoint
+
+    payload = restore_checkpoint(args.checkpoint)
+    meta = payload.get("config", {})
+    if "cli" not in meta:
+        raise SystemExit("checkpoint has no CLI config; re-save with "
+                         "cli.train or load it programmatically")
+    cfg = TrainCLIConfig.from_dict(meta["cli"])
+    scheme = meta.get("scheme", "midilike")
+    model, _tcfg, _apply, _loss, _adapter = build_session(
+        cfg, scheme, dict(meta.get("model_kwargs", {})))
+    params = payload["state"]["params"]
+    print(f"restored {cfg.model} at step {payload['step']} "
+          f"(scheme={scheme})")
+    if cfg.model == "popmag":
+        raise SystemExit("use cli options for LM models; PoPMAG "
+                         "arrangement generation is exposed via "
+                         "decode.popmag_generate.generate_arrangement")
+
+    prime = _prime_tokens(scheme, args.prime, args.prime_len)
+    prompt = np.asarray(prime, np.int32)[None]
+    max_len = len(prime) + args.steps
+    if cfg.model == "music_transformer":
+        max_len = min(max(cfg.seq_len, max_len), model.max_seq)
+        if len(prime) + args.steps > max_len:
+            keep = max_len - args.steps
+            prompt = prompt[:, -keep:]  # window truncation, config.py:21
+    sampling = SamplingParams(temperature=args.temperature,
+                              top_k=args.topk, top_p=args.topp)
+    dp = DecodeParams(max_len=max_len, steps=args.steps, sampling=sampling)
+    out = np.asarray(generate(model, params, prompt,
+                              jax.random.PRNGKey(args.seed), dp))[0]
+    tokens = (np.concatenate([prompt[0], out]) if args.include_prime
+              else out)
+    _write_midi(scheme, tokens, args.output)
+    print(f"wrote {args.output} ({len(tokens)} tokens)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,331 @@
+"""Train any registered model on a tokenized corpus.
+
+One CLI replaces the reference's five per-model train.py scripts
+(SURVEY.md §2.4/§3): the model zoo shares one jit train step
+(train/trainer.py), one loop driver with auto-resume + JSONL metrics
+(train/loop.py), and dotted config overrides (utils/config.py — the
+reference's eval-based `params2dict` CLI, shared.py:73-81, done safely).
+
+    python -m musicgeneration_tpu.cli.train <shard_dir> \
+        --model music_transformer --steps 2000 --ckpt-dir runs/mt \
+        model.num_layers=6 model.d_model=256
+
+Model-specific wiring (vocab size, batch adapter, objective) is looked
+up by model name; everything else is shared.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import sys
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+from ..utils.config import Config, apply_overrides
+
+
+@dataclasses.dataclass
+class TrainCLIConfig(Config):
+    model: str = "music_transformer"
+    steps: int = 1000
+    batch_size: int = 8
+    seq_len: int = 512            # LM crop length (reference max_seq)
+    accum_steps: int = 1
+    label_smoothing: float = 0.1
+    warmup_steps: int = 4000
+    peak_lr: Optional[float] = None   # fixed LR (RNN trainers use 1e-3)
+    max_grad_norm: float = 1.0
+    seed: int = 42
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 500
+    log_every: int = 10
+    eval_every: int = 0
+    eval_dir: Optional[str] = None
+    metrics_path: Optional[str] = None
+    profile_dir: Optional[str] = None
+    # PoPMAG bucketing (static shapes across batches)
+    max_bars: int = 16
+    max_bar_len: int = 96
+
+
+def _default_vocab(scheme: str) -> int:
+    """Vocab sizes the reference derives in each config.py
+    (MusicTransformer/config.py:11-16: vocab = event_dim + 1 pad)."""
+    if scheme == "midilike":
+        from ..tokenizers.midilike import EventSeq
+        return EventSeq.dim() + 1
+    if scheme == "remi":
+        from ..tokenizers.remi import REMI_EventSeq
+        return REMI_EventSeq.dim() + 1
+    if scheme == "pedal":
+        from ..tokenizers import pedal_midilike
+        return pedal_midilike.VOCAB_SIZE + 2
+    if scheme == "melody":
+        from ..tokenizers.melody import MELODY_VOCAB
+        return MELODY_VOCAB
+    raise ValueError(f"no LM vocab for scheme {scheme!r}")
+
+
+def _lm_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+    """Infinite slide_seq2seq_batch stream (MusicTransformer/data.py:63-67)."""
+    from ..data.batching import slide_seq2seq_batch
+
+    seqs = [np.asarray(corpus[i]) for i in range(len(corpus))]
+    rng = np.random.RandomState(cfg.seed)
+    b = cfg.batch_size * cfg.accum_steps
+    while True:
+        yield slide_seq2seq_batch(seqs, b, cfg.seq_len, rng)
+
+
+def _popmag_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+    from ..data.mumidi_packing import pack_batch
+    from ..tokenizers.mumidi import MuMIDI_EventSeq
+
+    seg = MuMIDI_EventSeq.segmentation
+    pairs = []
+    for i in range(len(corpus)):
+        mel = seg(np.asarray(corpus.pair(i, "melody"), np.int64))
+        arr = seg(np.asarray(corpus.pair(i, "arrangement"), np.int64))
+        n = min(len(mel), len(arr), cfg.max_bars)
+        # truncate at the first overlong bar — clipping INSIDE a bar would
+        # cut compound token groups mid-way and corrupt the label packing
+        # (the trailing bar token pack_batch appends needs one slot)
+        for k in range(n):
+            if (len(mel[k]) > cfg.max_bar_len
+                    or len(arr[k]) > cfg.max_bar_len - 1):
+                n = k
+                break
+        if n == 0:
+            continue
+        pairs.append((list(mel[:n]), list(arr[:n])))
+    if not pairs:
+        raise ValueError("no usable melody/arrangement pairs in corpus")
+    rng = np.random.RandomState(cfg.seed)
+    b = cfg.batch_size * cfg.accum_steps
+    while True:
+        picks = rng.randint(0, len(pairs), b)
+        yield pack_batch([pairs[p] for p in picks],
+                         pad_bars_to=cfg.max_bars,
+                         pad_len_to=cfg.max_bar_len)
+
+
+def build_session(cfg: TrainCLIConfig, scheme: str,
+                  model_kwargs: Dict[str, Any]):
+    """Construct (model, trainer_cfg, apply_fn, loss_fn, batch_adapter).
+
+    batch_adapter maps a raw batch from the stream to the (x, y) pair the
+    train step consumes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import registry
+    from ..train.trainer import TrainerConfig
+
+    cls, defaults = registry.get_model(cfg.model)
+    name = cfg.model
+
+    if name == "music_transformer":
+        vocab = model_kwargs.pop("vocab_size", _default_vocab(scheme))
+        model = cls(**{**defaults(vocab_size=vocab, max_seq=cfg.seq_len),
+                       **model_kwargs})
+        tcfg = TrainerConfig(
+            vocab_size=model.vocab_size, pad_id=model.vocab_size - 1,
+            label_smoothing=cfg.label_smoothing, d_model=model.d_model,
+            warmup_steps=cfg.warmup_steps, accum_steps=cfg.accum_steps,
+            max_grad_norm=cfg.max_grad_norm, peak_lr=cfg.peak_lr)
+        return model, tcfg, None, None, lambda b: b
+
+    if name == "melody_rnn":
+        vocab = model_kwargs.pop("vocab_size", _default_vocab("melody"))
+        model = cls(**{**{"vocab_size": vocab}, **model_kwargs})
+        tcfg = TrainerConfig(
+            vocab_size=vocab, pad_id=None, label_smoothing=0.0,
+            accum_steps=cfg.accum_steps, max_grad_norm=cfg.max_grad_norm,
+            peak_lr=cfg.peak_lr or 1e-3)
+
+        def apply_fn(params, x, rng):
+            # model is time-major; stream is [B, L]
+            logits = model.apply({"params": params}, x.T,
+                                 deterministic=False,
+                                 rngs={"dropout": rng})
+            return logits.transpose(1, 0, 2)
+
+        return model, tcfg, apply_fn, None, lambda b: b
+
+    if name in ("event_rnn", "performance_rnn"):
+        vocab = model_kwargs.pop("event_dim", _default_vocab(scheme) - 1)
+        model = cls(**{**{"event_dim": vocab}, **model_kwargs})
+        tcfg = TrainerConfig(
+            vocab_size=vocab, pad_id=None, label_smoothing=0.0,
+            accum_steps=cfg.accum_steps, max_grad_norm=cfg.max_grad_norm,
+            peak_lr=cfg.peak_lr or 1e-3)
+
+        def apply_fn(params, x, rng):
+            # reference draws a fresh latent per batch
+            # (Event_MelodyRNN/train.py:334: init = randn(batch, 32))
+            init_rng, drop_rng = jax.random.split(rng)
+            init = jax.random.normal(
+                init_rng, (x.shape[0], model.init_dim))
+            # model consumes [T, B] and returns T+1 rows; row i predicts
+            # events[i] (row 0 from the primary event alone). Training
+            # target = the full crop, like the reference's
+            # CE(outputs, events) (Event_MelodyRNN/train.py:340)
+            logits = model.apply({"params": params}, init, x.T,
+                                 deterministic=False,
+                                 rngs={"dropout": drop_rng})
+            return logits[:-1].transpose(1, 0, 2)
+
+        def adapter(b):
+            x, _y = b
+            return x, x
+
+        return model, tcfg, apply_fn, None, adapter
+
+    if name == "popmag":
+        from ..train.objective import popmag_masked_loss
+
+        model = cls(**model_kwargs)
+        tcfg = TrainerConfig(
+            vocab_size=0, accum_steps=cfg.accum_steps,
+            max_grad_norm=cfg.max_grad_norm, peak_lr=cfg.peak_lr or 1e-3)
+
+        def loss_fn(params, x, y, rng):
+            del y
+            init_rng, drop_rng = jax.random.split(rng)
+            init = jax.random.normal(
+                init_rng, (x["src"].shape[0], model.init_dim))
+            logits = model.apply(
+                {"params": params}, init, x["src"], x["src_len"],
+                x["tar"], x["tar_len"], deterministic=False,
+                rngs={"dropout": drop_rng})
+            return popmag_masked_loss(logits, x["labels"],
+                                      x["label_mask"])
+
+        def adapter(b):
+            x = {k: jnp.asarray(v) for k, v in dataclasses.asdict(b).items()}
+            return x, np.zeros((x["src"].shape[0],), np.int32)
+
+        return model, tcfg, None, loss_fn, adapter
+
+    raise ValueError(f"no CLI wiring for model {cfg.model!r}")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("data_dir", help="tokenized shard directory "
+                   "(from cli.tokenize)")
+    p.add_argument("overrides", nargs="*", metavar="key=value",
+                   help="dotted overrides; bare keys hit TrainCLIConfig, "
+                        "'model.<field>' goes to the model constructor")
+    args = p.parse_args(argv)
+
+    cfg = TrainCLIConfig()
+    model_kwargs: Dict[str, Any] = {}
+    plain = []
+    for item in args.overrides:
+        key, _, value = item.partition("=")
+        if key.startswith("model."):
+            try:
+                model_kwargs[key[6:]] = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                model_kwargs[key[6:]] = value
+        else:
+            plain.append(item)
+    cfg = apply_overrides(cfg, plain)
+
+    import json
+    import os
+
+    import jax
+
+    from ..data.pipeline import TokenCorpus
+    from ..train.loop import LoopConfig, run_loop
+    from ..train.trainer import (create_train_state, make_eval_step,
+                                 make_optimizer, make_train_step)
+
+    manifest = json.load(open(os.path.join(args.data_dir, "manifest.json")))
+    scheme = manifest["scheme"]
+    key = "melody" if scheme == "mumidi" else "tokens"
+    limlen = cfg.seq_len + 1 if cfg.model != "popmag" else 0
+    corpus = TokenCorpus(args.data_dir, limlen=limlen, key=key)
+    print(f"corpus: {len(corpus)} sequences (scheme={scheme})")
+
+    model, tcfg, apply_fn, loss_fn, adapter = build_session(
+        cfg, scheme, model_kwargs)
+
+    batches = (_popmag_batches(corpus, cfg) if cfg.model == "popmag"
+               else _lm_batches(corpus, cfg))
+    stream = (adapter(b) for b in batches)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    example = adapter(next(batches))
+    tx = make_optimizer(tcfg)
+    state = _init_state(model, tcfg, rng, example, cfg)
+    train_step = make_train_step(model, tx, tcfg, apply_fn=apply_fn,
+                                 loss_fn=loss_fn)
+
+    eval_step = eval_batches = None
+    if cfg.eval_dir and cfg.model == "music_transformer":
+        eval_corpus = TokenCorpus(cfg.eval_dir, limlen=limlen)
+        eval_seqs = [np.asarray(eval_corpus[i])
+                     for i in range(len(eval_corpus))]
+
+        def eval_batches():
+            from ..data.batching import slide_seq2seq_batch
+            r = np.random.RandomState(0)
+            for _ in range(4):
+                yield slide_seq2seq_batch(eval_seqs, cfg.batch_size,
+                                          cfg.seq_len, r)
+
+        eval_step = jax.jit(make_eval_step(model, tcfg))
+
+    loop_cfg = LoopConfig(
+        total_steps=cfg.steps, ckpt_dir=cfg.ckpt_dir,
+        ckpt_every=cfg.ckpt_every, log_every=cfg.log_every,
+        eval_every=cfg.eval_every, metrics_path=cfg.metrics_path,
+        profile_dir=cfg.profile_dir)
+    tokens_per_batch = cfg.batch_size * cfg.accum_steps * cfg.seq_len
+    run_loop(state, train_step, stream, loop_cfg, eval_step=eval_step,
+             eval_batches=eval_batches, tokens_per_batch=tokens_per_batch,
+             config_dict={"cli": cfg.to_dict(), "scheme": scheme,
+                          "model_kwargs": model_kwargs})
+    return 0
+
+
+def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig):
+    """Initialize params against one example batch, per model signature."""
+    import jax
+
+    from ..train.trainer import TrainState, make_optimizer
+
+    x, _y = example
+    init_rng, dropout_rng = jax.random.split(rng)
+    if cfg.model == "music_transformer":
+        variables = model.init(init_rng, x[:1])
+    elif cfg.model == "melody_rnn":
+        variables = model.init(init_rng, x[:1].T)
+    elif cfg.model in ("event_rnn", "performance_rnn"):
+        import jax.numpy as jnp
+        init = jnp.zeros((1, model.init_dim))
+        variables = model.init(init_rng, init, x[:1].T)
+    else:  # popmag
+        import jax.numpy as jnp
+        init = jnp.zeros((1, model.init_dim))
+        variables = model.init(init_rng, init, x["src"][:1],
+                               x["src_len"][:1], x["tar"][:1],
+                               x["tar_len"][:1])
+    params = variables["params"]
+    tx = make_optimizer(tcfg)
+    import jax.numpy as jnp
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), dropout_rng=dropout_rng)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

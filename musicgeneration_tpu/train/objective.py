@@ -75,3 +75,27 @@ class MetricsSet:
     def __call__(self, logits, targets) -> Dict[str, jnp.ndarray]:
         return {name: fn(logits, targets)
                 for name, fn in self.metrics.items()}
+
+
+def popmag_masked_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       mask: jnp.ndarray):
+    """Masked 3-head CE for PoPMAG (reference PoPMAG_RNN/train.py:252-256,
+    minus its double-softmax bug — see models/popmag.py docstring).
+
+    logits: [..., 3, mx_dim] f32; labels: [..., 3] int per-head ids;
+    mask: [..., 3] {0,1}. Returns (loss, accuracy) over masked slots.
+    """
+    mx = logits.shape[-1]
+    labels = labels.astype(jnp.int32)
+    # defensively exclude malformed label ids (outside [0, mx)) instead of
+    # letting an out-of-bounds gather poison the loss
+    in_range = (labels >= 0) & (labels < mx)
+    labels = jnp.clip(labels, 0, mx - 1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None],
+                               axis=-1)[..., 0]
+    m = mask.astype(jnp.float32) * in_range.astype(jnp.float32)
+    denom = jnp.maximum(m.sum(), 1.0)
+    loss = (nll * m).sum() / denom
+    correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    return loss, (correct * m).sum() / denom

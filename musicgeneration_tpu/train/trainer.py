@@ -81,12 +81,15 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainerConfig,
     apply_fn: Optional[Callable] = None,
+    loss_fn: Optional[Callable] = None,
 ) -> Callable:
     """Returns train_step(state, x, y) -> (state, metrics).
 
     x, y: [accum * B, L] int32 (split into `accum_steps` micro-batches
-    inside the step). For seq2seq models pass a custom apply_fn
-    (params, batch, rng) -> logits and feed batch pytrees.
+    inside the step), or arbitrary batch pytrees with a leading
+    [accum * B] axis. For seq2seq models pass a custom apply_fn
+    (params, batch, rng) -> logits, or take over the whole objective
+    with loss_fn(params, x, y, rng) -> (loss, accuracy).
     """
 
     def default_apply(params, x, rng):
@@ -95,14 +98,14 @@ def make_train_step(
 
     apply = apply_fn or default_apply
 
-    def loss_fn(params, x, y, rng):
+    def default_loss(params, x, y, rng):
         logits = apply(params, x, rng)
         loss = smooth_cross_entropy(logits, y, cfg.vocab_size,
                                     cfg.label_smoothing, cfg.pad_id)
         acc = token_accuracy(logits, y, cfg.pad_id)
         return loss, acc
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn or default_loss, has_aux=True)
 
     def train_step(state: TrainState, x, y):
         rng = jax.random.fold_in(state.dropout_rng, state.step)

@@ -1,0 +1,98 @@
+"""End-to-end CLI tests: tokenize -> train -> resume -> generate
+(the reference's per-model script-trio workflow, one CLI each)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from .fixtures import multitrack_midi, simple_piano_midi
+
+
+@pytest.fixture(scope="module")
+def tok_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_e2e")
+    midi_dir = root / "midis"
+    midi_dir.mkdir()
+    for i in range(3):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i, n_notes=80)
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    out = str(root / "tok")
+    assert tokenize_main([str(midi_dir), out, "--scheme", "midilike",
+                          "--workers", "1"]) == 0
+    return out
+
+
+def _train(tok_dir, tmp_path, model, extra=()):
+    from musicgeneration_tpu.cli.train import main as train_main
+    ckpt = str(tmp_path / f"ckpt_{model}")
+    metrics = str(tmp_path / f"m_{model}.jsonl")
+    argv = [tok_dir, f"model={model}", "steps=3", "batch_size=2",
+            "seq_len=32", "ckpt_every=2", "log_every=1",
+            f"ckpt_dir={ckpt}", f"metrics_path={metrics}", *extra]
+    assert train_main(argv) == 0
+    lines = [json.loads(l) for l in open(metrics)]
+    assert lines and np.isfinite(lines[-1]["loss"])
+    return ckpt, lines
+
+
+def test_train_music_transformer_and_resume(tok_dir, tmp_path):
+    ckpt, lines = _train(
+        tok_dir, tmp_path, "music_transformer",
+        ["model.num_layers=1", "model.d_model=64"])
+    assert any(f.startswith("step-") for f in os.listdir(ckpt))
+    # resume: asking for 5 total steps continues from the saved step
+    from musicgeneration_tpu.cli.train import main as train_main
+    argv = [tok_dir, "model=music_transformer", "steps=5", "batch_size=2",
+            "seq_len=32", "ckpt_every=2", "log_every=1",
+            f"ckpt_dir={ckpt}", "model.num_layers=1", "model.d_model=64"]
+    assert train_main(argv) == 0
+    from musicgeneration_tpu.utils.checkpoint import restore_checkpoint
+    payload = restore_checkpoint(ckpt)
+    assert payload["step"] == 4  # 5 steps, 0-indexed final
+
+
+def test_generate_from_checkpoint(tok_dir, tmp_path):
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64"])
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    out_mid = str(tmp_path / "gen.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "24",
+                     "--temperature", "1.0"]) == 0
+    assert os.path.getsize(out_mid) > 0
+    # the output parses back as MIDI
+    from musicgeneration_tpu.midi import MidiFile
+    MidiFile(out_mid)
+
+
+def test_train_event_rnn(tok_dir, tmp_path):
+    _train(tok_dir, tmp_path, "event_rnn",
+           ["model.hidden_dim=32", "model.num_layers=2"])
+
+
+def test_train_melody_rnn(tmp_path):
+    # melody corpus
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    midi_dir = tmp_path / "m"
+    midi_dir.mkdir()
+    for i in range(3):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i, n_notes=80)
+    tok = str(tmp_path / "tok_mel")
+    assert tokenize_main([str(midi_dir), tok, "--scheme", "melody",
+                          "--workers", "1"]) == 0
+    _train(tok, tmp_path, "melody_rnn", ["model.hidden_dim=16"])
+
+
+def test_train_popmag(tmp_path):
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    midi_dir = tmp_path / "mt"
+    midi_dir.mkdir()
+    for i in range(2):
+        multitrack_midi(str(midi_dir / f"f{i}.mid"), seed=i)
+    tok = str(tmp_path / "tok_mumidi")
+    assert tokenize_main([str(midi_dir), tok, "--scheme", "mumidi",
+                          "--workers", "1"]) == 0
+    _train(tok, tmp_path, "popmag",
+           ["model.hidden_dim=32", "model.embed_dim=32",
+            "max_bars=4", "max_bar_len=112", "seq_len=8"])
