@@ -48,6 +48,7 @@ class RelativeGlobalAttentionBlock(nn.Module):
     num_heads: int
     max_seq: int
     dtype: Any = jnp.float32
+    attention_impl: str = "xla"   # "xla" | "pallas" (fused flash kernel)
 
     def setup(self):
         dh = self.d_model // self.num_heads
@@ -63,13 +64,21 @@ class RelativeGlobalAttentionBlock(nn.Module):
         b, l, _ = x.shape
         return x.reshape(b, l, self.num_heads, -1).transpose(0, 2, 1, 3)
 
-    def __call__(self, x: jnp.ndarray,
-                 mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+                 key_pad: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         q = self._heads(self.wq(x))
         k = self._heads(self.wk(x))
         v = self._heads(self.wv(x))
-        out = relative_global_attention(q, k, v,
-                                        self.e.astype(jnp.float32), mask)
+        l = q.shape[2]
+        if self.attention_impl == "pallas" and l % 128 == 0:
+            from ..ops.pallas_attention import fused_relative_attention
+            out = fused_relative_attention(
+                q, k, v, self.e.astype(jnp.float32), key_pad,
+                block_q=128, block_k=128, causal=True,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            out = relative_global_attention(
+                q, k, v, self.e.astype(jnp.float32), mask)
         b, h, l, dh = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
         return self.fc(out)
@@ -109,10 +118,12 @@ class EncoderLayer(nn.Module):
     max_seq: int
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    attention_impl: str = "xla"
 
     def setup(self):
         self.rga = RelativeGlobalAttentionBlock(
-            self.d_model, self.num_heads, self.max_seq, dtype=self.dtype)
+            self.d_model, self.num_heads, self.max_seq, dtype=self.dtype,
+            attention_impl=self.attention_impl)
         self.ffn_pre = nn.Dense(self.d_model // 2, dtype=self.dtype)
         self.ffn_suf = nn.Dense(self.d_model, dtype=self.dtype)
         self.ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -120,8 +131,9 @@ class EncoderLayer(nn.Module):
         self.drop1 = nn.Dropout(self.dropout_rate)
         self.drop2 = nn.Dropout(self.dropout_rate)
 
-    def __call__(self, x, mask, deterministic: bool = True):
-        attn = self.rga(x, mask)
+    def __call__(self, x, mask, deterministic: bool = True,
+                 key_pad=None):
+        attn = self.rga(x, mask, key_pad)
         attn = self.drop1(attn, deterministic=deterministic)
         out1 = self.ln1(attn + x)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
@@ -147,6 +159,7 @@ class MusicTransformer(nn.Module):
     max_seq: int = 2048
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    attention_impl: str = "xla"   # "pallas" = fused flash kernel on TPU
 
     @property
     def num_heads(self) -> int:
@@ -164,6 +177,7 @@ class MusicTransformer(nn.Module):
         self.layers = [
             EncoderLayer(self.d_model, self.num_heads, self.max_seq,
                          self.dropout_rate, dtype=self.dtype,
+                         attention_impl=self.attention_impl,
                          name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
@@ -174,12 +188,14 @@ class MusicTransformer(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         """x: [B, L] int tokens -> logits [B, L, vocab] (f32)."""
         mask = causal_pad_mask(x, self.pad_id)
+        key_pad = (x == self.pad_id).astype(jnp.float32)  # pallas path
         h = self.embedding(x) * jnp.sqrt(jnp.float32(self.d_model)).astype(
             self.dtype)
         h = h + jnp.asarray(self.pos_table[: x.shape[1]], self.dtype)[None]
         h = self.dropout(h, deterministic=deterministic)
         for layer in self.layers:
-            h = layer(h, mask, deterministic=deterministic)
+            h = layer(h, mask, deterministic=deterministic,
+                      key_pad=key_pad)
         return self.fc(h).astype(jnp.float32)
 
     # -- incremental decoding -------------------------------------------------
