@@ -54,7 +54,7 @@ class TrainCLIConfig(Config):
 def _default_vocab(scheme: str) -> int:
     """Vocab sizes the reference derives in each config.py
     (MusicTransformer/config.py:11-16: vocab = event_dim + 1 pad)."""
-    if scheme == "midilike":
+    if scheme in ("midilike", "midilike_control"):
         from ..tokenizers.midilike import EventSeq
         return EventSeq.dim() + 1
     if scheme == "remi":
@@ -78,6 +78,35 @@ def _lm_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
     b = cfg.batch_size * cfg.accum_steps
     while True:
         yield slide_seq2seq_batch(seqs, b, cfg.seq_len, rng)
+
+
+def _control_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+    """Aligned (tokens, controls) random crops for PerformanceRNN
+    (the conditioning dataset the reference's broken
+    Event_Control_Dataset import was meant to provide)."""
+    from ..tokenizers.midilike import ControlSeq
+
+    pairs = []
+    for i in range(len(corpus)):
+        toks = np.asarray(corpus[i])
+        ctrl = np.asarray(corpus.pair(i, "controls"),
+                          np.uint8).reshape(-1, 13)
+        if len(toks) > cfg.seq_len:
+            pairs.append((toks, ctrl))
+    if not pairs:
+        raise ValueError(f"no sequence longer than {cfg.seq_len}")
+    rng = np.random.RandomState(cfg.seed)
+    b = cfg.batch_size * cfg.accum_steps
+    while True:
+        xs = np.zeros((b, cfg.seq_len), np.int32)
+        cs = np.zeros((b, cfg.seq_len, ControlSeq.dim()), np.float32)
+        for row in range(b):
+            toks, ctrl = pairs[rng.randint(0, len(pairs))]
+            start = rng.randint(0, len(toks) - cfg.seq_len)
+            xs[row] = toks[start:start + cfg.seq_len]
+            cs[row] = ControlSeq.recover_compressed_array(
+                ctrl[start:start + cfg.seq_len])
+        yield xs, cs
 
 
 def _popmag_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
@@ -155,6 +184,31 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
             return logits.transpose(1, 0, 2)
 
         return model, tcfg, apply_fn, None, lambda b: b
+
+    if name == "performance_rnn" and scheme == "midilike_control":
+        vocab = model_kwargs.pop("event_dim", _default_vocab(scheme) - 1)
+        model = cls(**{**{"event_dim": vocab}, **model_kwargs})
+        tcfg = TrainerConfig(
+            vocab_size=vocab, pad_id=None, label_smoothing=0.0,
+            accum_steps=cfg.accum_steps, max_grad_norm=cfg.max_grad_norm,
+            peak_lr=cfg.peak_lr or 1e-3)
+
+        def apply_fn(params, x, rng):
+            init_rng, drop_rng = jax.random.split(rng)
+            tokens, controls = x["tokens"], x["controls"]
+            init = jax.random.normal(
+                init_rng, (tokens.shape[0], model.init_dim))
+            logits = model.apply({"params": params}, init, tokens.T,
+                                 controls.transpose(1, 0, 2),
+                                 deterministic=False,
+                                 rngs={"dropout": drop_rng})
+            return logits.transpose(1, 0, 2)
+
+        def adapter(b):
+            x, c = b
+            return {"tokens": x, "controls": c}, x
+
+        return model, tcfg, apply_fn, None, adapter
 
     if name in ("event_rnn", "performance_rnn"):
         vocab = model_kwargs.pop("event_dim", _default_vocab(scheme) - 1)
@@ -259,8 +313,12 @@ def main(argv=None) -> int:
     model, tcfg, apply_fn, loss_fn, adapter = build_session(
         cfg, scheme, model_kwargs)
 
-    batches = (_popmag_batches(corpus, cfg) if cfg.model == "popmag"
-               else _lm_batches(corpus, cfg))
+    if cfg.model == "popmag":
+        batches = _popmag_batches(corpus, cfg)
+    elif cfg.model == "performance_rnn" and scheme == "midilike_control":
+        batches = _control_batches(corpus, cfg)
+    else:
+        batches = _lm_batches(corpus, cfg)
     stream = (adapter(b) for b in batches)
 
     rng = jax.random.PRNGKey(cfg.seed)
@@ -310,6 +368,11 @@ def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig):
         variables = model.init(init_rng, x[:1])
     elif cfg.model == "melody_rnn":
         variables = model.init(init_rng, x[:1].T)
+    elif isinstance(x, dict) and "controls" in x:  # conditioned perf_rnn
+        import jax.numpy as jnp
+        init = jnp.zeros((1, model.init_dim))
+        variables = model.init(init_rng, init, x["tokens"][:1].T,
+                               x["controls"][:1].transpose(1, 0, 2))
     elif cfg.model in ("event_rnn", "performance_rnn"):
         import jax.numpy as jnp
         init = jnp.zeros((1, model.init_dim))

@@ -69,6 +69,20 @@ def _tokenize_mumidi(path: str) -> Dict[str, np.ndarray]:
             "arrangement": to_array(arrangement).astype(np.uint16)}
 
 
+def _tokenize_midilike_control(path: str) -> Dict[str, np.ndarray]:
+    """MIDI-like tokens + per-event compressed controls (pitch histogram
+    + note density, reference sequence.py:294-407). `controls` is the
+    [n_events, 13] uint8 compressed array flattened (reshape(-1, 13) on
+    load) — this is the dataset the reference's PerformanceRNN trainer
+    wanted but lacked (its Event_Control_Dataset import is broken,
+    SURVEY.md §1)."""
+    from ..tokenizers import midilike
+    events = midilike.extract_events(path)
+    controls = midilike.ControlSeq.from_event_seq(events)
+    return {"tokens": events.to_array().astype(np.uint16),
+            "controls": controls.to_compressed_array().reshape(-1)}
+
+
 def _tokenize_pedal(path: str) -> Dict[str, np.ndarray]:
     from ..tokenizers import pedal_midilike
     return {"tokens": np.asarray(pedal_midilike.encode_midi(path),
@@ -82,6 +96,7 @@ def _tokenize_melody(path: str) -> Dict[str, np.ndarray]:
 
 SCHEMES: Dict[str, Callable[[str], Dict[str, np.ndarray]]] = {
     "midilike": _tokenize_midilike,
+    "midilike_control": _tokenize_midilike_control,
     "remi": _tokenize_remi,
     "mumidi": _tokenize_mumidi,
     "pedal": _tokenize_pedal,

@@ -96,3 +96,16 @@ def test_train_popmag(tmp_path):
     _train(tok, tmp_path, "popmag",
            ["model.hidden_dim=32", "model.embed_dim=32",
             "max_bars=4", "max_bar_len=112", "seq_len=8"])
+
+
+def test_train_performance_rnn_with_controls(tmp_path):
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    midi_dir = tmp_path / "pc"
+    midi_dir.mkdir()
+    for i in range(3):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i, n_notes=80)
+    tok = str(tmp_path / "tok_ctrl")
+    assert tokenize_main([str(midi_dir), tok, "--scheme",
+                          "midilike_control", "--workers", "1"]) == 0
+    _train(tok, tmp_path, "performance_rnn",
+           ["model.hidden_dim=32", "model.num_layers=2"])
