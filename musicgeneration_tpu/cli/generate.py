@@ -102,9 +102,11 @@ def main(argv=None) -> int:
     print(f"restored {cfg.model} at step {payload['step']} "
           f"(scheme={scheme})")
     if cfg.model == "popmag":
-        raise SystemExit("use cli options for LM models; PoPMAG "
-                         "arrangement generation is exposed via "
-                         "decode.popmag_generate.generate_arrangement")
+        if args.prime is None:
+            raise SystemExit("popmag needs --prime <melody midi> "
+                             "(melody -> arrangement seq2seq)")
+        _generate_arrangement(model, params, cfg, args)
+        return 0
 
     prime = _prime_tokens(scheme, args.prime, args.prime_len)
     prompt = np.asarray(prime, np.int32)[None]
@@ -124,6 +126,45 @@ def main(argv=None) -> int:
     _write_midi(scheme, tokens, args.output)
     print(f"wrote {args.output} ({len(tokens)} tokens)")
     return 0
+
+
+def _generate_arrangement(model, params, cfg, args) -> None:
+    """Melody MIDI -> multi-track arrangement MIDI (reference
+    PoPMAG_RNN/generate.py:177 / network.py:366-417)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import mumidi_packing as mp
+    from ..decode.popmag_generate import (
+        flatten_arrangement,
+        generate_arrangement,
+    )
+    from ..tokenizers.mumidi import MuMIDI_EventSeq
+
+    melody_events, _ = MuMIDI_EventSeq.extract_split_events(args.prime)
+    melody = MuMIDI_EventSeq.to_array(melody_events).astype(np.int64)
+    bars = MuMIDI_EventSeq.segmentation(melody)
+    bars = [np.asarray(b)[:cfg.max_bar_len] for b in bars[:cfg.max_bars]]
+    if not bars:
+        raise SystemExit("prime melody has no bars after MuMIDI encoding")
+    packed, lens = mp.pack_compound(bars, 0)
+    s_len = max(len(a) for a in packed)
+    src = np.zeros((1, len(packed), s_len, 7), np.int32)
+    for gi, arr in enumerate(packed):
+        src[0, gi, :len(arr)] = arr
+    src_len = np.maximum(np.asarray(lens, np.int32), 1)[None]
+
+    init = jax.random.normal(jax.random.PRNGKey(args.seed),
+                             (1, model.init_dim))
+    tokens, valid = generate_arrangement(
+        model, params, init, jnp.asarray(src), jnp.asarray(src_len),
+        jax.random.PRNGKey(args.seed + 1), n_target_bar=len(bars),
+        greedy=(args.temperature == 0.0),
+        temperature=args.temperature or 1.0)
+    flat = flatten_arrangement(np.asarray(tokens), np.asarray(valid))[0]
+    events = MuMIDI_EventSeq.from_array(flat)
+    MuMIDI_EventSeq.write_midi(events, args.output)
+    print(f"wrote {args.output} ({len(flat)} tokens, {len(bars)} bars)")
 
 
 if __name__ == "__main__":

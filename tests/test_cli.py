@@ -109,3 +109,24 @@ def test_train_performance_rnn_with_controls(tmp_path):
                           "midilike_control", "--workers", "1"]) == 0
     _train(tok, tmp_path, "performance_rnn",
            ["model.hidden_dim=32", "model.num_layers=2"])
+
+
+def test_generate_popmag_arrangement(tmp_path):
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    midi_dir = tmp_path / "pg"
+    midi_dir.mkdir()
+    for i in range(2):
+        multitrack_midi(str(midi_dir / f"f{i}.mid"), seed=i)
+    tok = str(tmp_path / "tok_pg")
+    assert tokenize_main([str(midi_dir), tok, "--scheme", "mumidi",
+                          "--workers", "1"]) == 0
+    ckpt, _ = _train(tok, tmp_path, "popmag",
+                     ["model.hidden_dim=32", "model.embed_dim=32",
+                      "max_bars=4", "max_bar_len=112", "seq_len=8"])
+    out_mid = str(tmp_path / "arr.mid")
+    assert gen_main([ckpt, out_mid, "--prime",
+                     str(midi_dir / "f0.mid"), "--temperature", "0"]) == 0
+    from musicgeneration_tpu.midi import MidiFile
+    assert os.path.getsize(out_mid) > 0
+    MidiFile(out_mid)
