@@ -66,7 +66,66 @@ def bench_reference_schedule(model, params, batch=8, prompt_len=16,
     return batch / per_token  # tokens/sec under the reference schedule
 
 
+def bench_tokenize(n_files: int = 24) -> float:
+    """Host tokenizer throughput (files/sec, MIDI-like scheme, 1 worker,
+    native SMF scanner if built)."""
+    import os
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.fixtures import simple_piano_midi
+
+    from musicgeneration_tpu.data.pipeline import tokenize_corpus
+
+    with tempfile.TemporaryDirectory() as d:
+        midi_dir = os.path.join(d, "m")
+        os.makedirs(midi_dir)
+        for i in range(n_files):
+            simple_piano_midi(os.path.join(midi_dir, f"f{i}.mid"),
+                              seed=i, n_notes=400)
+        out = os.path.join(d, "tok")
+        t0 = time.perf_counter()
+        stats = tokenize_corpus(midi_dir, out, scheme="midilike",
+                                num_workers=1)
+        dt = time.perf_counter() - t0
+        assert stats.n_ok == n_files
+    return n_files / dt
+
+
+def bench_train(model, params, batch=8, seq=512) -> float:
+    """Fused train step throughput (steps/sec) on the flagship model."""
+    import numpy as np
+
+    from musicgeneration_tpu.train.trainer import (
+        TrainerConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = TrainerConfig(vocab_size=model.vocab_size,
+                        pad_id=model.vocab_size - 1, d_model=model.d_model)
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params),
+                       dropout_rng=jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    x = jax.random.randint(jax.random.PRNGKey(2), (batch, seq), 0,
+                           model.vocab_size - 1)
+    y = jnp.roll(x, -1, axis=1)
+    state, metrics = step(state, x, y)
+    np.asarray(metrics["loss"])  # compile + warm
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, metrics = step(state, x, y)
+    np.asarray(metrics["loss"])
+    return n_iter / (time.perf_counter() - t0)
+
+
 def main():
+    import os
+
     from musicgeneration_tpu.models import MusicTransformer
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -78,6 +137,20 @@ def main():
     toks_per_sec, _ = bench_decode(model, params)
     ref_toks_per_sec = bench_reference_schedule(model, params)
     speedup = toks_per_sec / ref_toks_per_sec
+
+    try:
+        files_per_sec = bench_tokenize()
+        print(f"# tokenizer: {files_per_sec:.1f} files/sec "
+              "(midilike, 1 worker, 400-note files)", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — diagnostics must not kill bench
+        print(f"# tokenizer bench skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_TRAIN"):
+        try:
+            sps = bench_train(model, params)
+            print(f"# train: {sps:.2f} steps/sec (batch 8, seq 512, "
+                  "fused step)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# train bench skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps({

@@ -156,6 +156,10 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
 
     cls, defaults = registry.get_model(cfg.model)
     name = cfg.model
+    if isinstance(model_kwargs.get("dtype"), str):
+        # model.dtype=bfloat16 from the CLI (params stay f32; this is the
+        # compute dtype — bf16 is the right default on TPU)
+        model_kwargs["dtype"] = jnp.dtype(model_kwargs["dtype"]).type
 
     if name == "music_transformer":
         vocab = model_kwargs.pop("vocab_size", _default_vocab(scheme))

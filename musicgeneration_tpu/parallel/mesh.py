@@ -82,8 +82,14 @@ def _spec_for(path: str, ndim: int):
     return P(None, "model")
 
 
-def param_shardings(mesh: Mesh, params):
-    """Pytree of NamedShardings matching `params`."""
+def param_shardings(mesh: Mesh, params, fsdp: bool = False):
+    """Pytree of NamedShardings matching `params`.
+
+    fsdp=True additionally shards each >=2-D parameter's remaining
+    (non-'model') dim over 'data' — ZeRO-3-style fully-sharded storage;
+    under jit XLA inserts the all-gathers before use and reduce-scatters
+    the grads (the scaling-book FSDP recipe: same mesh, extra
+    annotation)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
@@ -95,11 +101,22 @@ def param_shardings(mesh: Mesh, params):
 
     def lookup(kp, v):
         spec = specs[path_str(kp)]
-        # guard: axis size must divide the dimension, else replicate
-        tp = mesh.shape["model"]
-        for dim, name in zip(np.shape(v), spec):
-            if name == "model" and dim % tp != 0:
-                return NamedSharding(mesh, P())
-        return NamedSharding(mesh, spec)
+        shape = np.shape(v)
+        if fsdp and len(shape) >= 2:
+            names = list(spec) + [None] * (len(shape) - len(spec))
+            for i, name in enumerate(names):
+                if name is None and shape[i] % mesh.shape["data"] == 0:
+                    names[i] = "data"
+                    break
+            spec = P(*names)
+        # guard: axis size must divide the dimension, else drop that axis
+        sizes = {"model": mesh.shape["model"], "data": mesh.shape["data"]}
+        names = list(spec) + [None] * (len(shape) - len(spec))
+        for i, name in enumerate(names):
+            if name is not None and shape[i] % sizes[name] != 0:
+                names[i] = None
+        if not any(names):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*names))
 
     return jax.tree_util.tree_map_with_path(lookup, params)

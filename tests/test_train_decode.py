@@ -180,3 +180,22 @@ class TestMesh:
         # params keep their shardings through the update
         flat = jax.tree.leaves(state.params)
         assert all(hasattr(p, "sharding") for p in flat)
+
+
+def test_fsdp_param_sharding():
+    """fsdp=True shards a non-'model' dim of 2-D params over 'data'."""
+    from musicgeneration_tpu.parallel.mesh import param_shardings
+
+    mesh = make_mesh(dp=4, tp=2)
+    params = {
+        "layer": {"Wq": {"kernel": jnp.zeros((128, 128))},
+                  "bias": jnp.zeros((128,))},
+    }
+    sh = param_shardings(mesh, params, fsdp=True)
+    spec = sh["layer"]["Wq"]["kernel"].spec
+    assert "data" in spec and "model" in spec
+    assert sh["layer"]["bias"].spec == jax.sharding.PartitionSpec()
+    # odd dims fall back gracefully instead of erroring
+    odd = {"w": jnp.zeros((127, 125))}
+    sh2 = param_shardings(mesh, odd, fsdp=True)
+    assert sh2["w"].spec == jax.sharding.PartitionSpec()
