@@ -77,6 +77,12 @@ def main(argv=None) -> int:
     p.add_argument("--topk", type=int, default=0)
     p.add_argument("--topp", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--beam", type=int, default=0,
+                   help="beam size for the RNN LMs (reference "
+                        "beam_search, Event_MelodyRNN/network.py:166-268)")
+    p.add_argument("--stochastic-beam", action="store_true",
+                   help="Gumbel-perturbed beam (reference "
+                        "stochastic_beam_search)")
     p.add_argument("--include-prime", action="store_true",
                    help="write prompt + continuation instead of "
                         "continuation only")
@@ -116,16 +122,53 @@ def main(argv=None) -> int:
         if len(prime) + args.steps > max_len:
             keep = max_len - args.steps
             prompt = prompt[:, -keep:]  # window truncation, config.py:21
-    sampling = SamplingParams(temperature=args.temperature,
-                              top_k=args.topk, top_p=args.topp)
-    dp = DecodeParams(max_len=max_len, steps=args.steps, sampling=sampling)
-    out = np.asarray(generate(model, params, prompt,
-                              jax.random.PRNGKey(args.seed), dp))[0]
+    if args.beam > 1:
+        if cfg.model not in ("event_rnn", "performance_rnn"):
+            raise SystemExit("--beam is for the RNN LMs "
+                             "(event_rnn / performance_rnn)")
+        out = _beam_decode(model, params, prompt, args)
+    else:
+        sampling = SamplingParams(temperature=args.temperature,
+                                  top_k=args.topk, top_p=args.topp)
+        dp = DecodeParams(max_len=max_len, steps=args.steps,
+                          sampling=sampling)
+        out = np.asarray(generate(model, params, prompt,
+                                  jax.random.PRNGKey(args.seed), dp))[0]
     tokens = (np.concatenate([prompt[0], out]) if args.include_prime
               else out)
     _write_midi(scheme, tokens, args.output)
     print(f"wrote {args.output} ({len(tokens)} tokens)")
     return 0
+
+
+def _beam_decode(model, params, prompt: np.ndarray, args) -> np.ndarray:
+    """(Stochastic) beam search continuation for the GRU LMs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode.beam import beam_search, replicate_for_beams
+    from ..decode.engine import _prefill
+
+    prompt_j = jnp.asarray(prompt, jnp.int32)  # [1, P]
+    cache = model.apply({"params": params}, 1, 0,
+                        method=model.init_cache)
+    if prompt_j.shape[1] > 1:
+        cache, _, _ = _prefill(model, params, prompt_j[:, :-1], cache,
+                               jnp.int32(0))
+    # RNN caches carry batch on axis 1 ([layers, B, hidden])
+    cache = replicate_for_beams(cache, args.beam, batch_axis=1)
+
+    def step_fn(tokens, state):
+        return model.apply({"params": params}, tokens, state,
+                           method=model.decode_step)
+
+    seq = beam_search(
+        step_fn, cache, prompt_j[:, -1], steps=args.steps,
+        beam_size=args.beam, vocab_size=model.event_dim,
+        rng=jax.random.PRNGKey(args.seed),
+        temperature=args.temperature or 1.0,
+        stochastic=args.stochastic_beam, state_batch_axis=1)
+    return np.asarray(seq[0])
 
 
 def _generate_arrangement(model, params, cfg, args) -> None:

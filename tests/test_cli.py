@@ -130,3 +130,15 @@ def test_generate_popmag_arrangement(tmp_path):
     from musicgeneration_tpu.midi import MidiFile
     assert os.path.getsize(out_mid) > 0
     MidiFile(out_mid)
+
+
+def test_generate_event_rnn_beam(tok_dir, tmp_path):
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ckpt, _ = _train(tok_dir, tmp_path, "event_rnn",
+                     ["model.hidden_dim=32", "model.num_layers=2"])
+    out_mid = str(tmp_path / "beam.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "24", "--beam", "3"]) == 0
+    out_mid2 = str(tmp_path / "sbeam.mid")
+    assert gen_main([ckpt, out_mid2, "--steps", "24", "--beam", "3",
+                     "--stochastic-beam", "--seed", "5"]) == 0
+    assert os.path.getsize(out_mid) > 0 and os.path.getsize(out_mid2) > 0
