@@ -199,3 +199,27 @@ def test_fsdp_param_sharding():
     odd = {"w": jnp.zeros((127, 125))}
     sh2 = param_shardings(mesh, odd, fsdp=True)
     assert sh2["w"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_decode_matches_single_device(tiny_model):
+    """Pod-slice sampling (BASELINE.md target): generate() under a
+    DP x TP mesh with sharded params + prompt produces exactly the
+    single-device result (same rng, same sampling path)."""
+    from musicgeneration_tpu.decode import DecodeParams, generate
+    from musicgeneration_tpu.decode.sampling import SamplingParams
+    from musicgeneration_tpu.parallel.mesh import param_shardings
+
+    model = tiny_model
+    prompt = jnp.ones((8, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)["params"]
+    dp = DecodeParams(max_len=16, steps=8,
+                      sampling=SamplingParams(temperature=1.0))
+    rng = jax.random.PRNGKey(3)
+    ref = np.asarray(generate(model, params, prompt, rng, dp))
+
+    mesh = make_mesh(dp=4, tp=2)
+    sharded_params = jax.device_put(params, param_shardings(mesh, params))
+    sharded_prompt = shard_batch(mesh, prompt)
+    out = np.asarray(generate(model, sharded_params, sharded_prompt,
+                              rng, dp))
+    np.testing.assert_array_equal(out, ref)
