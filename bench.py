@@ -138,6 +138,13 @@ def main():
     ref_toks_per_sec = bench_reference_schedule(model, params)
     speedup = toks_per_sec / ref_toks_per_sec
 
+    if os.environ.get("MG_BENCH_SWEEP"):
+        for b in (16, 32, 64):
+            try:
+                tps, _ = bench_decode(model, params, batch=b)
+                print(f"# decode batch={b}: {tps:.0f} tok/s", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"# decode batch={b} skipped: {e}", file=sys.stderr)
     try:
         files_per_sec = bench_tokenize()
         print(f"# tokenizer: {files_per_sec:.1f} files/sec "

@@ -26,17 +26,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """('data', 'model') mesh. dp defaults to n_devices // tp."""
+    """('data', 'seq', 'model') mesh; dp defaults to n // (tp * sp).
+
+    'seq' is the sequence-parallel axis (SURVEY.md §5 long-context row):
+    size 1 for every current model config — the reference's contexts are
+    bounded at max_seq 2048 — but the axis exists so blockwise/ring
+    attention over ICI can shard activations along L without remapping
+    the mesh. With sp == 1 the mesh behaves exactly like ('data',
+    'model')."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp*tp = {dp}*{tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("data", "model"))
+        dp = n // (tp * sp)
+    if dp * tp * sp != n:
+        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

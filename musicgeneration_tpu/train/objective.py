@@ -99,3 +99,9 @@ def popmag_masked_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     loss = (nll * m).sum() / denom
     correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
     return loss, (correct * m).sum() / denom
+
+
+def logits_bucketting(logits: jnp.ndarray) -> jnp.ndarray:
+    """Flat argmax token ids for histogram/diversity inspection
+    (reference metrics.py:55-60 LogitsBucketting)."""
+    return jnp.argmax(logits, axis=-1).reshape(-1).astype(jnp.int32)

@@ -158,7 +158,9 @@ class TestDecodeEngine:
 class TestMesh:
     def test_make_mesh_shapes(self):
         mesh = make_mesh(dp=4, tp=2)
-        assert mesh.shape == {"data": 4, "model": 2}
+        assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
+        mesh = make_mesh(tp=2, sp=2)  # dp inferred = 2 on 8 devices
+        assert mesh.shape == {"data": 2, "seq": 2, "model": 2}
         with pytest.raises(ValueError):
             make_mesh(dp=3, tp=3)
 
