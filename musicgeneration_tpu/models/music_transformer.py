@@ -83,19 +83,25 @@ class RelativeGlobalAttentionBlock(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
         return self.fc(out)
 
-    def decode(self, x: jnp.ndarray, k_cache: jnp.ndarray,
-               v_cache: jnp.ndarray, t: jnp.ndarray):
-        """One-token step. x: [B, d_model]; caches: [B, H, S, dh];
-        t: scalar absolute position. Returns (out [B, d_model], k, v)."""
+    def decode(self, x: jnp.ndarray, k_all: jnp.ndarray,
+               v_all: jnp.ndarray, li: int, t: jnp.ndarray):
+        """One-token step. x: [B, d_model]; k_all/v_all are the FULL
+        stacked caches [L, B, H, S, dh] updated in place at (li, ..., t)
+        — a single one-row dynamic-update-slice per layer, never a
+        restack, so under scan-with-donation XLA keeps the cache
+        in-place instead of copying ~MBs per generated token.
+        Returns (out [B, d_model], k_all, v_all)."""
         b = x.shape[0]
         dh = self.d_model // self.num_heads
         q = self.wq(x).reshape(b, self.num_heads, dh)
-        k_new = self.wk(x).reshape(b, self.num_heads, 1, dh)
-        v_new = self.wv(x).reshape(b, self.num_heads, 1, dh)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_new.astype(k_cache.dtype), (0, 0, t, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_new.astype(v_cache.dtype), (0, 0, t, 0))
+        k_new = self.wk(x).reshape(1, b, self.num_heads, 1, dh)
+        v_new = self.wv(x).reshape(1, b, self.num_heads, 1, dh)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new.astype(k_all.dtype), (li, 0, 0, t, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new.astype(v_all.dtype), (li, 0, 0, t, 0))
+        k_cache = k_all[li]
+        v_cache = v_all[li]
         s = k_cache.shape[2]
         qk = jnp.einsum("bhd,bhsd->bhs", q, k_cache,
                         preferred_element_type=jnp.float32)
@@ -107,7 +113,7 @@ class RelativeGlobalAttentionBlock(nn.Module):
         out = jnp.einsum("bhs,bhsd->bhd", w.astype(v_cache.dtype), v_cache,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, self.d_model).astype(self.dtype)
-        return self.fc(out), k_cache, v_cache
+        return self.fc(out), k_all, v_all
 
 
 class EncoderLayer(nn.Module):
@@ -140,11 +146,11 @@ class EncoderLayer(nn.Module):
         ffn = self.drop2(ffn, deterministic=deterministic)
         return self.ln2(out1 + ffn)
 
-    def decode(self, x, k_cache, v_cache, t):
-        attn, k_cache, v_cache = self.rga.decode(x, k_cache, v_cache, t)
+    def decode(self, x, k_all, v_all, li: int, t):
+        attn, k_all, v_all = self.rga.decode(x, k_all, v_all, li, t)
         out1 = self.ln1(attn + x)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
-        return self.ln2(out1 + ffn), k_cache, v_cache
+        return self.ln2(out1 + ffn), k_all, v_all
 
 
 @register_model("music_transformer")
@@ -217,13 +223,11 @@ class MusicTransformer(nn.Module):
         pos = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
         h = h + pos
-        ks, vs = [], []
+        k_all, v_all = cache["k"], cache["v"]
         for i, layer in enumerate(self.layers):
-            h, k_i, v_i = layer.decode(h, cache["k"][i], cache["v"][i], t)
-            ks.append(k_i)
-            vs.append(v_i)
+            h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
         logits = self.fc(h).astype(jnp.float32)
-        return logits, {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+        return logits, {"k": k_all, "v": v_all}
 
 
 def music_transformer_defaults(**overrides) -> dict:
