@@ -323,10 +323,14 @@ def main(argv=None) -> int:
         batches = _control_batches(corpus, cfg)
     else:
         batches = _lm_batches(corpus, cfg)
-    stream = (adapter(b) for b in batches)
+    from ..data.prefetch import prefetch_to_device
 
     rng = jax.random.PRNGKey(cfg.seed)
+    # take the init example BEFORE starting the prefetch thread — the
+    # thread and this call would otherwise race on the same generator
     example = adapter(next(batches))
+    # host batch building overlaps device compute; 2 batches in flight
+    stream = prefetch_to_device((adapter(b) for b in batches), size=2)
     tx = make_optimizer(tcfg)
     state = _init_state(model, tcfg, rng, example, cfg)
     train_step = make_train_step(model, tx, tcfg, apply_fn=apply_fn,

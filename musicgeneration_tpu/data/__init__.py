@@ -13,6 +13,7 @@ from .mumidi_packing import (
     pack_compound,
     pack_labels,
 )
+from .prefetch import prefetch_to_device, sliding_prefetch
 from .pipeline import (
     TokenCorpus,
     find_midi_files,
@@ -23,6 +24,8 @@ from .pipeline import (
 from .track_extraction import extract_merge, extract_tracks_under
 
 __all__ = [
+    "prefetch_to_device",
+    "sliding_prefetch",
     "tokenize_corpus",
     "TokenCorpus",
     "find_midi_files",

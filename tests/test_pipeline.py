@@ -192,3 +192,20 @@ def test_cli_tokenize(tmp_path, corpus_dir, capsys):
     rc = main([corpus_dir, out, "--scheme", "midilike", "--workers", "1"])
     assert rc == 0
     assert "tokenized 5/6" in capsys.readouterr().out
+
+
+# --------------------------------------------------------------- prefetch
+
+def test_prefetch_to_device_order_and_completeness():
+    import jax.numpy as jnp
+
+    from musicgeneration_tpu.data import prefetch_to_device, sliding_prefetch
+
+    batches = [np.full((2, 2), i) for i in range(7)]
+    out = list(prefetch_to_device(iter(batches), size=3))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        assert isinstance(b, jnp.ndarray) or hasattr(b, "devices")
+        assert int(np.asarray(b)[0, 0]) == i
+    out2 = list(sliding_prefetch(iter(batches), size=2))
+    assert [int(np.asarray(b)[0, 0]) for b in out2] == list(range(7))
