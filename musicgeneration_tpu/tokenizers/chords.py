@@ -131,6 +131,80 @@ def _find_chord(window: np.ndarray) -> Tuple[str, str, str, int]:
             PITCH_CLASSES[bass_note], scores[root])
 
 
+# quality order for the vectorized scorer
+_QUALITIES = ["maj", "min", "dim", "aug", "dom"]
+_WEIGHTS = np.zeros((5, 12), np.int32)
+for _qi, _q in enumerate(_QUALITIES):
+    for _n in range(12):
+        if _n in CHORD_MAPS[_q]:
+            continue
+        if _n in CHORD_OUTSIDERS_1[_q]:
+            _WEIGHTS[_qi, _n] = -1
+        elif _n in CHORD_OUTSIDERS_2[_q]:
+            _WEIGHTS[_qi, _n] = -2
+        elif _n in CHORD_INSIDERS[_q]:
+            _WEIGHTS[_qi, _n] = 1
+
+
+def _score_all_windows(win_presence: np.ndarray):
+    """Vectorized _find_chord over many windows at once.
+
+    win_presence: [n_w, 128] bool (pitch sounds anywhere in window).
+    Returns per-window (root_idx, quality_str, bass_idx, score) with
+    root/bass == -1 for empty windows — identical decisions to
+    _find_chord (checked by tests against the per-window oracle).
+    """
+    n_w = win_presence.shape[0]
+    pitch_ids = np.arange(128)
+    # lowest sounding pitch per window -> bass class; 999 = none
+    masked = np.where(win_presence, pitch_ids[None, :], 999)
+    low_pitch = masked.min(axis=1)                       # [n_w]
+    empty = low_pitch == 999
+    # lowest pitch per pitch-class (for the reference's ascending-pitch
+    # tie-break): [n_w, 12]
+    cls = pitch_ids % 12
+    low_by_class = np.full((n_w, 12), 999)
+    for c in range(12):
+        low_by_class[:, c] = masked[:, cls == c].min(axis=1)
+    chroma = low_by_class < 999                          # [n_w, 12]
+
+    idx = (np.arange(12)[:, None] + np.arange(12)[None, :]) % 12
+    rel = chroma[:, idx]                                 # [n_w, root, i]
+    h = lambda i: rel[:, :, i]
+    has3, has4, has6, has7, has8, has10 = (h(3), h(4), h(6), h(7), h(8),
+                                           h(10))
+    invalid = has3 == has4                               # both or neither
+    qid = np.select(
+        [has3 & has6, has3, has8, has7 & has10],
+        [2, 1, 3, 4], default=0)                         # dim/min/aug/dom/maj
+    scores = (rel * _WEIGHTS[qid]).sum(-1)               # [n_w, 12]
+    scores = np.where(invalid, -100, scores)
+    scores = np.where(chroma, scores, -(10 ** 6))        # absent roots
+
+    best = scores.max(axis=1)                            # [n_w]
+    tied = scores == best[:, None]
+    # reference tie-break: first window pitch (ascending) whose class is
+    # tied == tied class with the minimal lowest-pitch
+    tie_key = np.where(tied, low_by_class, 1000)
+    root = tie_key.argmin(axis=1)
+    quality = np.where(
+        invalid[np.arange(n_w), root], -1,
+        qid[np.arange(n_w), root])                       # -1 = "None"
+    return (np.where(empty, -1, root), quality,
+            np.where(empty, -1, low_pitch % 12),
+            np.where(empty, 0, scores[np.arange(n_w), root]))
+
+
+def _window_any(presence: np.ndarray, interval: int) -> np.ndarray:
+    """[n_beats, 128] -> [n_beats, 128]: any() over beats [b, b+interval)
+    clipped at the end (cum-or difference would need ints; interval is
+    tiny so a shifted-or is cheapest)."""
+    out = presence.copy()
+    for d in range(1, interval):
+        out[:-d] |= presence[d:]
+    return out
+
+
 class MIDIChord:
     """Public API kept name-compatible with the reference class."""
 
@@ -143,13 +217,22 @@ class MIDIChord:
 
         candidates: Dict[int, Dict[int, Tuple[str, str, str, int]]] = {}
         for interval in (4, 2):
-            for beat in range(0, n_beats):
+            wins = _window_any(presence, interval)
+            roots, quals, basses, scores = _score_all_windows(wins)
+            for beat in range(n_beats):
                 start_tick = beat * TICKS_PER_BEAT
                 if start_tick >= max_tick:
                     break
-                end_tick = min(start_tick + interval * TICKS_PER_BEAT, max_tick)
-                end_beat = int(np.ceil(end_tick / TICKS_PER_BEAT))
-                result = _find_chord(presence[beat:end_beat])
+                end_tick = min(start_tick + interval * TICKS_PER_BEAT,
+                               max_tick)
+                if roots[beat] < 0:
+                    result = ("N", "N", "N", 0)
+                else:
+                    q = ("None" if quals[beat] < 0
+                         else _QUALITIES[quals[beat]])
+                    result = (PITCH_CLASSES[roots[beat]], q,
+                              PITCH_CLASSES[basses[beat]],
+                              int(scores[beat]))
                 slot = candidates.setdefault(start_tick, {})
                 if end_tick not in slot:
                     slot[end_tick] = result

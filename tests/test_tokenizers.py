@@ -206,3 +206,30 @@ class TestMuMIDI:
         MuMIDI_EventSeq.write_midi(events, out)
         midi = MidiFile(out)
         assert len(midi.instruments) >= 3
+
+
+def test_vectorized_chord_scorer_matches_oracle():
+    """_score_all_windows (vectorized) vs _find_chord (per-window oracle)
+    on random presence windows."""
+    import numpy as np
+
+    from musicgeneration_tpu.tokenizers.chords import (
+        PITCH_CLASSES,
+        _QUALITIES,
+        _find_chord,
+        _score_all_windows,
+    )
+
+    rng = np.random.RandomState(0)
+    wins = rng.rand(300, 128) < 0.03
+    wins[:5] = False  # empty windows
+    roots, quals, basses, scores = _score_all_windows(wins)
+    for w in range(wins.shape[0]):
+        want = _find_chord(wins[w:w + 1])
+        if roots[w] < 0:
+            got = ("N", "N", "N", 0)
+        else:
+            q = "None" if quals[w] < 0 else _QUALITIES[quals[w]]
+            got = (PITCH_CLASSES[roots[w]], q, PITCH_CLASSES[basses[w]],
+                   int(scores[w]))
+        assert got == want, (w, got, want)
