@@ -61,7 +61,47 @@ def _shear(qe: jnp.ndarray, block_q: int, block_k: int) -> jnp.ndarray:
     return qe[:, :block_k]
 
 
-def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, *,
+def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
+    """Inverse of _shear: place ds[t, s] at column (block_q-1-t) + s.
+
+    Row t right-shifts by p = block_q-1-t; the final span [p, p+BK) stays
+    inside [0, w) for w >= block_q+block_k-1, and every wrapped element
+    comes from the zero right-padding, so the result is exact."""
+    x = jnp.pad(ds, ((0, 0), (0, w - ds.shape[1])))
+    p = (block_q - 1) - jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    b = 1
+    while b < block_q:
+        rolled = pltpu.roll(x, b, 1)  # right-shift by b
+        x = jnp.where((p & b) != 0, rolled, x)
+        b *= 2
+    return x
+
+
+def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
+                 max_seq, causal, scale):
+    """Recompute one tile's masked, scaled logits + the e slice — shared
+    verbatim by forward and both backward kernels so p is bit-identical."""
+    k_blk = k_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
+    qk = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    base = max_seq - block_q - t0 + s0
+    e_blk = e_ref[pl.ds(base, block_q + block_k), :].astype(jnp.float32)
+    qe = jax.lax.dot_general(q, e_blk, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    srel = _shear(qe, block_q, block_k)
+    logits = (qk + srel) * scale
+    t_ids = t0 + jax.lax.broadcasted_iota(jnp.int32,
+                                          (block_q, block_k), 0)
+    s_ids = s0 + jax.lax.broadcasted_iota(jnp.int32,
+                                          (block_q, block_k), 1)
+    if causal:
+        logits = logits + jnp.where(s_ids > t_ids, NEG_INF, 0.0)
+    pad_row = pad_ref[0, 0:1, pl.ds(s0, block_k)]
+    logits = logits + pad_row * NEG_INF
+    return logits, k_blk, e_blk, base
+
+
+def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
             block_q: int, block_k: int, max_seq: int, causal: bool):
     qi = pl.program_id(1)
     t0 = qi * block_q
@@ -81,33 +121,10 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, *,
     def body(j, carry):
         acc, m, l = carry
         s0 = j * block_k
-        k_blk = k_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
-
-        qk = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [BQ, BK]
-
-        # relative scores: E rows for this tile are the contiguous range
-        # base .. base+W, W = BQ+BK (one slack row; e is padded so the
-        # diagonal tile's future-position rows exist and get masked)
-        base = max_seq - block_q - t0 + s0
-        e_blk = e_ref[pl.ds(base, block_q + block_k), :]
-        qe = jax.lax.dot_general(
-            q, e_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [BQ, BQ+BK]
-        srel = _shear(qe, block_q, block_k)
-
-        logits = (qk + srel) * scale
-        t_ids = t0 + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        s_ids = s0 + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        if causal:
-            logits = logits + jnp.where(s_ids > t_ids, NEG_INF, 0.0)
-        pad_row = pad_ref[0, 0:1, pl.ds(s0, block_k)]  # [1, BK]
-        logits = logits + pad_row * NEG_INF
-
+        logits, _, _, _ = _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0,
+                                       block_q, block_k, max_seq, causal,
+                                       scale)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p_ij = jnp.exp(logits - m_new)
@@ -122,6 +139,7 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, *,
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kv_live, body, (acc0, m0, l0))
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))  # [BQ, 1]
 
 
 def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
@@ -153,7 +171,7 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
     grid = (bh, l // block_q)
     kernel = functools.partial(_kernel, block_q=block_q, block_k=block_k,
                                max_seq=max_seq, causal=causal)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -169,9 +187,16 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
             pl.BlockSpec((1, 1, l), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),        # key pad
         ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, l, dh), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),        # lse [bh, L, 1]
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, l, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, l, 1), jnp.float32),
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * l * l * dh * 2,  # qk + pv (srel extra ~qk/2)
@@ -179,7 +204,7 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
             transcendentals=bh * l * l,
         ),
     )(qf, kf, vf, e_padded, padf)
-    return out.reshape(b, h, l, dh)
+    return out.reshape(b, h, l, dh), lse
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -193,8 +218,9 @@ def fused_relative_attention(q, k, v, e, key_pad=None,
     (1.0 = padded key, reference mask convention). Causal by default
     (the reference model is decoder-only). Returns [B, H, L, dh].
     """
-    return _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k,
-                           causal, interpret)
+    out, _ = _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k,
+                             causal, interpret)
+    return out
 
 
 def _xla_equivalent(q, k, v, e, key_pad, causal: bool):
@@ -215,20 +241,192 @@ def _xla_equivalent(q, k, v, e, key_pad, causal: bool):
     return relative_global_attention(q, k, v, e, mask)
 
 
+def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
+                      lse_ref, delta_ref, dq_ref, de_ref, *,
+                      block_q: int, block_k: int, max_seq: int,
+                      causal: bool):
+    """dQ and dE for one query block; dE accumulates across the whole
+    (sequential) grid into a single revisited output block."""
+    i = pl.program_id(0)
+    qi = pl.program_id(1)
+    t0 = qi * block_q
+    kv_len = k_ref.shape[1]
+    dh = q_ref.shape[-1]
+    w = block_q + block_k
+    scale = 1.0 / math.sqrt(dh)
+
+    @pl.when((i == 0) & (qi == 0))
+    def _init():
+        de_ref[...] = jnp.zeros_like(de_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, pl.ds(t0, block_q), :]      # [BQ, 1]
+    delta = delta_ref[0, pl.ds(t0, block_q), :]  # [BQ, 1]
+
+    n_kv = kv_len // block_k
+    n_kv_live = (jnp.minimum((t0 + block_q - 1) // block_k + 1, n_kv)
+                 if causal else n_kv)
+
+    def body(j, dq):
+        s0 = j * block_k
+        v_blk = v_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
+        logits, k_blk, e_blk, base = _tile_logits(
+            q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
+            causal, scale)
+        p = jnp.exp(logits - lse)                    # [BQ, BK]
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = p * (dp - delta)                         # dL/dlogits
+        gs = g * scale
+        dq = dq + jax.lax.dot_general(gs, k_blk, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dqe = _unshear(gs, block_q, w)               # [BQ, W]
+        dq = dq + jax.lax.dot_general(dqe, e_blk, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        de_ref[pl.ds(base, w), :] += jax.lax.dot_general(
+            dqe, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [W, dh]
+        return dq
+
+    dq = jax.lax.fori_loop(0, n_kv_live, body,
+                           jnp.zeros((block_q, dh), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
+                    lse_ref, delta_ref, dk_ref, dv_ref, *,
+                    block_q: int, block_k: int, max_seq: int,
+                    causal: bool):
+    """dK and dV for one kv block (loop over contributing query blocks)."""
+    ki = pl.program_id(1)
+    s0 = ki * block_k
+    q_len = q_ref.shape[1]
+    dh = q_ref.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+    n_q = q_len // block_q
+    i_min = (s0 // block_q) if causal else 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        t0 = qi * block_q
+        q = q_ref[0, pl.ds(t0, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(t0, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(t0, block_q), :]
+        delta = delta_ref[0, pl.ds(t0, block_q), :]
+        v_blk = v_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
+        logits, _, _, _ = _tile_logits(
+            q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
+            causal, scale)
+        p = jnp.exp(logits - lse)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = p * (dp - delta)
+        dk = dk + jax.lax.dot_general(
+            g * scale, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [BK, dh]
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk, dv
+
+    zeros = jnp.zeros((block_k, dh), jnp.float32)
+    dk, dv = jax.lax.fori_loop(i_min, n_q, body, (zeros, zeros))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _fwd(q, k, v, e, key_pad, block_q, block_k, causal, interpret):
-    out = _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k, causal,
-                          interpret)
-    return out, (q, k, v, e, key_pad)
+    out, lse = _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k,
+                               causal, interpret)
+    return out, (q, k, v, e, key_pad, out, lse)
 
 
 def _bwd(block_q, block_k, causal, interpret, res, g):
-    q, k, v, e, key_pad = res
-    # recompute-through-XLA backward: O(L*dh) saved residuals, one extra
-    # forward at bwd time (flash-attention memory trade)
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, e_: _xla_equivalent(q_, k_, v_, e_, key_pad,
-                                               causal), q, k, v, e)
-    dq, dk, dv, de = vjp(g)
+    """Fused flash-style backward: O(L*dh) residuals, p recomputed per
+    tile from the saved LSE; dE gathered by the inverse shear."""
+    q, k, v, e, key_pad, out, lse = res
+    b, h, l, dh = q.shape
+    max_seq = e.shape[0]
+    bh = b * h
+    slack = (block_q + block_k) if causal else (l + block_k)
+    e_padded = jnp.pad(e.astype(jnp.float32), ((0, slack), (0, 0)))
+    if key_pad is None:
+        key_pad_b = jnp.zeros((b, l), jnp.float32)
+    else:
+        key_pad_b = jnp.broadcast_to(key_pad.astype(jnp.float32), (b, l))
+    padf = jnp.repeat(key_pad_b, h, axis=0)[:, None, :]
+
+    qf = q.reshape(bh, l, dh)
+    kf = k.reshape(bh, l, dh)
+    vf = v.reshape(bh, l, dh)
+    dof = g.reshape(bh, l, dh)
+    delta = jnp.sum(dof.astype(jnp.float32)
+                    * out.reshape(bh, l, dh).astype(jnp.float32),
+                    axis=-1, keepdims=True)          # [bh, L, 1]
+
+    row_spec = pl.BlockSpec((1, l, dh), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((1, l, 1), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    e_spec = pl.BlockSpec((max_seq + slack, dh), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    pad_spec = pl.BlockSpec((1, 1, l), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq_kernel = functools.partial(
+        _bwd_dq_de_kernel, block_q=block_q, block_k=block_k,
+        max_seq=max_seq, causal=causal)
+    dqf, de_padded = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, l // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),    # q block
+            row_spec, row_spec, e_spec, pad_spec,
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),    # dO block
+            col_spec, col_spec,                       # lse, delta
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            e_spec,                                   # dE: revisited block
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, l, dh), q.dtype),
+            jax.ShapeDtypeStruct((max_seq + slack, dh), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, e_padded, padf, dof, lse, delta)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, block_q=block_q, block_k=block_k,
+        max_seq=max_seq, causal=causal)
+    dkf, dvf = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, l // block_k),
+        in_specs=[
+            row_spec, row_spec, row_spec, e_spec, pad_spec, row_spec,
+            col_spec, col_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, l, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, l, dh), v.dtype),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, e_padded, padf, dof, lse, delta)
+
+    dq = dqf.reshape(b, h, l, dh).astype(q.dtype)
+    dk = dkf.reshape(b, h, l, dh).astype(k.dtype)
+    dv = dvf.reshape(b, h, l, dh).astype(v.dtype)
+    de = de_padded[:max_seq].astype(e.dtype)
     return dq, dk, dv, de, None
 
 
