@@ -48,7 +48,7 @@ class RelativeGlobalAttentionBlock(nn.Module):
     num_heads: int
     max_seq: int
     dtype: Any = jnp.float32
-    attention_impl: str = "xla"   # "xla" | "pallas" (fused flash kernel)
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
 
     def setup(self):
         dh = self.d_model // self.num_heads
@@ -70,7 +70,13 @@ class RelativeGlobalAttentionBlock(nn.Module):
         k = self._heads(self.wk(x))
         v = self._heads(self.wv(x))
         l = q.shape[2]
-        if self.attention_impl == "pallas" and l % 128 == 0:
+        impl = self.attention_impl
+        if impl == "auto":
+            # the fused kernel wins on TPU (2x train step at L=2048);
+            # interpret mode on CPU would be pure overhead
+            impl = ("pallas" if jax.default_backend() == "tpu"
+                    and l % 128 == 0 else "xla")
+        if impl == "pallas" and l % 128 == 0:
             from ..ops.pallas_attention import fused_relative_attention
             out = fused_relative_attention(
                 q, k, v, self.e.astype(jnp.float32), key_pad,
@@ -124,7 +130,7 @@ class EncoderLayer(nn.Module):
     max_seq: int
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
 
     def setup(self):
         self.rga = RelativeGlobalAttentionBlock(
@@ -165,7 +171,7 @@ class MusicTransformer(nn.Module):
     max_seq: int = 2048
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
-    attention_impl: str = "xla"   # "pallas" = fused flash kernel on TPU
+    attention_impl: str = "auto"  # auto: pallas on TPU, xla elsewhere
 
     @property
     def num_heads(self) -> int:

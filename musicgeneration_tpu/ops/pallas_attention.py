@@ -207,16 +207,22 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
     return out.reshape(b, h, l, dh), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_relative_attention(q, k, v, e, key_pad=None,
                              block_q: int = 128, block_k: int = 128,
                              causal: bool = True,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             bwd_block_q: int = 256,
+                             bwd_block_k: int = 256):
     """Flash-style fused relative attention.
 
     q/k/v: [B, H, L, dh]; e: [max_seq, dh]; key_pad: optional [B, L]
     (1.0 = padded key, reference mask convention). Causal by default
     (the reference model is decoder-only). Returns [B, H, L, dh].
+
+    Block sizes are tuned separately per direction (v5e, L=2048, dh=64):
+    128x128 is fastest forward; the backward prefers 256x256 (more MXU
+    work per tile amortizes the logit recompute + shear).
     """
     out, _ = _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k,
                              causal, interpret)
@@ -336,16 +342,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _fwd(q, k, v, e, key_pad, block_q, block_k, causal, interpret):
+def _fwd(q, k, v, e, key_pad, block_q, block_k, causal, interpret,
+         bwd_block_q, bwd_block_k):
     out, lse = _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k,
                                causal, interpret)
     return out, (q, k, v, e, key_pad, out, lse)
 
 
-def _bwd(block_q, block_k, causal, interpret, res, g):
+def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
+         bwd_block_k, res, g):
     """Fused flash-style backward: O(L*dh) residuals, p recomputed per
     tile from the saved LSE; dE gathered by the inverse shear."""
+    del fwd_block_q, fwd_block_k
     q, k, v, e, key_pad, out, lse = res
+    block_q, block_k = bwd_block_q, bwd_block_k
+    if q.shape[2] % block_q or q.shape[2] % block_k:
+        block_q = block_k = 128  # fall back for short/odd lengths
     b, h, l, dh = q.shape
     max_seq = e.shape[0]
     bh = b * h
