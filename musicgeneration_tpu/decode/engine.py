@@ -97,3 +97,36 @@ def generate_events(model, params, prompt_ids, rng, steps: int,
     dp = DecodeParams(max_len=max_len, steps=steps, sampling=sampling)
     out = generate(model, params, prompt, rng, dp)
     return np.asarray(out[0])
+
+
+def generate_sliding(model, params, prompt: jnp.ndarray, rng: jax.Array,
+                     steps: int, window: int = 512,
+                     sampling: SamplingParams = SamplingParams()):
+    """Unbounded-length generation via window re-priming.
+
+    The reference generates arbitrarily long sequences by truncating the
+    context to threshold_len=500 and re-forwarding the WHOLE window per
+    token (network.py:52-78, config.py:21). Here: generate in cached
+    chunks; when the cache fills, re-prime it once from the last
+    `window` tokens and continue — O(window) re-prime cost per
+    `window` generated tokens instead of per token.
+
+    prompt: [B, P]; returns [B, steps].
+    """
+    import numpy as np
+
+    b = prompt.shape[0]
+    max_len = 2 * window
+    produced = []
+    ctx = np.asarray(prompt, np.int32)[:, -window:]
+    remaining = steps
+    while remaining > 0:
+        chunk = min(remaining, max_len - ctx.shape[1])
+        rng, step_rng = jax.random.split(rng)
+        dp = DecodeParams(max_len=max_len, steps=chunk, sampling=sampling)
+        out = np.asarray(generate(model, params, jnp.asarray(ctx),
+                                  step_rng, dp))
+        produced.append(out)
+        remaining -= chunk
+        ctx = np.concatenate([ctx, out], axis=1)[:, -window:]
+    return np.concatenate(produced, axis=1)[:, :steps]

@@ -225,3 +225,27 @@ def test_sharded_decode_matches_single_device(tiny_model):
     out = np.asarray(generate(model, sharded_params, sharded_prompt,
                               rng, dp))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_generate_sliding_long_continuation(tiny_model):
+    """Sliding-window generation beyond the cache (the reference's
+    threshold_len behavior, network.py:52-54, done in cached chunks)."""
+    from musicgeneration_tpu.decode.engine import generate_sliding
+
+    model = tiny_model
+    prompt = jnp.ones((2, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)["params"]
+    out = generate_sliding(model, params, prompt, jax.random.PRNGKey(1),
+                           steps=40, window=16,
+                           sampling=SamplingParams(temperature=1.0))
+    assert out.shape == (2, 40)
+    assert out.min() >= 0 and out.max() < VOCAB
+    # within the first window it matches plain cached generation
+    dp = DecodeParams(max_len=32, steps=12,
+                      sampling=SamplingParams(greedy=True))
+    ref = np.asarray(generate(model, params, prompt,
+                              jax.random.PRNGKey(1), dp))
+    slid = generate_sliding(model, params, prompt, jax.random.PRNGKey(1),
+                            steps=12, window=16,
+                            sampling=SamplingParams(greedy=True))
+    np.testing.assert_array_equal(slid, ref)
