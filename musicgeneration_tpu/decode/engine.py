@@ -69,10 +69,16 @@ def generate(
         raise ValueError(
             f"prompt ({p}) + steps ({dp.steps}) exceeds cache max_len "
             f"({dp.max_len}); the KV cache would overflow")
-    cache = model.apply({"params": params}, b, dp.max_len,
-                        method=model.init_cache)
-    cache, t, last_logits = _prefill(model, params, prompt, cache,
-                                     jnp.int32(0))
+    if hasattr(model, "prefill"):
+        # one-pass parallel prompt ingestion (MusicTransformer)
+        last_logits, cache = model.apply({"params": params}, prompt,
+                                         dp.max_len, method=model.prefill)
+        t = jnp.int32(p)
+    else:
+        cache = model.apply({"params": params}, b, dp.max_len,
+                            method=model.init_cache)
+        cache, t, last_logits = _prefill(model, params, prompt, cache,
+                                         jnp.int32(0))
 
     def body(carry, rng_i):
         cache, t, logits = carry

@@ -65,7 +65,8 @@ class RelativeGlobalAttentionBlock(nn.Module):
         return x.reshape(b, l, self.num_heads, -1).transpose(0, 2, 1, 3)
 
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray],
-                 key_pad: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 key_pad: Optional[jnp.ndarray] = None,
+                 return_kv: bool = False):
         q = self._heads(self.wq(x))
         k = self._heads(self.wk(x))
         v = self._heads(self.wv(x))
@@ -87,6 +88,8 @@ class RelativeGlobalAttentionBlock(nn.Module):
                 q, k, v, self.e.astype(jnp.float32), mask)
         b, h, l, dh = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+        if return_kv:
+            return self.fc(out), k, v  # k/v: [B, H, L, dh]
         return self.fc(out)
 
     def decode(self, x: jnp.ndarray, k_all: jnp.ndarray,
@@ -157,6 +160,14 @@ class EncoderLayer(nn.Module):
         out1 = self.ln1(attn + x)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
         return self.ln2(out1 + ffn), k_all, v_all
+
+    def forward_kv(self, x, mask, key_pad=None):
+        """Full-sequence forward that also returns this layer's K/V
+        (for one-pass cache prefill)."""
+        attn, k, v = self.rga(x, mask, key_pad, return_kv=True)
+        out1 = self.ln1(attn + x)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        return self.ln2(out1 + ffn), k, v
 
 
 @register_model("music_transformer")
@@ -233,6 +244,30 @@ class MusicTransformer(nn.Module):
         for i, layer in enumerate(self.layers):
             h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
         logits = self.fc(h).astype(jnp.float32)
+        return logits, {"k": k_all, "v": v_all}
+
+    def prefill(self, x: jnp.ndarray, cache_len: int):
+        """One-pass prompt ingestion: a single (pallas-accelerated)
+        parallel forward fills the KV cache — O(1) forwards for a
+        P-token prompt instead of the scan's P sequential decode steps.
+        x: [B, P] -> (last-position logits [B, vocab], cache)."""
+        b, p = x.shape
+        mask = causal_pad_mask(x, self.pad_id)
+        key_pad = (x == self.pad_id).astype(jnp.float32)
+        h = self.embedding(x) * jnp.sqrt(jnp.float32(self.d_model)).astype(
+            self.dtype)
+        h = h + jnp.asarray(self.pos_table[:p], self.dtype)[None]
+        dh = self.d_model // self.num_heads
+        shape = (self.num_layers, b, self.num_heads, cache_len, dh)
+        k_all = jnp.zeros(shape, self.dtype)
+        v_all = jnp.zeros(shape, self.dtype)
+        for i, layer in enumerate(self.layers):
+            h, k_i, v_i = layer.forward_kv(h, mask, key_pad)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
+        logits = self.fc(h[:, -1]).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 
 
