@@ -53,9 +53,13 @@ def main(argv=None) -> int:
         print(f"[ ] package import failed: {e}")
         ok = False
 
-    from musicgeneration_tpu.models.registry import registered_models
+    try:
+        from musicgeneration_tpu.models.registry import registered_models
 
-    print(f"[x] registered models: {', '.join(registered_models())}")
+        print(f"[x] registered models: {', '.join(registered_models())}")
+    except Exception as e:  # noqa: BLE001 — diagnostics must not crash
+        print(f"[ ] model registry import failed: {e}")
+        ok = False
     print("OK" if ok else "PROBLEMS FOUND")
     return 0 if ok else 1
 

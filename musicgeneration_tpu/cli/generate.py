@@ -28,7 +28,7 @@ def _prime_tokens(scheme: str, prime: Optional[str],
     (MusicTransformer/generate.py:103-110)."""
     if prime is None:
         return [24, 28, 31]
-    if scheme == "midilike":
+    if scheme in ("midilike", "midilike_control"):
         from ..tokenizers import midilike
         arr = midilike.extract_events(prime).to_array()
     elif scheme == "remi":
@@ -47,7 +47,7 @@ def _prime_tokens(scheme: str, prime: Optional[str],
 
 
 def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
-    if scheme == "midilike":
+    if scheme in ("midilike", "midilike_control"):
         from ..tokenizers import midilike
         midilike.write_midi(midilike.EventSeq.from_array(tokens), path)
     elif scheme == "remi":
@@ -116,20 +116,31 @@ def main(argv=None) -> int:
 
     prime = _prime_tokens(scheme, args.prime, args.prime_len)
     prompt = np.asarray(prime, np.int32)[None]
-    max_len = len(prime) + args.steps
-    if cfg.model == "music_transformer":
-        max_len = min(max(cfg.seq_len, max_len), model.max_seq)
-        if len(prime) + args.steps > max_len:
-            keep = max_len - args.steps
-            prompt = prompt[:, -keep:]  # window truncation, config.py:21
+    sampling = SamplingParams(temperature=args.temperature,
+                              top_k=args.topk, top_p=args.topp)
     if args.beam > 1:
         if cfg.model not in ("event_rnn", "performance_rnn"):
             raise SystemExit("--beam is for the RNN LMs "
                              "(event_rnn / performance_rnn)")
         out = _beam_decode(model, params, prompt, args)
+    elif (cfg.model == "music_transformer"
+          and len(prime) + args.steps > model.max_seq):
+        # continuation longer than the relative table: sliding-window
+        # re-priming (the reference's threshold_len behavior done in
+        # cached chunks — decode/engine.py)
+        import jax.numpy as jnp
+
+        from ..decode.engine import generate_sliding
+
+        # cache is 2*window, which must fit the relative table
+        window = max(model.max_seq // 2, 16)
+        out = generate_sliding(model, params, jnp.asarray(prompt),
+                               jax.random.PRNGKey(args.seed), args.steps,
+                               window=window, sampling=sampling)[0]
     else:
-        sampling = SamplingParams(temperature=args.temperature,
-                                  top_k=args.topk, top_p=args.topp)
+        max_len = len(prime) + args.steps
+        if cfg.model == "music_transformer":
+            max_len = min(max(cfg.seq_len, max_len), model.max_seq)
         dp = DecodeParams(max_len=max_len, steps=args.steps,
                           sampling=sampling)
         out = np.asarray(generate(model, params, prompt,
@@ -186,10 +197,16 @@ def _generate_arrangement(model, params, cfg, args) -> None:
 
     melody_events, _ = MuMIDI_EventSeq.extract_split_events(args.prime)
     melody = MuMIDI_EventSeq.to_array(melody_events).astype(np.int64)
-    bars = MuMIDI_EventSeq.segmentation(melody)
-    bars = [np.asarray(b)[:cfg.max_bar_len] for b in bars[:cfg.max_bars]]
+    bars = list(MuMIDI_EventSeq.segmentation(melody))[:cfg.max_bars]
+    # truncate at the first overlong bar — clipping inside a bar would cut
+    # compound token groups mid-way (same rule as the train-side batching)
+    for k, bar in enumerate(bars):
+        if len(bar) > cfg.max_bar_len:
+            bars = bars[:k]
+            break
     if not bars:
-        raise SystemExit("prime melody has no bars after MuMIDI encoding")
+        raise SystemExit("prime melody has no usable bars after MuMIDI "
+                         "encoding (first bar longer than max_bar_len?)")
     packed, lens = mp.pack_compound(bars, 0)
     s_len = max(len(a) for a in packed)
     src = np.zeros((1, len(packed), s_len, 7), np.int32)

@@ -156,6 +156,7 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
 
     cls, defaults = registry.get_model(cfg.model)
     name = cfg.model
+    model_kwargs = dict(model_kwargs)  # never mutate the caller's dict
     if isinstance(model_kwargs.get("dtype"), str):
         # model.dtype=bfloat16 from the CLI (params stay f32; this is the
         # compute dtype — bf16 is the right default on TPU)

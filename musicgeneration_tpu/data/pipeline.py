@@ -12,10 +12,11 @@ each file in a ProcessPoolExecutor, and `torch.save` ONE FILE PER MIDI
   pipeline feeding jax.device_put double-buffering.
 * **Error quarantine** instead of the reference's bare `except:
   continue` (preprocess_MIDI_like.py:32-34): failed files land in
-  `quarantine.jsonl` with the exception text, so a corpus run is
-  reproducible and debuggable.
-* **Skip-existing** resume parity with process_MuMIDI.py:19-20 is
-  subsumed by shard-level resume: finished shards are not rebuilt.
+  `quarantine.jsonl` with the exception text (truncated at the start of
+  each run), so a corpus run is reproducible and debuggable.
+* Shards are written atomically (tmp + rename); an interrupted run
+  re-tokenizes from the start (the reference's per-file skip-existing,
+  process_MuMIDI.py:19-20, traded for the packed-shard layout).
 
 Schemes: 'midilike' (EventSeq, uint16), 'remi' (REMI_EventSeq),
 'mumidi' (melody/arrangement pair per file), 'pedal'
@@ -139,6 +140,8 @@ def tokenize_corpus(
     paths = list(paths) if paths is not None else find_midi_files(input_dir)
     os.makedirs(output_dir, exist_ok=True)
     quarantine_path = os.path.join(output_dir, "quarantine.jsonl")
+    if os.path.exists(quarantine_path):
+        os.remove(quarantine_path)  # fresh run, fresh failure log
     stats = CorpusStats(n_files=len(paths))
 
     results: List[Tuple[str, Dict[str, np.ndarray]]] = []

@@ -38,8 +38,9 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -47,6 +48,8 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, BaseException):
+            raise item  # the pipeline's real error, not a silent stream end
         yield item
 
 

@@ -22,10 +22,14 @@ Numerics match ops.relative_attention.relative_global_attention (the
 XLA path) to f32 tolerance; tests compare both against the naive O(L^2)
 gather oracle.
 
-Backward: jax.custom_vjp whose bwd recomputes through the XLA path —
-the forward saves only (q, k, v, e, mask) so training memory drops from
-O(L^2) activations to O(L * dh); the bwd pays one recompute (standard
-flash-attention trade).
+Backward: fused flash-style Pallas kernels (jax.custom_vjp). Residuals
+are (q, k, v, e, key_pad, out, lse) — O(L * dh), never O(L^2). The
+dQ+dE kernel re-derives p per tile from the saved LSE and scatters the
+relative-table gradient with the inverse shear, accumulating dE across
+the (sequential) grid; a second kernel produces dK+dV per kv block.
+Backward block sizes are tuned independently (256x256 vs the forward's
+128x128); together they make the full train step ~2x faster than the
+XLA path at L=2048 on v5e (BASELINE.md).
 """
 
 from __future__ import annotations

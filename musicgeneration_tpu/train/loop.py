@@ -89,8 +89,10 @@ def run_loop(
     profiling = False
 
     step = start
+    ran_any = False
     try:
         for step in range(start, cfg.total_steps):
+            ran_any = True
             if cfg.profile_dir and cfg.profile_steps:
                 if step == 10 and not profiling:
                     jax.profiler.start_trace(cfg.profile_dir)
@@ -127,7 +129,9 @@ def run_loop(
     finally:
         if profiling:
             jax.profiler.stop_trace()
-        if ckpt is not None:
+        # only save if a step actually ran — a no-op resume must not
+        # advance the checkpoint label past the last executed step
+        if ckpt is not None and ran_any:
             ckpt.maybe_save(step, state, force=True)
         log.close()
         eval_log.close()

@@ -142,3 +142,61 @@ def test_generate_event_rnn_beam(tok_dir, tmp_path):
     assert gen_main([ckpt, out_mid2, "--steps", "24", "--beam", "3",
                      "--stochastic-beam", "--seed", "5"]) == 0
     assert os.path.getsize(out_mid) > 0 and os.path.getsize(out_mid2) > 0
+
+
+def test_generate_steps_beyond_max_seq_uses_sliding(tok_dir, tmp_path):
+    """--steps >= model.max_seq must not crash (review regression: the
+    old window truncation produced keep<=0 and a cache overflow)."""
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64",
+                      "model.max_seq=32"])
+    out_mid = str(tmp_path / "long.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "80"]) == 0
+    assert os.path.getsize(out_mid) > 0
+
+
+def test_bf16_training_checkpoints_cleanly(tok_dir, tmp_path):
+    """model.dtype=bfloat16 must survive checkpoint serialization
+    (review regression: the dtype string was replaced by a type object
+    in the persisted kwargs)."""
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64",
+                      "model.dtype=bfloat16"])
+    from musicgeneration_tpu.utils.checkpoint import restore_checkpoint
+    payload = restore_checkpoint(ckpt)
+    assert payload["config"]["model_kwargs"]["dtype"] == "bfloat16"
+
+
+def test_generate_from_control_scheme_checkpoint(tmp_path):
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    midi_dir = tmp_path / "gc"
+    midi_dir.mkdir()
+    for i in range(2):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i, n_notes=80)
+    tok = str(tmp_path / "tok_gc")
+    assert tokenize_main([str(midi_dir), tok, "--scheme",
+                          "midilike_control", "--workers", "1"]) == 0
+    ckpt, _ = _train(tok, tmp_path, "performance_rnn",
+                     ["model.hidden_dim=16", "model.num_layers=1"])
+    out_mid = str(tmp_path / "ctrl_gen.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "24",
+                     "--prime", str(midi_dir / "f0.mid"),
+                     "--prime-len", "16"]) == 0
+    assert os.path.getsize(out_mid) > 0
+
+
+def test_noop_resume_does_not_advance_checkpoint(tok_dir, tmp_path):
+    """Re-running with the same total_steps must not bump the saved step
+    (review regression: the finally force-save ran on zero steps)."""
+    from musicgeneration_tpu.cli.train import main as train_main
+    from musicgeneration_tpu.utils.checkpoint import restore_checkpoint
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64"])
+    before = restore_checkpoint(ckpt)["step"]
+    argv = [tok_dir, "model=music_transformer", "steps=3", "batch_size=2",
+            "seq_len=32", "ckpt_every=2", "log_every=1",
+            f"ckpt_dir={ckpt}", "model.num_layers=1", "model.d_model=64"]
+    assert train_main(argv) == 0  # no-op resume
+    assert restore_checkpoint(ckpt)["step"] == before

@@ -209,3 +209,24 @@ def test_prefetch_to_device_order_and_completeness():
         assert int(np.asarray(b)[0, 0]) == i
     out2 = list(sliding_prefetch(iter(batches), size=2))
     assert [int(np.asarray(b)[0, 0]) for b in out2] == list(range(7))
+
+
+def test_prefetch_propagates_pipeline_errors():
+    from musicgeneration_tpu.data import prefetch_to_device
+
+    def bad():
+        yield np.zeros((2,))
+        raise RuntimeError("corrupt shard")
+
+    it = prefetch_to_device(bad(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        list(it)
+
+
+def test_quarantine_resets_between_runs(tmp_path, corpus_dir):
+    out = str(tmp_path / "qq")
+    for _ in range(2):
+        tokenize_corpus(corpus_dir, out, num_workers=1)
+    q = [json.loads(l) for l in open(os.path.join(out, "quarantine.jsonl"))]
+    assert len(q) == 1  # not duplicated across reruns
