@@ -10,6 +10,7 @@ collectives that parallel.py hand-rolled (SURVEY.md §5)."""
 from .mesh import (
     batch_sharding,
     make_mesh,
+    multihost_shard_batch,
     param_shardings,
     replicated,
     shard_batch,
@@ -21,4 +22,5 @@ __all__ = [
     "replicated",
     "param_shardings",
     "shard_batch",
+    "multihost_shard_batch",
 ]

@@ -62,6 +62,18 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch)
 
 
+def multihost_shard_batch(mesh: Mesh, local_batch):
+    """Assemble a GLOBAL batch from per-process local data (multi-host
+    input pipeline, SURVEY.md §5: each host reads its own shard of the
+    corpus and contributes its slice of the global batch; the returned
+    arrays are addressable only where they live). On a single process
+    this equals shard_batch."""
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(x)), np.asarray(x)),
+        local_batch)
+
+
 # -- parameter sharding rules -------------------------------------------------
 
 # (path-substring match, partition spec builder). First match wins.

@@ -249,3 +249,19 @@ def test_generate_sliding_long_continuation(tiny_model):
                             steps=12, window=16,
                             sampling=SamplingParams(greedy=True))
     np.testing.assert_array_equal(slid, ref)
+
+
+def test_multihost_shard_batch_single_process():
+    """On one process, multihost assembly == plain batch sharding."""
+    from musicgeneration_tpu.parallel import (
+        make_mesh,
+        multihost_shard_batch,
+        shard_batch,
+    )
+
+    mesh = make_mesh(dp=8)
+    x = np.arange(32, dtype=np.int32).reshape(8, 4)
+    a = multihost_shard_batch(mesh, {"x": x})
+    b = shard_batch(mesh, {"x": jnp.asarray(x)})
+    np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+    assert a["x"].sharding.spec == b["x"].sharding.spec
