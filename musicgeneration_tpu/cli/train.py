@@ -33,6 +33,9 @@ class TrainCLIConfig(Config):
     steps: int = 1000
     batch_size: int = 8
     seq_len: int = 512            # LM crop length (reference max_seq)
+    train_mode: str = "crop"      # crop (slide_seq2seq) | segment
+                                  # (reference Event_MelodyRNN default:
+                                  # strided window index list, train.py:311-314)
     accum_steps: int = 1
     label_smoothing: float = 0.1
     warmup_steps: int = 4000
@@ -78,6 +81,29 @@ def _lm_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
     b = cfg.batch_size * cfg.accum_steps
     while True:
         yield slide_seq2seq_batch(seqs, b, cfg.seq_len, rng)
+
+
+def _segment_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+    """Reference Event_MelodyRNN segment mode (train.py:311-325):
+    window = min(seq lens) (capped at seq_len+1), stride = window//3,
+    the full (file, start) index list shuffled per epoch."""
+    from ..data.batching import gather_windows, window_indices
+
+    seqs = [np.asarray(corpus[i]) for i in range(len(corpus))]
+    lens = [len(s) for s in seqs]
+    window = min(min(lens), cfg.seq_len + 1)
+    stride = max(window // 3, 1)
+    indices = window_indices(lens, window, stride)
+    if not len(indices):
+        raise ValueError("no windows (corpus too short?)")
+    rng = np.random.RandomState(cfg.seed)
+    b = cfg.batch_size * cfg.accum_steps
+    while True:
+        order = rng.permutation(len(indices))
+        for pos in range(0, len(order) - b + 1, b):
+            batch = gather_windows(seqs, indices[order[pos:pos + b]],
+                                   window, time_major=False).astype(np.int32)
+            yield batch[:, :-1], batch[:, 1:]
 
 
 def _control_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
@@ -322,6 +348,8 @@ def main(argv=None) -> int:
         batches = _popmag_batches(corpus, cfg)
     elif cfg.model == "performance_rnn" and scheme == "midilike_control":
         batches = _control_batches(corpus, cfg)
+    elif cfg.train_mode == "segment":
+        batches = _segment_batches(corpus, cfg)
     else:
         batches = _lm_batches(corpus, cfg)
     from ..data.prefetch import prefetch_to_device

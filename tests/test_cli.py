@@ -200,3 +200,10 @@ def test_noop_resume_does_not_advance_checkpoint(tok_dir, tmp_path):
             f"ckpt_dir={ckpt}", "model.num_layers=1", "model.d_model=64"]
     assert train_main(argv) == 0  # no-op resume
     assert restore_checkpoint(ckpt)["step"] == before
+
+
+def test_train_segment_mode(tok_dir, tmp_path):
+    """Reference Event_MelodyRNN segment mode: strided window epochs."""
+    _train(tok_dir, tmp_path, "event_rnn",
+           ["model.hidden_dim=16", "model.num_layers=1",
+            "train_mode=segment", "seq_len=48"])
