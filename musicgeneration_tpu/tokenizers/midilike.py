@@ -152,18 +152,25 @@ class EventSeq:
         velocity_bins = EventSeq.get_velocity_bins()
         lo, hi = EventSeq.velocity_range.start, EventSeq.velocity_range.stop
 
-        for note in note_seq.notes:
-            if note.pitch in EventSeq.pitch_range:
-                velocity = int(np.clip(note.velocity, lo, hi - 1))
-                velocity_index = int(np.searchsorted(velocity_bins, velocity))
-                note_events.append(Event("velocity", note.start, velocity_index))
-                pitch_index = note.pitch - EventSeq.pitch_range.start
-                note_events.append(Event("note_on", note.start, pitch_index))
-                note_events.append(Event("note_off", note.end, pitch_index))
+        kept = [n for n in note_seq.notes
+                if n.pitch in EventSeq.pitch_range]
+        if kept:
+            # one vectorized quantization instead of per-note numpy calls
+            vels = np.clip([n.velocity for n in kept], lo, hi - 1)
+            vidx = velocity_bins.searchsorted(vels)
+            base = EventSeq.pitch_range.start
+            for note, vi in zip(kept, vidx):
+                note_events.append(Event("velocity", note.start, int(vi)))
+                note_events.append(Event("note_on", note.start,
+                                         note.pitch - base))
+                note_events.append(Event("note_off", note.end,
+                                         note.pitch - base))
 
         note_events.sort(key=lambda ev: ev.time)  # stable
         events: List[Event] = []
         bins = EventSeq.time_shift_bins
+        bin0 = float(bins[0])
+        ss = bins.searchsorted  # bound method: no np wrapper per call
         for i, event in enumerate(note_events):
             events.append(event)
             if i == len(note_events) - 1:
@@ -171,11 +178,10 @@ class EventSeq:
             interval = note_events[i + 1].time - event.time
             shift = 0.0
             # greedy largest-bin-first emission (sequence.py:177-181)
-            while interval - shift >= bins[0]:
-                index = int(np.searchsorted(bins, interval - shift,
-                                            side="right")) - 1
+            while interval - shift >= bin0:
+                index = int(ss(interval - shift, "right")) - 1
                 events.append(Event("time_shift", event.time + shift, index))
-                shift += bins[index]
+                shift += float(bins[index])
         return EventSeq(events)
 
     @staticmethod
