@@ -102,14 +102,19 @@ def read_items(file_path: str) -> Tuple[List[Item], List[Item]]:
 
 
 def quantize_items(items: List[Item], ticks: int = 120) -> List[Item]:
-    """Snap starts to the grid, preserving duration (REMI.py:113-122)."""
+    """Snap starts to the grid, preserving duration (REMI.py:113-122).
+
+    The reference takes argmin over an explicit grid; with uniform
+    spacing that is pure arithmetic (ties snap DOWN, matching argmin's
+    first-minimum rule), clipped to the last grid point < max start."""
     if not items:
         return items
     grid_stop = max(items[-1].start, 1)
-    grids = np.arange(0, grid_stop, ticks, dtype=int)
-    starts = np.array([it.start for it in items])
-    idx = np.argmin(np.abs(grids[None, :] - starts[:, None]), axis=1)
-    shifts = grids[idx] - starts
+    n_grids = -(-grid_stop // ticks)  # == len(arange(0, grid_stop, ticks))
+    starts = np.asarray([it.start for it in items], np.int64)
+    q, rem = np.divmod(starts, ticks)
+    idx = np.minimum(q + (rem > ticks // 2), n_grids - 1)
+    shifts = idx * ticks - starts
     for item, shift in zip(items, shifts):
         item.start += int(shift)
         item.end += int(shift)
@@ -165,25 +170,38 @@ def item2event(groups: List[list], strict: bool = False) -> List[Event]:
     events: List[Event] = []
     n_downbeat = 0
     for group in groups:
-        if "note" not in [item.name for item in group[1:-1]]:
+        insiders = group[1:-1]
+        if not any(item.name == "note" for item in insiders):
             continue
         bar_st, bar_et = group[0], group[-1]
         n_downbeat += 1
         events.append(Event("bar", None, 0, text=str(n_downbeat)))
         flags = np.linspace(bar_st, bar_et, DEFAULT_FRACTION, endpoint=False)
-        for item in group[1:-1]:
-            index = int(np.argmin(np.abs(flags - item.start)))
-            events.append(Event("position", item.start, index,
+        # vectorize the per-item argmin/searchsorted over the whole bar
+        # (identical tie semantics: argmin picks the first minimum)
+        starts = np.array([it.start for it in insiders])
+        pos_idx = np.argmin(np.abs(flags[None, :] - starts[:, None]),
+                            axis=1)
+        note_rows = [i for i, it in enumerate(insiders)
+                     if it.name == "note"]
+        if note_rows:
+            vels = np.array([insiders[i].velocity for i in note_rows])
+            durs = np.array([insiders[i].end - insiders[i].start
+                             for i in note_rows])
+            vel_idx = DEFAULT_VELOCITY_BINS.searchsorted(vels, "right") - 1
+            dur_idx = np.argmin(
+                np.abs(DEFAULT_DURATION_BINS[None, :] - durs[:, None]),
+                axis=1)
+            note_q = {i: (int(v), int(d)) for i, v, d
+                      in zip(note_rows, vel_idx, dur_idx)}
+        for i, item in enumerate(insiders):
+            events.append(Event("position", item.start, int(pos_idx[i]),
                                 text=str(item.start)))
             if item.name == "note":
-                velocity_index = int(np.searchsorted(
-                    DEFAULT_VELOCITY_BINS, item.velocity, side="right")) - 1
+                velocity_index, dur_index = note_q[i]
                 events.append(Event("note_velocity", item.start,
                                     velocity_index))
                 events.append(Event("note_on", item.start, item.pitch))
-                duration = item.end - item.start
-                dur_index = int(np.argmin(
-                    np.abs(DEFAULT_DURATION_BINS - duration)))
                 events.append(Event("note_duration", item.start, dur_index))
             elif item.name == "chord":
                 events.append(Event("chord", item.start, item.pitch))

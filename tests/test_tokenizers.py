@@ -233,3 +233,22 @@ def test_vectorized_chord_scorer_matches_oracle():
             got = (PITCH_CLASSES[roots[w]], q, PITCH_CLASSES[basses[w]],
                    int(scores[w]))
         assert got == want, (w, got, want)
+
+
+def test_quantize_items_matches_argmin_oracle():
+    import numpy as np
+
+    from musicgeneration_tpu.tokenizers.remi import Item, quantize_items
+
+    rng = np.random.RandomState(0)
+    starts = np.sort(rng.randint(0, 5000, 200))
+    items = [Item("note", int(s), int(s) + 30, pitch=60, velocity=80)
+             for s in starts]
+    got = quantize_items([Item("note", it.start, it.end, pitch=60,
+                               velocity=80) for it in items])
+    # oracle: the reference's explicit-grid argmin (REMI.py:113-122)
+    grid_stop = max(int(starts[-1]), 1)
+    grids = np.arange(0, grid_stop, 120, dtype=int)
+    idx = np.argmin(np.abs(grids[None, :] - starts[:, None]), axis=1)
+    for item, want in zip(got, grids[idx]):
+        assert item.start == want
