@@ -60,6 +60,27 @@ def main(argv=None) -> int:
     except Exception as e:  # noqa: BLE001 — diagnostics must not crash
         print(f"[ ] model registry import failed: {e}")
         ok = False
+
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            import jax.numpy as jnp
+
+            from musicgeneration_tpu.ops.pallas_attention import (
+                fused_relative_attention,
+            )
+
+            ks = jax.random.split(jax.random.PRNGKey(0), 4)
+            q, k, v = (jax.random.normal(ks[i], (1, 1, 128, 64))
+                       for i in range(3))
+            e = jax.random.normal(ks[3], (128, 64))
+            out = fused_relative_attention(q, k, v, e)
+            assert bool(jnp.isfinite(out).all())
+            print("[x] pallas fused attention compiles on TPU")
+    except Exception as e:  # noqa: BLE001
+        print(f"[ ] pallas kernel check failed: {e}")
+        ok = False
     print("OK" if ok else "PROBLEMS FOUND")
     return 0 if ok else 1
 
