@@ -15,6 +15,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .ring_attention import ring_relative_attention
 
 __all__ = [
     "make_mesh",
@@ -23,4 +24,5 @@ __all__ = [
     "param_shardings",
     "shard_batch",
     "multihost_shard_batch",
+    "ring_relative_attention",
 ]
