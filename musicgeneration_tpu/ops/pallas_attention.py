@@ -84,12 +84,21 @@ def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
 def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
                  max_seq, causal, scale):
     """Recompute one tile's masked, scaled logits + the e slice — shared
-    verbatim by forward and both backward kernels so p is bit-identical."""
-    k_blk = k_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
+    verbatim by forward and both backward kernels so p is bit-identical.
+
+    Matmuls run in the INPUT dtype (bf16 stays bf16 on the MXU — 2x the
+    f32 rate) with f32 accumulation via preferred_element_type."""
+    k_blk = k_ref[0, pl.ds(s0, block_k), :]
     qk = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     base = max_seq - block_q - t0 + s0
-    e_blk = e_ref[pl.ds(base, block_q + block_k), :].astype(jnp.float32)
+    # every term is a multiple of gcd(block_q, block_k, max_seq-block_q);
+    # Mosaic needs the sublane alignment stated explicitly for narrow
+    # dtypes (bf16 tiles are 16 sublanes)
+    align = math.gcd(math.gcd(block_q, block_k), max_seq - block_q)
+    if align > 1:
+        base = pl.multiple_of(base, align)
+    e_blk = e_ref[pl.ds(base, block_q + block_k), :]
     qe = jax.lax.dot_general(q, e_blk, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     srel = _shear(qe, block_q, block_k)
@@ -113,7 +122,7 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
     dh = q_ref.shape[-1]
     scale = 1.0 / math.sqrt(dh)
 
-    q = q_ref[0].astype(jnp.float32)  # [BQ, dh]
+    q = q_ref[0]  # [BQ, dh], native dtype (bf16 rides the MXU at 2x)
 
     n_kv = kv_len // block_k
     if causal:
@@ -125,7 +134,7 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
     def body(j, carry):
         acc, m, l = carry
         s0 = j * block_k
-        v_blk = v_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(s0, block_k), :]
         logits, _, _, _ = _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0,
                                        block_q, block_k, max_seq, causal,
                                        scale)
@@ -133,8 +142,10 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
         alpha = jnp.exp(m - m_new)
         p_ij = jnp.exp(logits - m_new)
         l_new = l * alpha + jnp.sum(p_ij, axis=-1, keepdims=True)
+        # weights drop to the value dtype for the PV matmul — the same
+        # precision choice as the XLA path (relative_global_attention)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p_ij, v_blk, (((1,), (0,)), ((), ())),
+            p_ij.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
@@ -157,9 +168,10 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
         raise ValueError(f"L={l} exceeds the relative table ({max_seq})")
     # pad E with slack rows for future-position reads (masked before
     # softmax): the diagonal tile reads BQ+BK past the end; non-causal
-    # tiles reach up to L past it
+    # tiles reach up to L past it. E drops to the compute dtype so the
+    # QE matmul stays on the fast MXU path.
     slack = (block_q + block_k) if causal else (l + block_k)
-    e_padded = jnp.pad(e.astype(jnp.float32), ((0, slack), (0, 0)))
+    e_padded = jnp.pad(e.astype(q.dtype), ((0, slack), (0, 0)))
     if key_pad is None:
         key_pad = jnp.zeros((b, l), jnp.float32)
     key_pad = jnp.broadcast_to(key_pad.astype(jnp.float32), (b, l))
@@ -269,10 +281,11 @@ def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     def _init():
         de_ref[...] = jnp.zeros_like(de_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, pl.ds(t0, block_q), :]      # [BQ, 1]
     delta = delta_ref[0, pl.ds(t0, block_q), :]  # [BQ, 1]
+    cdt = q.dtype  # compute dtype for the MXU legs
 
     n_kv = kv_len // block_k
     n_kv_live = (jnp.minimum((t0 + block_q - 1) // block_k + 1, n_kv)
@@ -280,18 +293,20 @@ def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
 
     def body(j, dq):
         s0 = j * block_k
-        v_blk = v_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(s0, block_k), :]
         logits, k_blk, e_blk, base = _tile_logits(
             q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
             causal, scale)
-        p = jnp.exp(logits - lse)                    # [BQ, BK]
+        p = jnp.exp(logits - lse)                    # [BQ, BK] f32
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         g = p * (dp - delta)                         # dL/dlogits
-        gs = g * scale
-        dq = dq + jax.lax.dot_general(gs, k_blk, (((1,), (0,)), ((), ())),
+        gs_f32 = g * scale
+        dq = dq + jax.lax.dot_general(gs_f32.astype(cdt), k_blk,
+                                      (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dqe = _unshear(gs, block_q, w)               # [BQ, W]
+        # shear in f32 (Mosaic's rotate is 32-bit only), matmuls in cdt
+        dqe = _unshear(gs_f32, block_q, w).astype(cdt)  # [BQ, W]
         dq = dq + jax.lax.dot_general(dqe, e_blk, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         de_ref[pl.ds(base, w), :] += jax.lax.dot_general(
@@ -320,11 +335,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     def body(qi, carry):
         dk, dv = carry
         t0 = qi * block_q
-        q = q_ref[0, pl.ds(t0, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(t0, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(t0, block_q), :]
+        do = do_ref[0, pl.ds(t0, block_q), :]
         lse = lse_ref[0, pl.ds(t0, block_q), :]
         delta = delta_ref[0, pl.ds(t0, block_q), :]
-        v_blk = v_ref[0, pl.ds(s0, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(s0, block_k), :]
+        cdt = q.dtype
         logits, _, _, _ = _tile_logits(
             q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
             causal, scale)
@@ -333,10 +349,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
                                  preferred_element_type=jnp.float32)
         g = p * (dp - delta)
         dk = dk + jax.lax.dot_general(
-            g * scale, q, (((0,), (0,)), ((), ())),
+            (g * scale).astype(cdt), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # [BK, dh]
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -366,7 +382,7 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
     max_seq = e.shape[0]
     bh = b * h
     slack = (block_q + block_k) if causal else (l + block_k)
-    e_padded = jnp.pad(e.astype(jnp.float32), ((0, slack), (0, 0)))
+    e_padded = jnp.pad(e.astype(q.dtype), ((0, slack), (0, 0)))
     if key_pad is None:
         key_pad_b = jnp.zeros((b, l), jnp.float32)
     else:
