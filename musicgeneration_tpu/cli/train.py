@@ -94,10 +94,14 @@ def _segment_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
     window = min(min(lens), cfg.seq_len + 1)
     stride = max(window // 3, 1)
     indices = window_indices(lens, window, stride)
-    if not len(indices):
-        raise ValueError("no windows (corpus too short?)")
-    rng = np.random.RandomState(cfg.seed)
     b = cfg.batch_size * cfg.accum_steps
+    if len(indices) < b:
+        raise ValueError(
+            f"segment mode: only {len(indices)} windows (window={window}, "
+            f"stride={stride}) for batch {b} — corpus too small. NB the "
+            "reference's indexing yields ZERO windows for the minimum-"
+            "length file (data.py:77 exclusive stop, reproduced here)")
+    rng = np.random.RandomState(cfg.seed)
     while True:
         order = rng.permutation(len(indices))
         for pos in range(0, len(order) - b + 1, b):
@@ -337,7 +341,14 @@ def main(argv=None) -> int:
     manifest = json.load(open(os.path.join(args.data_dir, "manifest.json")))
     scheme = manifest["scheme"]
     key = "melody" if scheme == "mumidi" else "tokens"
-    limlen = cfg.seq_len + 1 if cfg.model != "popmag" else 0
+    if cfg.model == "popmag":
+        limlen = 0
+    elif cfg.train_mode == "segment":
+        # segment mode shrinks its window to the SHORTEST sequence
+        # (reference train.py:312) — don't pre-filter short files away
+        limlen = 2
+    else:
+        limlen = cfg.seq_len + 1
     corpus = TokenCorpus(args.data_dir, limlen=limlen, key=key)
     print(f"corpus: {len(corpus)} sequences (scheme={scheme})")
 

@@ -24,10 +24,15 @@ import numpy as np
 def window_indices(seq_lens: Sequence[int], window: int,
                    stride: int) -> np.ndarray:
     """[(seq_idx, start)] for every window position in every sequence
-    (Event_Dataset.batches, data.py:74-78)."""
+    (Event_Dataset.batches, data.py:74-78).
+
+    Quirk-faithful: the reference uses `range(0, n - window, stride)` —
+    an EXCLUSIVE stop — so a sequence of exactly `window` tokens yields
+    zero windows and a tail window landing exactly at n - window is
+    dropped. Reproduced (CLAUDE.md: never fix a quirk silently)."""
     out = []
     for i, n in enumerate(seq_lens):
-        for start in range(0, n - window + 1, stride):
+        for start in range(0, n - window, stride):
             out.append((i, start))
     return np.asarray(out, np.int64).reshape(-1, 2)
 

@@ -92,19 +92,30 @@ def ring_relative_attention(
     mesh: Mesh,
     axis_name: str = "seq",
     causal: bool = True,
+    batch_axis: Optional[str] = "data",
 ):
     """Sequence-parallel relative global attention.
 
     q/k/v: GLOBAL [B, H, L, dh] arrays (sharded or shardable over
-    `axis_name` on dim 2); e: [max_seq, dh] replicated. Returns
-    [B, H, L, dh] sharded the same way. L must divide evenly by the
-    axis size.
+    `axis_name` on dim 2, and over `batch_axis` on dim 0 when that axis
+    exists in the mesh — so dp and sp compose without replicating the
+    batch). e: [max_seq, dh] replicated. Returns [B, H, L, dh] sharded
+    the same way. L must divide evenly by the axis size and fit the
+    relative table.
     """
     n = mesh.shape[axis_name]
     if q.shape[2] % n:
         raise ValueError(f"L={q.shape[2]} not divisible by "
                          f"{axis_name}={n}")
-    spec = P(None, None, axis_name, None)
+    if q.shape[2] > e.shape[0]:
+        # beyond the table every distance >= max_seq would silently clip
+        # to E[0] — reject like the fused/XLA paths do
+        raise ValueError(f"L={q.shape[2]} exceeds the relative table "
+                         f"({e.shape[0]})")
+    b_ax = batch_axis if (batch_axis and batch_axis in mesh.shape
+                          and q.shape[0] % mesh.shape[batch_axis] == 0)\
+        else None
+    spec = P(b_ax, None, axis_name, None)
     body = functools.partial(_ring_body, n_shards=n, axis_name=axis_name,
                              max_seq=e.shape[0], causal=causal)
     fn = jax.shard_map(
