@@ -168,3 +168,27 @@ def test_run_loop_nan_guard_and_resume(tmp_path):
     out2 = run_loop(state, train_step, batches(),
                     dataclasses.replace(cfg, total_steps=5))
     assert int(out2.step) == 5  # nothing to do, state restored
+
+
+# ---------------------------------------------------------------- profiling
+
+def test_timed_block_and_annotate():
+    from musicgeneration_tpu.utils.profiling import annotate, timed_block
+
+    sink = {}
+    x = jnp.ones((64, 64))
+    with timed_block("mm", sink, result=None):
+        with annotate("matmul"):
+            y = x @ x
+    jax.block_until_ready(y)
+    assert sink["mm"] > 0
+
+
+def test_profile_trace_writes_files(tmp_path):
+    from musicgeneration_tpu.utils.profiling import profile_trace
+
+    d = str(tmp_path / "trace")
+    with profile_trace(d):
+        jax.block_until_ready(jnp.ones((32, 32)) @ jnp.ones((32, 32)))
+    found = [f for root, _, files in os.walk(d) for f in files]
+    assert found, "no trace files written"
