@@ -20,7 +20,10 @@ def main(argv=None) -> int:
     p.add_argument("input_dir")
     p.add_argument("output_dir")
     p.add_argument("--scheme", default="midilike", choices=sorted(SCHEMES))
-    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--workers", type=int, default=0,
+                   help="0 = one per CPU (spawn startup outweighs "
+                        "parallelism on single-core hosts, so auto-sizing "
+                        "beats a fixed pool)")
     p.add_argument("--shard-size", type=int, default=1024,
                    help="sequences per output shard")
     args = p.parse_args(argv)

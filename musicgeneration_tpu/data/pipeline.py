@@ -136,6 +136,8 @@ def tokenize_corpus(
     """
     if scheme not in SCHEMES:
         raise ValueError(f"unknown scheme {scheme!r}; one of {list(SCHEMES)}")
+    if num_workers <= 0:
+        num_workers = os.cpu_count() or 1
     worker = SCHEMES[scheme]
     paths = list(paths) if paths is not None else find_midi_files(input_dir)
     os.makedirs(output_dir, exist_ok=True)
