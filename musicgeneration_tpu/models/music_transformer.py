@@ -183,6 +183,9 @@ class MusicTransformer(nn.Module):
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
     attention_impl: str = "auto"  # auto: pallas on TPU, xla elsewhere
+    remat: bool = False  # jax.checkpoint each layer: trade recompute
+    #                      FLOPs for activation memory (HBM headroom for
+    #                      bigger batches/longer sequences)
 
     @property
     def num_heads(self) -> int:
@@ -217,8 +220,13 @@ class MusicTransformer(nn.Module):
         h = h + jnp.asarray(self.pos_table[: x.shape[1]], self.dtype)[None]
         h = self.dropout(h, deterministic=deterministic)
         for layer in self.layers:
-            h = layer(h, mask, deterministic=deterministic,
-                      key_pad=key_pad)
+            if self.remat:
+                h = nn.remat(type(layer).__call__,
+                             static_argnums=(3,))(
+                    layer, h, mask, deterministic, key_pad)
+            else:
+                h = layer(h, mask, deterministic=deterministic,
+                          key_pad=key_pad)
         return self.fc(h).astype(jnp.float32)
 
     # -- incremental decoding -------------------------------------------------

@@ -64,3 +64,19 @@ def test_golden_tokens(name, tmp_path):
                   ) == want["mumidi_melody"]
         assert _h(mumidi.MuMIDI_EventSeq.to_array(arrg).astype(np.uint16)
                   ) == want["mumidi_arr"]
+
+
+@pytest.mark.parametrize("scheme", ["midilike", "remi", "pedal", "melody"])
+def test_fuzz_decode_random_tokens(scheme, tmp_path):
+    """Untrained-model output (random valid token ids) must decode to a
+    writable MIDI without crashing (the generate CLI's worst case)."""
+    from musicgeneration_tpu.cli.generate import _write_midi
+
+    rng = np.random.RandomState(0)
+    dims = {"midilike": 308, "remi": 336, "pedal": 388, "melody": 130}
+    for seed in range(3):
+        tokens = np.random.RandomState(seed).randint(
+            0, dims[scheme], size=256)
+        out = str(tmp_path / f"f_{scheme}_{seed}.mid")
+        _write_midi(scheme, tokens, out)
+        assert os.path.getsize(out) > 0

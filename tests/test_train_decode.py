@@ -265,3 +265,23 @@ def test_multihost_shard_batch_single_process():
     b = shard_batch(mesh, {"x": jnp.asarray(x)})
     np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
     assert a["x"].sharding.spec == b["x"].sharding.spec
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint layers change memory, not math."""
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, VOCAB - 1)
+    m0 = MusicTransformer(vocab_size=VOCAB, num_layers=2, d_model=64,
+                          max_seq=32, dropout_rate=0.0)
+    m1 = MusicTransformer(vocab_size=VOCAB, num_layers=2, d_model=64,
+                          max_seq=32, dropout_rate=0.0, remat=True)
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    l0 = m0.apply({"params": params}, x)
+    l1 = m1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l0), rtol=1e-6)
+    # gradients flow through the remat boundary
+    y = jnp.roll(x, -1, axis=1)
+    cfg = TrainerConfig(vocab_size=VOCAB, d_model=64, pad_id=VOCAB - 1)
+    state, tx = create_train_state(m1, cfg, jax.random.PRNGKey(0), x)
+    step = jax.jit(make_train_step(m1, tx, cfg))
+    state, metrics = step(state, x, y)
+    assert np.isfinite(float(metrics["loss"]))
