@@ -16,6 +16,7 @@ bench.py's baseline schedule.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -47,11 +48,16 @@ def _prime_tokens(scheme: str, prime: Optional[str],
 
 
 def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
+    tokens = np.asarray(tokens)
     if scheme in ("midilike", "midilike_control"):
         from ..tokenizers import midilike
+        # sampled pad/eos ids (>= vocab dim) are dropped before decoding —
+        # same documented sanitization as pedal_midilike.decode_midi
+        tokens = tokens[tokens < midilike.EventSeq.dim()]
         midilike.write_midi(midilike.EventSeq.from_array(tokens), path)
     elif scheme == "remi":
         from ..tokenizers import remi
+        tokens = tokens[tokens < remi.REMI_EventSeq.dim()]
         remi.REMI_EventSeq.write_midi(
             remi.REMI_EventSeq.from_array(tokens), path)
     elif scheme == "pedal":
@@ -62,6 +68,63 @@ def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
         melody.note_array_to_midi(tokens, path)
     else:
         raise ValueError(f"cannot write scheme {scheme!r}")
+
+
+def _parse_control(spec: str, index: Optional[int],
+                   seed: int) -> np.ndarray:
+    """--control value -> control array [S, control_dim].
+
+    Reference semantics (PerformanceRNN/generate.py:103-131): a file or
+    directory loads a processed control sequence (here: a tokenized
+    midilike_control corpus dir or one .npz shard; a random sequence is
+    picked unless --control-index); otherwise the value is parsed as
+    'p1,...,p12;density' (empty histogram = uniform) and the single
+    control repeats at every step."""
+    from ..tokenizers.midilike import Control, ControlSeq
+
+    if os.path.isdir(spec) or os.path.isfile(spec):
+        comp = _load_compressed_controls(spec, index, seed)
+        return ControlSeq.recover_compressed_array(comp)  # [S, 24]
+    hist_s, dens_s = spec.split(";")
+    vals = [v for v in hist_s.split(",") if v]
+    if not vals:
+        hist = (np.ones(12) / 12).tolist()
+    else:
+        hist = np.array([float(v) for v in vals])
+        if hist.size != 12 or np.any(hist < 0):
+            raise SystemExit("--control pitch histogram needs 12 "
+                             "non-negative values")
+        hist = (hist / hist.sum() if hist.sum()
+                else np.ones(12) / 12).tolist()
+    density = int(dens_s)
+    if density not in range(len(ControlSeq.note_density_bins)):
+        raise SystemExit(f"--control note density must be in "
+                         f"[0, {len(ControlSeq.note_density_bins)})")
+    return Control(hist, density).to_array()[None]  # [1, 24]
+
+
+def _load_compressed_controls(path: str, index: Optional[int],
+                              seed: int) -> np.ndarray:
+    """Compressed [S, 13] controls from a tokenized corpus dir or one
+    .npz shard produced by cli.tokenize --scheme midilike_control."""
+    if os.path.isdir(path):
+        from ..data.pipeline import TokenCorpus
+        corpus = TokenCorpus(path)
+        if not len(corpus):
+            raise SystemExit(f"no sequences in corpus {path!r}")
+        i = (np.random.RandomState(seed).randint(0, len(corpus))
+             if index is None else index)
+        return np.asarray(corpus.pair(i, "controls"),
+                          np.uint8).reshape(-1, 13)
+    with np.load(path) as z:
+        if "controls" not in z or "controls_offsets" not in z:
+            raise SystemExit(f"{path!r} has no control data (tokenize "
+                             "with --scheme midilike_control)")
+        offs = z["controls_offsets"]
+        i = (np.random.RandomState(seed).randint(0, len(offs) - 1)
+             if index is None else index)
+        return np.asarray(z["controls"][offs[i]:offs[i + 1]],
+                          np.uint8).reshape(-1, 13)
 
 
 def main(argv=None) -> int:
@@ -75,7 +138,8 @@ def main(argv=None) -> int:
                    help="max prompt tokens (reference generate.py:106)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--topk", type=int, default=0)
-    p.add_argument("--topp", type=float, default=0.0)
+    p.add_argument("--topp", type=float, default=1.0,
+                   help="nucleus sampling mass; 1.0 (or 0) = off")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--beam", type=int, default=0,
                    help="beam size for the RNN LMs (reference "
@@ -86,6 +150,21 @@ def main(argv=None) -> int:
     p.add_argument("--include-prime", action="store_true",
                    help="write prompt + continuation instead of "
                         "continuation only")
+    p.add_argument("--control", default=None,
+                   help="PerformanceRNN conditioning (reference "
+                        "PerformanceRNN/generate.py:20-29): either "
+                        "'PITCH_HISTOGRAM;NOTE_DENSITY' like "
+                        "'2,0,1,1,0,1,0,1,1,0,0,1;4' or ';3' (uniform "
+                        "pitches), or a tokenized midilike_control corpus "
+                        "directory / .npz shard whose per-event control "
+                        "sequence drives every step")
+    p.add_argument("--control-index", type=int, default=None,
+                   help="sequence index inside a --control corpus "
+                        "(default: random, like the reference's "
+                        "np.random.choice)")
+    p.add_argument("--init-zero", action="store_true",
+                   help="zero init latent instead of N(0,1) (reference "
+                        "generate.py:-z)")
     args = p.parse_args(argv)
 
     import jax
@@ -114,15 +193,55 @@ def main(argv=None) -> int:
         _generate_arrangement(model, params, cfg, args)
         return 0
 
-    prime = _prime_tokens(scheme, args.prime, args.prime_len)
+    controls = cache0 = None
+    if args.control is not None:
+        if cfg.model != "performance_rnn":
+            raise SystemExit("--control is PerformanceRNN conditioning "
+                             "(reference PerformanceRNN/generate.py)")
+        ctrl = _parse_control(args.control, args.control_index, args.seed)
+        if args.steps <= 0:
+            # reference: max_len defaults to the control sequence length
+            if ctrl.shape[0] <= 1:
+                raise SystemExit("--steps must be given with a single "
+                                 "control spec")
+            args.steps = int(ctrl.shape[0])
+        elif ctrl.shape[0] > 1 and ctrl.shape[0] < args.steps:
+            raise SystemExit(
+                f"control sequence ({ctrl.shape[0]}) shorter than --steps "
+                f"({args.steps}) (reference expand_controls asserts "
+                "controls.shape[0] >= steps, network.py:97-104)")
+        import jax.numpy as _jnp
+        controls = _jnp.asarray(ctrl, _jnp.float32)[:, None, :]
+
+    if cfg.model == "performance_rnn":
+        # reference generation starts from the primary event with a
+        # latent-derived hidden (generate.py:171-175, network.py:89-95)
+        import jax as _jax
+        import jax.numpy as _jnp
+        init = (_jnp.zeros((1, model.init_dim)) if args.init_zero else
+                _jax.random.normal(_jax.random.PRNGKey(args.seed + 7),
+                                   (1, model.init_dim)))
+        cache0 = model.apply({"params": params}, 1, 0, init,
+                             method=model.init_cache)
+        if args.prime is None:
+            prime = [model.primary_event]
+        else:
+            prime = [model.primary_event] + _prime_tokens(
+                scheme, args.prime, args.prime_len)
+    else:
+        prime = _prime_tokens(scheme, args.prime, args.prime_len)
     prompt = np.asarray(prime, np.int32)[None]
+    # top_p=0 would mean "keep only the argmax" in sample_logits; treat it
+    # as off (the flag's documented default) so sampling stays categorical
     sampling = SamplingParams(temperature=args.temperature,
-                              top_k=args.topk, top_p=args.topp)
+                              top_k=args.topk,
+                              top_p=args.topp if args.topp > 0 else 1.0)
     if args.beam > 1:
         if cfg.model not in ("event_rnn", "performance_rnn"):
             raise SystemExit("--beam is for the RNN LMs "
                              "(event_rnn / performance_rnn)")
-        out = _beam_decode(model, params, prompt, args)
+        out = _beam_decode(model, params, prompt, args,
+                           controls=controls, cache0=cache0)
     elif (cfg.model == "music_transformer"
           and len(prime) + args.steps > model.max_seq):
         # continuation longer than the relative table: sliding-window
@@ -144,7 +263,8 @@ def main(argv=None) -> int:
         dp = DecodeParams(max_len=max_len, steps=args.steps,
                           sampling=sampling)
         out = np.asarray(generate(model, params, prompt,
-                                  jax.random.PRNGKey(args.seed), dp))[0]
+                                  jax.random.PRNGKey(args.seed), dp,
+                                  controls, cache0))[0]
     tokens = (np.concatenate([prompt[0], out]) if args.include_prime
               else out)
     _write_midi(scheme, tokens, args.output)
@@ -152,33 +272,52 @@ def main(argv=None) -> int:
     return 0
 
 
-def _beam_decode(model, params, prompt: np.ndarray, args) -> np.ndarray:
-    """(Stochastic) beam search continuation for the GRU LMs."""
+def _beam_decode(model, params, prompt: np.ndarray, args,
+                 controls=None, cache0=None) -> np.ndarray:
+    """(Stochastic) beam search continuation for the GRU LMs.
+
+    controls: optional [1 or S, 1, C] conditioning threaded per step
+    (reference PerformanceRNN/network.py:156-257 beam with controls)."""
     import jax
     import jax.numpy as jnp
 
     from ..decode.beam import beam_search, replicate_for_beams
-    from ..decode.engine import _prefill
+    from ..decode.engine import _prefill, expand_controls
 
     prompt_j = jnp.asarray(prompt, jnp.int32)  # [1, P]
-    cache = model.apply({"params": params}, 1, 0,
-                        method=model.init_cache)
-    if prompt_j.shape[1] > 1:
-        cache, _, _ = _prefill(model, params, prompt_j[:, :-1], cache,
-                               jnp.int32(0))
+    p = prompt_j.shape[1]
+    cache = (cache0 if cache0 is not None else
+             model.apply({"params": params}, 1, 0,
+                         method=model.init_cache))
+    ctrl_all = (None if controls is None
+                else expand_controls(controls, p + args.steps))
+    if p > 1:
+        cache, _, _ = _prefill(
+            model, params, prompt_j[:, :-1], cache, jnp.int32(0),
+            controls=None if ctrl_all is None else ctrl_all[:p - 1])
     # RNN caches carry batch on axis 1 ([layers, B, hidden])
     cache = replicate_for_beams(cache, args.beam, batch_axis=1)
 
-    def step_fn(tokens, state):
-        return model.apply({"params": params}, tokens, state,
-                           method=model.decode_step)
+    if ctrl_all is None:
+        def step_fn(tokens, state):
+            return model.apply({"params": params}, tokens, state,
+                               method=model.decode_step)
+        per_step = None
+    else:
+        def step_fn(tokens, state, ctrl):
+            ctrl = jnp.broadcast_to(ctrl, (tokens.shape[0], ctrl.shape[-1]))
+            return model.apply({"params": params}, tokens, state, None,
+                               ctrl, method=model.decode_step)
+        # the beam's step i feeds the token sampled for position p-1+i
+        per_step = ctrl_all[p - 1:p - 1 + args.steps, 0]
 
     seq = beam_search(
         step_fn, cache, prompt_j[:, -1], steps=args.steps,
         beam_size=args.beam, vocab_size=model.event_dim,
         rng=jax.random.PRNGKey(args.seed),
         temperature=args.temperature or 1.0,
-        stochastic=args.stochastic_beam, state_batch_axis=1)
+        stochastic=args.stochastic_beam, state_batch_axis=1,
+        per_step_inputs=per_step)
     return np.asarray(seq[0])
 
 

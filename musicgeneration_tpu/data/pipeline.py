@@ -230,8 +230,11 @@ class TokenCorpus:
 
     Reference parity: `Event_Dataset(root, limlen)` loads every .data
     file and keeps sequences >= limlen (utils/data.py:50-64); `count(v)`
-    prints the fraction shorter than v (:66-72).  Here sequences stay
-    inside the mmapped shard concatenations until sliced.
+    prints the fraction shorter than v (:66-72).  Shard members are
+    loaded lazily (np.load(mmap_mode='r') does NOT mmap npz members —
+    each member decompresses fully on first access) and then cached in
+    RAM per (shard, member), so a corpus ends up memory-resident once
+    touched; __getitem__ after that is a pure in-memory slice.
     """
 
     def __init__(self, root: str, limlen: int = 0, key: str = "tokens"):

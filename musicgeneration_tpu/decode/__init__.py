@@ -6,8 +6,9 @@ with no cache (MusicTransformer/network.py:52-78) — O(L^2) per token. This
 engine is the 10x-win replacement (BASELINE.md)."""
 
 from .beam import beam_search, replicate_for_beams
-from .engine import DecodeParams, generate, generate_sliding
+from .engine import DecodeParams, expand_controls, generate, generate_sliding
 from .sampling import sample_logits
 
 __all__ = ["generate", "generate_sliding", "DecodeParams",
-           "sample_logits", "beam_search", "replicate_for_beams"]
+           "expand_controls", "sample_logits", "beam_search",
+           "replicate_for_beams"]

@@ -59,6 +59,7 @@ def beam_search(
     stochastic: bool = False,
     normalize: bool = False,
     state_batch_axis: int = 0,
+    per_step_inputs: Any = None,
 ) -> jnp.ndarray:
     """Returns best sequences [batch, steps].
 
@@ -66,6 +67,9 @@ def beam_search(
     init_state: pytree with leading dim batch*beam (replicate per beam
     before calling — each beam starts from the same state).
     first_token: [batch] int fed to every beam at step 0.
+    per_step_inputs: optional pytree with leading dim `steps`, scanned
+    alongside and passed to step_fn as a third argument (PerformanceRNN
+    beam_search control conditioning, network.py:156-257).
     """
     batch = first_token.shape[0]
     bb = batch * beam_size
@@ -82,8 +86,12 @@ def beam_search(
 
     def body(carry, inp):
         state, tokens, scores, seqs = carry
-        step_i, rng_i = inp
-        logits, state = step_fn(tokens, state)
+        if per_step_inputs is None:
+            step_i, rng_i = inp
+            logits, state = step_fn(tokens, state)
+        else:
+            step_i, rng_i, extra = inp
+            logits, state = step_fn(tokens, state, extra)
         logits = logits.astype(jnp.float32) / temperature
         if normalize:
             logits = jax.nn.log_softmax(logits, axis=-1)
@@ -109,8 +117,9 @@ def beam_search(
         return (state, tok_idx.reshape(bb), new_scores, seqs), None
 
     init = (init_state, tokens0, score0, seqs0)
-    (state, tokens, scores, seqs), _ = jax.lax.scan(
-        body, init, (jnp.arange(steps), rngs))
+    xs = ((jnp.arange(steps), rngs) if per_step_inputs is None
+          else (jnp.arange(steps), rngs, per_step_inputs))
+    (state, tokens, scores, seqs), _ = jax.lax.scan(body, init, xs)
     best = jnp.argmax(scores, axis=-1)  # [batch]
     return jnp.take_along_axis(
         seqs, best[:, None, None], axis=1)[:, 0]  # [batch, steps]

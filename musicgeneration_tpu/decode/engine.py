@@ -36,17 +36,39 @@ class DecodeParams:
     sampling: SamplingParams = SamplingParams()
 
 
-def _prefill(model, params, tokens, cache, start_t):
-    """Scan the prompt through decode_step. tokens: [B, P]."""
+def expand_controls(controls: jnp.ndarray, steps: int) -> jnp.ndarray:
+    """[1 or S, B, C] -> [steps, B, C] (reference PerformanceRNN
+    network.py:97-104): a single control repeats at every step; a
+    per-step sequence is truncated to `steps` (edge-repeating its last
+    row if one short — our engine consumes one extra trailing control
+    for the final, unused logits)."""
+    assert controls.ndim == 3
+    s = controls.shape[0]
+    if s == 1:
+        return jnp.broadcast_to(controls,
+                                (steps,) + controls.shape[1:])
+    idx = jnp.minimum(jnp.arange(steps), s - 1)
+    return controls[idx]
 
-    def body(carry, tok):
+
+def _prefill(model, params, tokens, cache, start_t, controls=None):
+    """Scan the prompt through decode_step. tokens: [B, P];
+    controls: optional [P, B, C] per-position conditioning."""
+
+    def body(carry, inp):
         cache, t = carry
+        if controls is None:
+            tok, args = inp, ()
+        else:
+            tok, ctrl = inp
+            args = (ctrl,)
         logits, cache = model.apply({"params": params}, tok, cache, t,
-                                    method=model.decode_step)
+                                    *args, method=model.decode_step)
         return (cache, t + 1), logits
 
+    xs = tokens.T if controls is None else (tokens.T, controls)
     (cache, t), logits = jax.lax.scan(
-        body, (cache, start_t), tokens.T)  # scan over time-major
+        body, (cache, start_t), xs)  # scan over time-major
     return cache, t, logits[-1]
 
 
@@ -58,10 +80,19 @@ def generate(
     prompt: jnp.ndarray,
     rng: jax.Array,
     decode_params: DecodeParams,
+    controls: Optional[jnp.ndarray] = None,
+    cache0: Optional[Any] = None,
 ) -> jnp.ndarray:
     """prompt: [B, P] int32 -> generated tokens [B, steps] int32.
 
     The full prompt+generation must fit in decode_params.max_len.
+
+    controls: optional [1 or S, B, C] conditioning, threaded into every
+    decode_step as its 4th argument (PerformanceRNN generate.py:103-131
+    semantics: one control repeats, a sequence is consumed per step).
+    cache0: optional pre-built cache (e.g. PerformanceRNN's latent-derived
+    hidden via init_cache(init=z), matching init_to_hidden at
+    network.py:89-95); defaults to model.init_cache(batch, max_len).
     """
     b, p = prompt.shape
     dp = decode_params
@@ -69,39 +100,55 @@ def generate(
         raise ValueError(
             f"prompt ({p}) + steps ({dp.steps}) exceeds cache max_len "
             f"({dp.max_len}); the KV cache would overflow")
-    if hasattr(model, "prefill"):
+    if controls is not None:
+        controls = expand_controls(controls, p + dp.steps)
+        ctrl_prompt, ctrl_gen = controls[:p], controls[p:]
+    if controls is None and cache0 is None and hasattr(model, "prefill"):
         # one-pass parallel prompt ingestion (MusicTransformer)
         last_logits, cache = model.apply({"params": params}, prompt,
                                          dp.max_len, method=model.prefill)
         t = jnp.int32(p)
     else:
-        cache = model.apply({"params": params}, b, dp.max_len,
-                            method=model.init_cache)
-        cache, t, last_logits = _prefill(model, params, prompt, cache,
-                                         jnp.int32(0))
+        cache = (cache0 if cache0 is not None else
+                 model.apply({"params": params}, b, dp.max_len,
+                             method=model.init_cache))
+        cache, t, last_logits = _prefill(
+            model, params, prompt, cache, jnp.int32(0),
+            controls=None if controls is None else ctrl_prompt)
 
-    def body(carry, rng_i):
+    def body(carry, inp):
         cache, t, logits = carry
+        if controls is None:
+            rng_i, args = inp, ()
+        else:
+            rng_i, ctrl = inp
+            args = (ctrl,)
         token = sample_logits(rng_i, logits, dp.sampling)
         new_logits, cache = model.apply({"params": params}, token, cache, t,
-                                        method=model.decode_step)
+                                        *args, method=model.decode_step)
         return (cache, t + 1, new_logits), token
 
     rngs = jax.random.split(rng, dp.steps)
-    _, tokens = jax.lax.scan(body, (cache, t, last_logits), rngs)
+    xs = rngs if controls is None else (rngs, ctrl_gen)
+    _, tokens = jax.lax.scan(body, (cache, t, last_logits), xs)
     return tokens.T  # [B, steps]
 
 
 def generate_events(model, params, prompt_ids, rng, steps: int,
                     max_len: Optional[int] = None,
-                    sampling: SamplingParams = SamplingParams()):
-    """Host-friendly wrapper: 1D numpy prompt -> 1D numpy continuation."""
+                    sampling: SamplingParams = SamplingParams(),
+                    controls=None, cache0=None):
+    """Host-friendly wrapper: 1D numpy prompt -> 1D numpy continuation.
+
+    controls: optional [1 or S, C] (batch dim added here)."""
     import numpy as np
 
     prompt = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
     max_len = max_len or (prompt.shape[1] + steps)
     dp = DecodeParams(max_len=max_len, steps=steps, sampling=sampling)
-    out = generate(model, params, prompt, rng, dp)
+    if controls is not None:
+        controls = jnp.asarray(np.asarray(controls, np.float32))[:, None, :]
+    out = generate(model, params, prompt, rng, dp, controls, cache0)
     return np.asarray(out[0])
 
 

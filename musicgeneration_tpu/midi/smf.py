@@ -134,6 +134,8 @@ def _scan_track(data: bytes) -> RawTrack:
             payload = data[pos:pos + length]
             pos += length
             if meta_type == 0x51 and length == 3:
+                if len(payload) < 3:
+                    break  # truncated inside tempo payload: stop the track
                 us = (payload[0] << 16) | (payload[1] << 8) | payload[2]
                 track.tempo.append((tick, us))
             elif meta_type == 0x03 and not track.name:

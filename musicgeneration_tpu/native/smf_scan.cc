@@ -191,6 +191,9 @@ MgParse* mg_parse(const uint8_t* data, int64_t n) {
                 if (!c.ok) break;
                 int64_t payload = start + tstart + c.pos;
                 if (meta_type == 0x51 && len == 3) {
+                    // guard: a file truncated inside the tempo payload must
+                    // not read past the buffer (corpus MIDI is untrusted)
+                    if (c.pos + 3 > c.n) break;
                     int64_t us = (int64_t(c.data[c.pos]) << 16) |
                                  (int64_t(c.data[c.pos + 1]) << 8) |
                                  int64_t(c.data[c.pos + 2]);

@@ -50,6 +50,9 @@ class GRUStack(nn.Module):
     hidden_dim: int
     num_layers: int = 1
     dropout_rate: float = 0.0
+    # torch nn.GRU(dropout=) samples a FRESH mask at every timestep; set
+    # variational=True for the per-sequence frozen mask (Gal & Ghahramani)
+    variational: bool = False
     dtype: Any = jnp.float32
 
     def _params(self, layer: int, in_dim: int):
@@ -102,6 +105,9 @@ class GRUStack(nn.Module):
                 inp = h_next
                 if (layer < self.num_layers - 1 and dropout_rng is not None):
                     rng = jax.random.fold_in(dropout_rng, layer)
+                    if not self.variational:
+                        # torch parity: a fresh mask per timestep
+                        rng = jax.random.fold_in(rng, t)
                     keep = jax.random.bernoulli(
                         rng, 1.0 - self.dropout_rate, inp.shape)
                     inp = jnp.where(keep, inp / (1.0 - self.dropout_rate),

@@ -378,6 +378,17 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
     block_q, block_k = bwd_block_q, bwd_block_k
     if q.shape[2] % block_q or q.shape[2] % block_k:
         block_q = block_k = 128  # fall back for short/odd lengths
+    if q.shape[2] % block_q or q.shape[2] % block_k:
+        # No valid block size divides L (e.g. a 64-long sequence the
+        # forward accepted with block_q=64): launching the kernels would
+        # produce an EMPTY grid and return uninitialized buffers. Take
+        # the exact XLA path for the gradient instead.
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, e_: _xla_equivalent(q_, k_, v_, e_,
+                                                   key_pad, causal),
+            q, k, v, e)
+        dq, dk, dv, de = vjp(g)
+        return dq, dk, dv, de, None
     b, h, l, dh = q.shape
     max_seq = e.shape[0]
     bh = b * h

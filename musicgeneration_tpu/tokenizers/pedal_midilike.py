@@ -185,14 +185,28 @@ def encode_midi(path_or_midi, faithful: bool = False) -> List[int]:
 
 def decode_midi(ids: Sequence[int], path: Optional[str] = None,
                 program: int = 1, resolution: int = 480,
-                tempo: int = 120) -> MidiFile:
+                tempo: int = 120, faithful: bool = False) -> MidiFile:
     """Token ids -> MIDI (reference processor.py:233-248).
 
     Vectorized: the timeline is a cumsum over per-token time deltas, the
     velocity state a forward-fill — no Python-per-token state machine.
+
+    DOCUMENTED DEVIATION: ids outside [0, VOCAB_SIZE) are dropped here,
+    whereas the reference's Event.from_int (processor.py) funnels ANY id
+    >= 356 into the velocity branch (so pad=388 decodes as velocity 128).
+    Treating pad/eos sampled mid-sequence as phantom velocity events is a
+    bug, not a musical quirk; sanitizing is deliberate and noted per the
+    repo's "never fix a quirk silently" rule. Pass faithful=True to keep
+    the reference behavior.
     """
     arr = np.asarray(ids, dtype=np.int64)
-    arr = arr[(arr >= 0) & (arr < VOCAB_SIZE)]
+    if faithful:
+        # reference from_int (processor.py:72-89): the else-branch maps
+        # ANY id >= 356 to velocity value (id - 356), so pad=388 decodes
+        # as velocity (388-356)*4 = 128. Keep them as velocity tokens.
+        arr = arr[arr >= 0]
+    else:
+        arr = arr[(arr >= 0) & (arr < VOCAB_SIZE)]
 
     is_shift = (arr >= START_TIME_SHIFT) & (arr < START_VELOCITY)
     is_vel = arr >= START_VELOCITY

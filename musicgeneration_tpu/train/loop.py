@@ -88,11 +88,13 @@ def run_loop(
     it = iter(batches)
     profiling = False
 
-    step = start
-    ran_any = False
+    # `completed` tracks the last step whose step_fn actually finished: a
+    # KeyboardInterrupt between fetching a batch and step_fn returning leaves
+    # `state` at the previous step, so labeling it with the in-flight loop
+    # index would skip one schedule step on resume.
+    completed = start - 1
     try:
         for step in range(start, cfg.total_steps):
-            ran_any = True
             if cfg.profile_dir and cfg.profile_steps:
                 if step == 10 and not profiling:
                     jax.profiler.start_trace(cfg.profile_dir)
@@ -109,6 +111,7 @@ def run_loop(
                 state, metrics = step_fn(state, *batch)
             else:
                 state, metrics = step_fn(state, batch)
+            completed = step
             log.write(step, metrics, tokens=tokens_per_batch)
             if ckpt is not None:
                 ckpt.maybe_save(step, state)
@@ -129,10 +132,11 @@ def run_loop(
     finally:
         if profiling:
             jax.profiler.stop_trace()
-        # only save if a step actually ran — a no-op resume must not
-        # advance the checkpoint label past the last executed step
-        if ckpt is not None and ran_any:
-            ckpt.maybe_save(step, state, force=True)
+        # only save if a step actually completed — a no-op resume must not
+        # advance the checkpoint label, and an interrupt mid-step must label
+        # the (previous-step) state with the previous step's index
+        if ckpt is not None and completed >= start:
+            ckpt.maybe_save(completed, state, force=True)
         log.close()
         eval_log.close()
     return state

@@ -187,6 +187,47 @@ def test_generate_from_control_scheme_checkpoint(tmp_path):
     assert os.path.getsize(out_mid) > 0
 
 
+def test_generate_with_control_spec_and_file(tmp_path):
+    """--control 'hist;density' and --control <corpus dir> condition
+    PerformanceRNN generation (reference PerformanceRNN/generate.py:20-131)."""
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    midi_dir = tmp_path / "cs"
+    midi_dir.mkdir()
+    for i in range(2):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i, n_notes=80)
+    tok = str(tmp_path / "tok_cs")
+    assert tokenize_main([str(midi_dir), tok, "--scheme",
+                          "midilike_control", "--workers", "1"]) == 0
+    ckpt, _ = _train(tok, tmp_path, "performance_rnn",
+                     ["model.hidden_dim=16", "model.num_layers=1"])
+    # single-control spec, repeated every step
+    out1 = str(tmp_path / "spec.mid")
+    assert gen_main([ckpt, out1, "--steps", "24",
+                     "--control", "1,0,1,0,1,1,0,1,0,1,0,1;3"]) == 0
+    assert os.path.getsize(out1) > 0
+    # uniform-histogram shorthand + zero latent
+    out2 = str(tmp_path / "spec2.mid")
+    assert gen_main([ckpt, out2, "--steps", "24", "--control", ";3",
+                     "--init-zero"]) == 0
+    # per-step control sequence from the tokenized corpus; --steps 0
+    # derives the length from the sequence (reference max_len default)
+    out3 = str(tmp_path / "file.mid")
+    assert gen_main([ckpt, out3, "--steps", "0", "--control", tok,
+                     "--control-index", "0"]) == 0
+    assert os.path.getsize(out3) > 0
+    # beam search under a control spec (reference beam_search controls)
+    out4 = str(tmp_path / "beam_ctrl.mid")
+    assert gen_main([ckpt, out4, "--steps", "16", "--beam", "3",
+                     "--control", ";3"]) == 0
+    # malformed specs are rejected
+    import pytest
+    with pytest.raises(SystemExit):
+        gen_main([ckpt, out1, "--steps", "8", "--control", "1,2;3"])
+    with pytest.raises(SystemExit):
+        gen_main([ckpt, out1, "--steps", "8", "--control", ";99"])
+
+
 def test_noop_resume_does_not_advance_checkpoint(tok_dir, tmp_path):
     """Re-running with the same total_steps must not bump the saved step
     (review regression: the finally force-save ran on zero steps)."""

@@ -81,6 +81,32 @@ def test_native_garbage_falls_back(tmp_path):
         MidiFile(path)
 
 
+def test_native_truncated_tempo_meta(tmp_path):
+    """A file ending mid-tempo-payload (… FF 51 03 <EOF>) must not read
+    past the buffer; both paths should parse what precedes gracefully."""
+    m = MidiFile(ticks_per_beat=480)
+    m.tempo_changes = [TempoChange(120, 0)]
+    m._tempo_raw = [(0, 500000)]
+    inst = Instrument(0, False, "x")
+    inst.notes = [Note(90, 60, 0, 400)]
+    m.instruments.append(inst)
+    path = str(tmp_path / "trunc.mid")
+    m.dump(path)
+    data = open(path, "rb").read()
+    # append a track whose declared length covers a tempo meta but the
+    # file ends right after the length byte (payload missing)
+    tail = b"\x00\xff\x51\x03"
+    track = b"MTrk" + (len(tail) + 3).to_bytes(4, "big") + tail
+    # bump the header track count
+    data = bytearray(data)
+    ntracks = int.from_bytes(data[10:12], "big")
+    data[10:12] = (ntracks + 1).to_bytes(2, "big")
+    path2 = str(tmp_path / "trunc2.mid")
+    open(path2, "wb").write(bytes(data) + track)
+    nat, py = _both(path2)
+    assert nat == py
+
+
 def test_native_tokenizer_equivalence(tmp_path):
     """End-to-end: tokens from native-parsed MIDI == python-parsed."""
     from musicgeneration_tpu.tokenizers import midilike

@@ -91,6 +91,26 @@ def test_model_integration_pallas_matches_xla():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_backward_short_length_falls_back_to_xla():
+    """L=64 passes the forward with block 64 but divides NO backward
+    block size; the VJP must route through the exact XLA path instead of
+    launching an empty Pallas grid (uninitialized gradients)."""
+    q, k, v, e = _qkve(l=64, max_seq=128)
+
+    def loss_pallas(q, k, v, e):
+        return jnp.sum(fused_relative_attention(q, k, v, e, None, 64, 64,
+                                                True, INTERPRET) ** 2)
+
+    def loss_xla(q, k, v, e):
+        return jnp.sum(_xla_equivalent(q, k, v, e, None, True) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, e)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, e)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_rejects_bad_shapes():
     q, k, v, e = _qkve(l=192)
     with pytest.raises(ValueError, match="multiple"):

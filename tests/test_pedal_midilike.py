@@ -131,6 +131,20 @@ def test_decode_skips_zero_length_and_orphan_offs():
         n.end > n.start for n in out.instruments[0].notes)
 
 
+def test_decode_out_of_vocab_handling():
+    """Default: pad/eos ids are dropped (documented deviation). faithful:
+    reference Event.from_int funnels any id >= 356 into the velocity
+    branch (processor.py:72-89) — pad=388 acts as velocity (388-356)*4=128."""
+    shift_1s = pm.START_TIME_SHIFT + 99
+    toks = [pm.PAD_ID, 60, shift_1s, pm.START_NOTE_OFF + 60]
+    # default path: PAD dropped, note keeps velocity 0 (no vel token seen)
+    out = pm.decode_midi(toks)
+    assert [n.velocity for n in out.instruments[0].notes] == [0]
+    # faithful path: PAD acts as a velocity token -> note velocity 128
+    out_f = pm.decode_midi(toks, faithful=True)
+    assert [n.velocity for n in out_f.instruments[0].notes] == [128]
+
+
 def test_array_roundtrip():
     ids = [1, 200, 300, 387]
     arr = pm.to_array(ids)

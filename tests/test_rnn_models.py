@@ -59,6 +59,58 @@ def test_gru_stack_step_matches_full_scan():
                                atol=1e-6)
 
 
+def _transparent_dropout_params(H):
+    """Params making layer-1 output expose the inter-layer dropout mask:
+    layer 0 holds its hidden constant (z=1), so its output is the same
+    vector c every step; layer 1 computes tanh(dropout(c)) memorylessly
+    (r=1, z=0, w_hh=0, w_ih = I on the n gate)."""
+    z3 = jnp.zeros((3 * H,))
+    p = {
+        "l0_w_ih": jnp.zeros((H, 3 * H)),
+        "l0_w_hh": jnp.zeros((H, 3 * H)),
+        # z gate bias +20 -> z ~= 1 -> h' = h (constant layer-0 output)
+        "l0_b_ih": z3.at[H:2 * H].set(20.0),
+        "l0_b_hh": jnp.zeros((3 * H,)),
+        # layer 1: r=1 (bias +20), z=0 (bias -20), n = tanh(x @ I)
+        "l1_w_ih": jnp.zeros((H, 3 * H)).at[:, 2 * H:].set(jnp.eye(H)),
+        "l1_w_hh": jnp.zeros((H, 3 * H)),
+        "l1_b_ih": z3.at[:H].set(20.0).at[H:2 * H].set(-20.0),
+        "l1_b_hh": jnp.zeros((3 * H,)),
+    }
+    return {"params": p}
+
+
+def test_gru_dropout_fresh_mask_per_timestep():
+    """torch nn.GRU(dropout=) samples a FRESH mask every timestep (the
+    round-1 implementation froze it per sequence). With the transparent
+    params, top output at step t = tanh(mask_t * c / keep): fresh masks
+    make steps differ; variational=True keeps them identical."""
+    H, T, B = 16, 6, 2
+    xs = jnp.zeros((T, B, H))
+    c = jnp.linspace(0.5, 1.5, H)
+    h0 = jnp.stack([jnp.tile(c, (B, 1)), jnp.zeros((B, H))])
+    params = _transparent_dropout_params(H)
+    rngs = {"dropout": jax.random.PRNGKey(3)}
+
+    fresh = GRUStack(hidden_dim=H, num_layers=2, dropout_rate=0.5)
+    out_f, _ = fresh.apply(params, xs, h0, deterministic=False, rngs=rngs)
+    out_f = np.asarray(out_f)  # [T, B, H]
+    assert any(not np.allclose(out_f[t], out_f[0]) for t in range(1, T)), \
+        "dropout mask is frozen across timesteps (torch samples fresh)"
+
+    frozen = GRUStack(hidden_dim=H, num_layers=2, dropout_rate=0.5,
+                      variational=True)
+    out_v, _ = frozen.apply(params, xs, h0, deterministic=False, rngs=rngs)
+    out_v = np.asarray(out_v)
+    for t in range(1, T):
+        np.testing.assert_allclose(out_v[t], out_v[0], atol=1e-6)
+
+    # deterministic mode: no dropout, output = tanh(c) each step
+    out_d, _ = fresh.apply(params, xs, h0, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_d)[0, 0], np.tanh(c),
+                               atol=1e-4)
+
+
 class TestEventMelodyRNN:
     @pytest.fixture(scope="class")
     def setup(self):

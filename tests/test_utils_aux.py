@@ -170,6 +170,47 @@ def test_run_loop_nan_guard_and_resume(tmp_path):
     assert int(out2.step) == 5  # nothing to do, state restored
 
 
+def test_run_loop_interrupt_labels_last_completed_step(tmp_path):
+    """A KeyboardInterrupt that fires AFTER the batch fetch but BEFORE
+    step_fn completes must checkpoint the (previous-step) state with the
+    previous step's label, so resume re-runs the interrupted step rather
+    than skipping it (ADVICE round 1)."""
+    from musicgeneration_tpu.train.loop import LoopConfig, run_loop
+    from musicgeneration_tpu.train.trainer import TrainState
+    from musicgeneration_tpu.utils.checkpoint import list_checkpoints
+
+    def train_step(state, x, y):
+        new_params = jax.tree.map(lambda p: p + 1.0, state.params)
+        return (state.replace(step=state.step + 1, params=new_params),
+                {"loss": jnp.asarray(1.0)})
+
+    state = TrainState(step=jnp.asarray(0, jnp.int32),
+                       params={"w": jnp.zeros(())},
+                       opt_state=(), dropout_rng=jax.random.PRNGKey(0))
+
+    def batches():
+        # steps 0..2 run; fetching the batch for step 3 interrupts,
+        # mimicking ^C while step 3 is in flight
+        for _ in range(3):
+            yield (jnp.zeros((1,)), jnp.zeros((1,)))
+        raise KeyboardInterrupt
+
+    cfg = LoopConfig(total_steps=10, ckpt_dir=str(tmp_path / "ck"),
+                     ckpt_every=100, log_every=100, eval_every=0,
+                     metrics_path=str(tmp_path / "m.jsonl"))
+    out = run_loop(state, train_step, batches(), cfg)
+    assert float(out.params["w"]) == 3.0
+    # forced save must be labeled 2 (last COMPLETED step), not 3
+    label, _ = list_checkpoints(str(tmp_path / "ck"))[-1]
+    assert label == 2
+    # resume: restore_or gives start=3 -> steps 3..9 run, params reach 10
+    def more():
+        while True:
+            yield (jnp.zeros((1,)), jnp.zeros((1,)))
+    out2 = run_loop(state, train_step, more(), cfg)
+    assert float(out2.params["w"]) == 10.0
+
+
 # ---------------------------------------------------------------- profiling
 
 def test_timed_block_and_annotate():
