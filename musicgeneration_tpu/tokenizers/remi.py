@@ -268,6 +268,11 @@ class REMI_EventSeq:
                         raise IndexError(
                             f"{ev.name} value {value} out of vocab range")
                     value = len(rng) - 1
+                elif value < 0:
+                    # reference indexes a range object, so value=-1 (the
+                    # velocity<4 searchsorted quirk, REMI.py:206-209) maps
+                    # to the feature's LAST slot (range(a,b)[-1] == b-1)
+                    value = max(len(rng) + value, 0)
                 idxs.append(rng.start + value)
         return np.array(idxs, dtype=SPEC.array_dtype())
 
