@@ -52,6 +52,15 @@ class TrainCLIConfig(Config):
     # PoPMAG bucketing (static shapes across batches)
     max_bars: int = 16
     max_bar_len: int = 96
+    # -- multi-chip SPMD (music_transformer; parallel/mesh.py) ---------
+    # Any of these != default builds a ('data','seq','model') mesh over
+    # all visible devices: dp = data parallel (defaults to n/(tp*sp)),
+    # tp = tensor parallel, sp = sequence parallel (switches attention to
+    # the ring impl), fsdp = ZeRO-3-style parameter sharding over 'data'.
+    dp: Optional[int] = None
+    tp: int = 1
+    sp: int = 1
+    fsdp: bool = False
 
 
 def _default_vocab(scheme: str) -> int:
@@ -172,11 +181,13 @@ def _popmag_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
 
 
 def build_session(cfg: TrainCLIConfig, scheme: str,
-                  model_kwargs: Dict[str, Any]):
+                  model_kwargs: Dict[str, Any], mesh=None):
     """Construct (model, trainer_cfg, apply_fn, loss_fn, batch_adapter).
 
     batch_adapter maps a raw batch from the stream to the (x, y) pair the
-    train step consumes.
+    train step consumes. `mesh` (train-time only, never persisted): with
+    sp>1 the MusicTransformer attention switches to the sequence-parallel
+    ring impl over the mesh's 'seq' axis.
     """
     import jax
     import jax.numpy as jnp
@@ -194,6 +205,9 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
 
     if name == "music_transformer":
         vocab = model_kwargs.pop("vocab_size", _default_vocab(scheme))
+        if mesh is not None and mesh.shape.get("seq", 1) > 1:
+            model_kwargs = {**model_kwargs, "attention_impl": "ring",
+                            "mesh": mesh}
         model = cls(**{**defaults(vocab_size=vocab, max_seq=cfg.seq_len),
                        **model_kwargs})
         tcfg = TrainerConfig(
@@ -352,8 +366,23 @@ def main(argv=None) -> int:
     corpus = TokenCorpus(args.data_dir, limlen=limlen, key=key)
     print(f"corpus: {len(corpus)} sequences (scheme={scheme})")
 
+    mesh = None
+    if cfg.tp > 1 or cfg.sp > 1 or cfg.fsdp or cfg.dp is not None:
+        if cfg.model != "music_transformer":
+            raise SystemExit("mesh training (dp/tp/sp/fsdp) is wired for "
+                             "model=music_transformer")
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(dp=cfg.dp, tp=cfg.tp, sp=cfg.sp)
+        print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
+              f"{' (fsdp)' if cfg.fsdp else ''}"
+              f"{' ring attention' if cfg.sp > 1 else ''}")
+        if (cfg.batch_size * cfg.accum_steps) % mesh.shape["data"]:
+            raise SystemExit("batch_size*accum_steps must divide dp")
+        if cfg.seq_len % cfg.sp:
+            raise SystemExit("seq_len must divide sp")
+
     model, tcfg, apply_fn, loss_fn, adapter = build_session(
-        cfg, scheme, model_kwargs)
+        cfg, scheme, model_kwargs, mesh=mesh)
 
     if cfg.model == "popmag":
         batches = _popmag_batches(corpus, cfg)
@@ -370,9 +399,18 @@ def main(argv=None) -> int:
     # thread and this call would otherwise race on the same generator
     example = adapter(next(batches))
     # host batch building overlaps device compute; 2 batches in flight
-    stream = prefetch_to_device((adapter(b) for b in batches), size=2)
+    input_sharding = None
+    if mesh is not None:
+        # [B, L] token batches: batch over 'data', sequence over 'seq'
+        # (seq-sharded inputs make every layer's activations seq-sharded,
+        # which is what the ring attention consumes)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        input_sharding = NamedSharding(
+            mesh, P("data", "seq" if cfg.sp > 1 else None))
+    stream = prefetch_to_device((adapter(b) for b in batches), size=2,
+                                sharding=input_sharding)
     tx = make_optimizer(tcfg)
-    state = _init_state(model, tcfg, rng, example, cfg)
+    state = _init_state(model, tcfg, rng, example, cfg, mesh=mesh)
     train_step = make_train_step(model, tx, tcfg, apply_fn=apply_fn,
                                  loss_fn=loss_fn)
 
@@ -404,8 +442,14 @@ def main(argv=None) -> int:
     return 0
 
 
-def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig):
-    """Initialize params against one example batch, per model signature."""
+def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig,
+                mesh=None):
+    """Initialize params against one example batch, per model signature.
+
+    With a mesh, parameters are placed by the name-rule shardings
+    (parallel/mesh.py; fsdp=True adds ZeRO-3 storage sharding) BEFORE
+    the optimizer state is created, so Adam moments inherit the same
+    layout."""
     import jax
 
     from ..train.trainer import TrainState, make_optimizer
@@ -432,10 +476,17 @@ def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig):
                                x["src_len"][:1], x["tar"][:1],
                                x["tar_len"][:1])
     params = variables["params"]
+    if mesh is not None:
+        from ..parallel.mesh import param_shardings
+        params = jax.device_put(
+            params, param_shardings(mesh, params, fsdp=cfg.fsdp))
     tx = make_optimizer(tcfg)
     import jax.numpy as jnp
+    # tx.init under jit: the moments inherit the params' shardings
+    opt_state = (jax.jit(tx.init)(params) if mesh is not None
+                 else tx.init(params))
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=tx.init(params), dropout_rng=dropout_rng)
+                      opt_state=opt_state, dropout_rng=dropout_rng)
 
 
 if __name__ == "__main__":

@@ -48,7 +48,8 @@ class RelativeGlobalAttentionBlock(nn.Module):
     num_heads: int
     max_seq: int
     dtype: Any = jnp.float32
-    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas" | "ring"
+    mesh: Any = None  # jax Mesh, required for the "ring" impl
 
     def setup(self):
         dh = self.d_model // self.num_heads
@@ -77,7 +78,17 @@ class RelativeGlobalAttentionBlock(nn.Module):
             # interpret mode on CPU would be pure overhead
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and l % 128 == 0 else "xla")
-        if impl == "pallas" and l % 128 == 0:
+        if impl == "ring":
+            # sequence-parallel path: activations sharded over the 'seq'
+            # mesh axis, KV shards rotated with ppermute
+            # (parallel/ring_attention.py)
+            if self.mesh is None:
+                raise ValueError('attention_impl="ring" needs mesh=')
+            from ..parallel.ring_attention import ring_relative_attention
+            out = ring_relative_attention(
+                q, k, v, self.e.astype(jnp.float32), self.mesh,
+                axis_name="seq", causal=True, key_pad=key_pad)
+        elif impl == "pallas" and l % 128 == 0:
             from ..ops.pallas_attention import fused_relative_attention
             out = fused_relative_attention(
                 q, k, v, self.e.astype(jnp.float32), key_pad,
@@ -134,11 +145,12 @@ class EncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    mesh: Any = None
 
     def setup(self):
         self.rga = RelativeGlobalAttentionBlock(
             self.d_model, self.num_heads, self.max_seq, dtype=self.dtype,
-            attention_impl=self.attention_impl)
+            attention_impl=self.attention_impl, mesh=self.mesh)
         self.ffn_pre = nn.Dense(self.d_model // 2, dtype=self.dtype)
         self.ffn_suf = nn.Dense(self.d_model, dtype=self.dtype)
         self.ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -182,7 +194,10 @@ class MusicTransformer(nn.Module):
     max_seq: int = 2048
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
-    attention_impl: str = "auto"  # auto: pallas on TPU, xla elsewhere
+    attention_impl: str = "auto"  # auto: pallas on TPU, xla elsewhere;
+    #                               "ring" = sequence-parallel over the
+    #                               mesh's 'seq' axis (needs mesh=)
+    mesh: Any = None  # jax Mesh for attention_impl="ring"
     remat: bool = False  # jax.checkpoint each layer: trade recompute
     #                      FLOPs for activation memory (HBM headroom for
     #                      bigger batches/longer sequences)
@@ -204,7 +219,7 @@ class MusicTransformer(nn.Module):
             EncoderLayer(self.d_model, self.num_heads, self.max_seq,
                          self.dropout_rate, dtype=self.dtype,
                          attention_impl=self.attention_impl,
-                         name=f"layer_{i}")
+                         mesh=self.mesh, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.fc = nn.Dense(self.vocab_size, dtype=self.dtype)

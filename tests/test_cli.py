@@ -187,6 +187,27 @@ def test_generate_from_control_scheme_checkpoint(tmp_path):
     assert os.path.getsize(out_mid) > 0
 
 
+def test_train_mesh_sp_ring_attention(tok_dir, tmp_path):
+    """sp=2 CLI training builds the ('data','seq','model') mesh and
+    switches MusicTransformer attention to the sequence-parallel ring
+    impl; fsdp shards parameter storage (8-virtual-device CPU mesh)."""
+    ckpt, lines = _train(
+        tok_dir, tmp_path, "music_transformer",
+        ["model.num_layers=1", "model.d_model=128", "sp=2", "tp=2",
+         "fsdp=True"])
+    assert np.isfinite(lines[-1]["loss"])
+    # the persisted model kwargs must NOT contain the mesh (train-time
+    # wiring only), so the checkpoint restores for plain generation
+    from musicgeneration_tpu.utils.checkpoint import restore_checkpoint
+    payload = restore_checkpoint(ckpt)
+    assert "mesh" not in payload["config"]["model_kwargs"]
+    assert "attention_impl" not in payload["config"]["model_kwargs"]
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    out_mid = str(tmp_path / "mesh_gen.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "16"]) == 0
+    assert os.path.getsize(out_mid) > 0
+
+
 def test_generate_with_control_spec_and_file(tmp_path):
     """--control 'hist;density' and --control <corpus dir> condition
     PerformanceRNN generation (reference PerformanceRNN/generate.py:20-131)."""
