@@ -66,9 +66,11 @@ def bench_reference_schedule(model, params, batch=8, prompt_len=16,
     return batch / per_token  # tokens/sec under the reference schedule
 
 
-def bench_tokenize(n_files: int = 24) -> float:
-    """Host tokenizer throughput (files/sec, MIDI-like scheme, 1 worker,
-    native SMF scanner if built)."""
+def bench_tokenize(n_files: int = 500) -> float:
+    """Host tokenizer throughput (files/sec, MIDI-like scheme, auto-sized
+    worker pool, all-native parse+emission path). A full 10k-file corpus
+    run on this 1-CPU host measured 1623 files/s = 97k files/min
+    (BASELINE.md); set MG_BENCH_TOK10K=1 to repeat it."""
     import os
     import tempfile
 
@@ -77,6 +79,8 @@ def bench_tokenize(n_files: int = 24) -> float:
 
     from musicgeneration_tpu.data.pipeline import tokenize_corpus
 
+    if os.environ.get("MG_BENCH_TOK10K"):
+        n_files = 10000
     with tempfile.TemporaryDirectory() as d:
         midi_dir = os.path.join(d, "m")
         os.makedirs(midi_dir)
@@ -86,7 +90,7 @@ def bench_tokenize(n_files: int = 24) -> float:
         out = os.path.join(d, "tok")
         t0 = time.perf_counter()
         stats = tokenize_corpus(midi_dir, out, scheme="midilike",
-                                num_workers=1)
+                                num_workers=0)
         dt = time.perf_counter() - t0
         assert stats.n_ok == n_files
     return n_files / dt
@@ -147,8 +151,11 @@ def main():
                 print(f"# decode batch={b} skipped: {e}", file=sys.stderr)
     try:
         files_per_sec = bench_tokenize()
+        import multiprocessing
         print(f"# tokenizer: {files_per_sec:.1f} files/sec "
-              "(midilike, 1 worker, 400-note files)", file=sys.stderr)
+              f"(midilike, auto pool on {multiprocessing.cpu_count()} "
+              "CPU(s), 400-note files, native parse+emission)",
+              file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — diagnostics must not kill bench
         print(f"# tokenizer bench skipped: {e}", file=sys.stderr)
     if os.environ.get("MG_BENCH_TRAIN"):

@@ -257,14 +257,32 @@ def main(argv=None) -> int:
                                jax.random.PRNGKey(args.seed), args.steps,
                                window=window, sampling=sampling)[0]
     else:
-        max_len = len(prime) + args.steps
+        # bucket the prime to a static length so different prime lengths
+        # reuse ONE compiled decode scan (compiles take minutes on the
+        # tunneled TPU); the engine gates the pad positions off the cache
+        prompt_len = None
+        if controls is None:
+            bucket = 16
+            while bucket < prompt.shape[1]:
+                bucket *= 2
+            if (cfg.model != "music_transformer"
+                    or bucket + args.steps <= model.max_seq):
+                p_true = prompt.shape[1]
+                pad_tok = (model.pad_id
+                           if cfg.model == "music_transformer" else 0)
+                prompt = np.pad(prompt,
+                                ((0, 0), (0, bucket - p_true)),
+                                constant_values=pad_tok)
+                import jax.numpy as _jnp
+                prompt_len = _jnp.int32(p_true)
+        max_len = prompt.shape[1] + args.steps
         if cfg.model == "music_transformer":
             max_len = min(max(cfg.seq_len, max_len), model.max_seq)
         dp = DecodeParams(max_len=max_len, steps=args.steps,
                           sampling=sampling)
         out = np.asarray(generate(model, params, prompt,
                                   jax.random.PRNGKey(args.seed), dp,
-                                  controls, cache0))[0]
+                                  controls, cache0, prompt_len))[0]
     tokens = (np.concatenate([prompt[0], out]) if args.include_prime
               else out)
     _write_midi(scheme, tokens, args.output)

@@ -52,7 +52,8 @@ def find_midi_files(root: str) -> List[str]:
 
 def _tokenize_midilike(path: str) -> Dict[str, np.ndarray]:
     from ..tokenizers import midilike
-    arr = midilike.extract_events(path).to_array()
+    # native C++ parse+emission when available (Python path = oracle)
+    arr = midilike.encode_array(path)
     return {"tokens": arr.astype(np.uint16)}
 
 

@@ -51,9 +51,15 @@ def expand_controls(controls: jnp.ndarray, steps: int) -> jnp.ndarray:
     return controls[idx]
 
 
-def _prefill(model, params, tokens, cache, start_t, controls=None):
+def _prefill(model, params, tokens, cache, start_t, controls=None,
+             prompt_len=None):
     """Scan the prompt through decode_step. tokens: [B, P];
-    controls: optional [P, B, C] per-position conditioning."""
+    controls: optional [P, B, C] per-position conditioning.
+
+    prompt_len: optional DYNAMIC true length (bucketed prompts padded to
+    the static P): steps past it leave the cache untouched, and the
+    returned last-logits come from step prompt_len-1 — so one compiled
+    scan serves every true length in the bucket."""
 
     def body(carry, inp):
         cache, t = carry
@@ -62,14 +68,23 @@ def _prefill(model, params, tokens, cache, start_t, controls=None):
         else:
             tok, ctrl = inp
             args = (ctrl,)
-        logits, cache = model.apply({"params": params}, tok, cache, t,
-                                    *args, method=model.decode_step)
-        return (cache, t + 1), logits
+        logits, new_cache = model.apply({"params": params}, tok, cache, t,
+                                        *args, method=model.decode_step)
+        if prompt_len is None:
+            return (new_cache, t + 1), logits
+        valid = t < prompt_len
+        new_cache = jax.tree.map(
+            lambda n, o: jnp.where(valid, n, o), new_cache, cache)
+        return (new_cache, t + 1), logits
 
     xs = tokens.T if controls is None else (tokens.T, controls)
     (cache, t), logits = jax.lax.scan(
         body, (cache, start_t), xs)  # scan over time-major
-    return cache, t, logits[-1]
+    if prompt_len is None:
+        return cache, t, logits[-1]
+    last = jax.lax.dynamic_index_in_dim(
+        logits, prompt_len - 1 - start_t, axis=0, keepdims=False)
+    return cache, start_t + prompt_len, last
 
 
 @functools.partial(
@@ -82,6 +97,7 @@ def generate(
     decode_params: DecodeParams,
     controls: Optional[jnp.ndarray] = None,
     cache0: Optional[Any] = None,
+    prompt_len: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """prompt: [B, P] int32 -> generated tokens [B, steps] int32.
 
@@ -93,6 +109,10 @@ def generate(
     cache0: optional pre-built cache (e.g. PerformanceRNN's latent-derived
     hidden via init_cache(init=z), matching init_to_hidden at
     network.py:89-95); defaults to model.init_cache(batch, max_len).
+    prompt_len: optional DYNAMIC scalar — the true prompt length when
+    `prompt` is padded to a static bucket (pad MusicTransformer prompts
+    with pad_id; RNN prompt padding is gated off the state). One compile
+    then serves every prime length in the bucket.
     """
     b, p = prompt.shape
     dp = decode_params
@@ -101,20 +121,32 @@ def generate(
             f"prompt ({p}) + steps ({dp.steps}) exceeds cache max_len "
             f"({dp.max_len}); the KV cache would overflow")
     if controls is not None:
+        if prompt_len is not None:
+            raise ValueError("controls + bucketed prompt_len are not "
+                             "supported together (control/step alignment "
+                             "assumes the unpadded prompt)")
         controls = expand_controls(controls, p + dp.steps)
         ctrl_prompt, ctrl_gen = controls[:p], controls[p:]
     if controls is None and cache0 is None and hasattr(model, "prefill"):
         # one-pass parallel prompt ingestion (MusicTransformer)
-        last_logits, cache = model.apply({"params": params}, prompt,
-                                         dp.max_len, method=model.prefill)
-        t = jnp.int32(p)
+        if prompt_len is None:
+            last_logits, cache = model.apply(
+                {"params": params}, prompt, dp.max_len,
+                method=model.prefill)
+            t = jnp.int32(p)
+        else:
+            last_logits, cache = model.apply(
+                {"params": params}, prompt, dp.max_len, prompt_len - 1,
+                method=model.prefill)
+            t = jnp.asarray(prompt_len, jnp.int32)
     else:
         cache = (cache0 if cache0 is not None else
                  model.apply({"params": params}, b, dp.max_len,
                              method=model.init_cache))
         cache, t, last_logits = _prefill(
             model, params, prompt, cache, jnp.int32(0),
-            controls=None if controls is None else ctrl_prompt)
+            controls=None if controls is None else ctrl_prompt,
+            prompt_len=prompt_len)
 
     def body(carry, inp):
         cache, t, logits = carry

@@ -269,11 +269,17 @@ class MusicTransformer(nn.Module):
         logits = self.fc(h).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 
-    def prefill(self, x: jnp.ndarray, cache_len: int):
+    def prefill(self, x: jnp.ndarray, cache_len: int, last_idx=None):
         """One-pass prompt ingestion: a single (pallas-accelerated)
         parallel forward fills the KV cache — O(1) forwards for a
         P-token prompt instead of the scan's P sequential decode steps.
-        x: [B, P] -> (last-position logits [B, vocab], cache)."""
+        x: [B, P] -> (last-position logits [B, vocab], cache).
+
+        last_idx: optional DYNAMIC position whose logits to return
+        (bucketed-prompt decoding: x is padded to a static bucket length
+        and the true prompt ends at last_idx; causal masking keeps the
+        trailing pad tokens from influencing any position <= last_idx,
+        and generation overwrites their cache rows)."""
         b, p = x.shape
         mask = causal_pad_mask(x, self.pad_id)
         key_pad = (x == self.pad_id).astype(jnp.float32)
@@ -290,7 +296,12 @@ class MusicTransformer(nn.Module):
                 k_all, k_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
-        logits = self.fc(h[:, -1]).astype(jnp.float32)
+        if last_idx is None:
+            h_last = h[:, -1]
+        else:
+            h_last = jax.lax.dynamic_index_in_dim(
+                h, last_idx, axis=1, keepdims=False)
+        logits = self.fc(h_last).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 
 

@@ -68,6 +68,19 @@ def _load():
             lib.mg_parse.restype = ctypes.POINTER(_MgParse)
             lib.mg_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
             lib.mg_free.argtypes = [ctypes.POINTER(_MgParse)]
+            _f64 = np.ctypeslib.ndpointer(np.float64, flags="C")
+            _i64 = np.ctypeslib.ndpointer(np.int64, flags="C")
+            _u16 = np.ctypeslib.ndpointer(np.uint16, flags="C")
+            lib.mg_encode_midilike.restype = ctypes.c_int64
+            lib.mg_encode_midilike.argtypes = [
+                _f64, _f64, _i64, _i64, ctypes.c_int64,      # notes
+                _f64, ctypes.c_int64, _f64, ctypes.c_int64,  # bins
+                ctypes.c_int64, ctypes.c_int64,              # pitch range
+                ctypes.c_int64, ctypes.c_int64,              # vel range
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,              # id offsets
+                _u16, ctypes.c_int64,                        # out
+            ]
             _lib = lib
         except OSError:
             _lib = None
@@ -76,6 +89,43 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def encode_midilike(starts: np.ndarray, ends: np.ndarray,
+                    pitches: np.ndarray, vels: np.ndarray,
+                    vel_bins: np.ndarray, ts_bins: np.ndarray,
+                    pitch_range, vel_range,
+                    offsets) -> Optional[np.ndarray]:
+    """MIDI-like event emission in C++ (smf_scan.cc mg_encode_midilike;
+    reference algorithm sequence.py:145-183). Notes must already be in
+    the reference NoteSeq order. `offsets` = (note_on, note_off,
+    velocity, time_shift) token-id starts from the vocab spec. None =
+    library unavailable (caller falls back to Python)."""
+    lib = _load()
+    if lib is None or getattr(lib, "mg_encode_midilike", None) is None:
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, np.float64)
+    ends = np.ascontiguousarray(ends, np.float64)
+    pitches = np.ascontiguousarray(pitches, np.int64)
+    vels = np.ascontiguousarray(vels, np.int64)
+    vel_bins = np.ascontiguousarray(vel_bins, np.float64)
+    ts_bins = np.ascontiguousarray(ts_bins, np.float64)
+    # 3 tokens per note + greedy shifts: <= span/bins[-1] full bins total
+    # plus at most 2 sub-max tokens per gap (3n-1 gaps)
+    span = float(ends.max() - starts.min()) if n else 0.0
+    cap = int(3 * n + span / float(ts_bins[-1]) + 6 * n + 64)
+    out = np.empty(cap, np.uint16)
+    m = lib.mg_encode_midilike(
+        starts, ends, pitches, vels, n,
+        vel_bins, len(vel_bins), ts_bins, len(ts_bins),
+        pitch_range.start, pitch_range.stop,
+        vel_range.start, vel_range.stop,
+        offsets[0], offsets[1], offsets[2], offsets[3],
+        out, cap)
+    if m < 0:
+        return None
+    return out[:m].copy()
 
 
 def parse_midi_bytes(data: bytes) -> Optional[Dict[str, np.ndarray]]:

@@ -252,4 +252,69 @@ void mg_free(MgParse* p) {
     std::free(p);
 }
 
+// MIDI-like event emission (the tokenizer hot loop after SMF parsing).
+//
+// Exact C++ transcription of the reference algorithm
+// (mg/model/utils/sequence.py:145-183), oracle-tested against the Python
+// EventSeq.from_note_seq in tests/test_native_smf.py:
+//   * per note IN CALLER ORDER: clip velocity to [vel_lo, vel_hi-1],
+//     velocity index = searchsorted-left over vel_bins, emit
+//     (velocity, note_on) at start and note_off at end; pitches outside
+//     [pitch_lo, pitch_hi) are dropped (:151-163),
+//   * stable sort all events by time (:164),
+//   * between consecutive events greedily emit time_shift tokens:
+//     index = searchsorted-right(bins, remainder) - 1 while remainder >=
+//     bins[0] (:174-181) — IEEE-double identical to the numpy loop.
+//
+// Bin arrays and token-id offsets are PASSED IN from the Python vocab
+// spec so the constants live in exactly one place. Returns the token
+// count, or -1 if `cap` is too small (caller falls back to Python).
+int64_t mg_encode_midilike(
+    const double* starts, const double* ends,
+    const int64_t* pitches, const int64_t* vels, int64_t n,
+    const double* vel_bins, int64_t n_vel,
+    const double* ts_bins, int64_t n_ts,
+    int64_t pitch_lo, int64_t pitch_hi,
+    int64_t vel_lo, int64_t vel_hi,
+    int64_t off_on, int64_t off_off, int64_t off_vel, int64_t off_ts,
+    uint16_t* out, int64_t cap) {
+    struct Ev { double t; uint16_t tok; };
+    std::vector<Ev> evs;
+    evs.reserve(static_cast<size_t>(3 * n));
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = pitches[i];
+        if (p < pitch_lo || p >= pitch_hi) continue;
+        int64_t v = vels[i];
+        if (v < vel_lo) v = vel_lo;
+        if (v > vel_hi - 1) v = vel_hi - 1;
+        int64_t vi = std::lower_bound(vel_bins, vel_bins + n_vel,
+                                      static_cast<double>(v)) - vel_bins;
+        evs.push_back({starts[i], static_cast<uint16_t>(off_vel + vi)});
+        evs.push_back({starts[i],
+                       static_cast<uint16_t>(off_on + (p - pitch_lo))});
+        evs.push_back({ends[i],
+                       static_cast<uint16_t>(off_off + (p - pitch_lo))});
+    }
+    std::stable_sort(evs.begin(), evs.end(),
+                     [](const Ev& a, const Ev& b) { return a.t < b.t; });
+    int64_t m = 0;
+    if (n_ts <= 0) return -1;
+    const double bin0 = ts_bins[0];
+    for (size_t i = 0; i < evs.size(); ++i) {
+        if (m >= cap) return -1;
+        out[m++] = evs[i].tok;
+        if (i + 1 == evs.size()) break;
+        double interval = evs[i + 1].t - evs[i].t;
+        double shift = 0.0;
+        while (interval - shift >= bin0) {
+            int64_t idx = (std::upper_bound(ts_bins, ts_bins + n_ts,
+                                            interval - shift) - ts_bins) - 1;
+            if (m >= cap) return -1;
+            out[m++] = static_cast<uint16_t>(off_ts + idx);
+            shift += ts_bins[idx];
+        }
+    }
+    return m;
+}
+
 }  // extern "C"

@@ -223,22 +223,34 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
     return out.reshape(b, h, l, dh), lse
 
 
+def autotuned_bwd_blocks(l: int) -> tuple:
+    """Backward block sizes measured on v5e (dh=64, bf16, B6H4, one-pass
+    fused backward; /tmp-sweep recorded in BASELINE.md): a narrow query
+    block with the widest kv block that divides L wins at every L —
+    (128, 512) beats 256x256 by 4-24% and the XLA path by 1.35x (L=2048)
+    to 2.85x (L=4096)."""
+    for bk in (512, 256, 128):
+        if l % bk == 0 and l % 128 == 0:
+            return 128, bk
+    return 128, 128  # _bwd falls back to XLA if these don't divide L
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def fused_relative_attention(q, k, v, e, key_pad=None,
                              block_q: int = 128, block_k: int = 128,
                              causal: bool = True,
                              interpret: bool = False,
-                             bwd_block_q: int = 256,
-                             bwd_block_k: int = 256):
+                             bwd_block_q: int = 0,
+                             bwd_block_k: int = 0):
     """Flash-style fused relative attention.
 
     q/k/v: [B, H, L, dh]; e: [max_seq, dh]; key_pad: optional [B, L]
     (1.0 = padded key, reference mask convention). Causal by default
     (the reference model is decoder-only). Returns [B, H, L, dh].
 
-    Block sizes are tuned separately per direction (v5e, L=2048, dh=64):
-    128x128 is fastest forward; the backward prefers 256x256 (more MXU
-    work per tile amortizes the logit recompute + shear).
+    Forward blocks 128x128 measured fastest on v5e at dh=64; backward
+    blocks default to the per-L autotune table (pass bwd_block_q/k > 0
+    to override).
     """
     out, _ = _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k,
                              causal, interpret)
@@ -261,6 +273,76 @@ def _xla_equivalent(q, k, v, e, key_pad, causal: bool):
         for p in pieces[1:]:
             mask = jnp.maximum(mask, p)
     return relative_global_attention(q, k, v, e, mask)
+
+
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
+                      lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, de_ref,
+                      *, block_q: int, block_k: int, max_seq: int,
+                      causal: bool):
+    """ONE-PASS backward: each (i, qi) grid step recomputes its causal
+    row of tiles once and scatters all four gradients — dQ to its own
+    block, dK/dV into full-row outputs revisited across qi (init at
+    qi==0), dE into a full output revisited across the whole grid.
+    Halves the tile-logit recompute vs the split dQ+dE / dK+dV pair."""
+    i = pl.program_id(0)
+    qi = pl.program_id(1)
+    t0 = qi * block_q
+    kv_len = k_ref.shape[1]
+    dh = q_ref.shape[-1]
+    w = block_q + block_k
+    scale = 1.0 / math.sqrt(dh)
+
+    @pl.when((i == 0) & (qi == 0))
+    def _init_de():
+        de_ref[...] = jnp.zeros_like(de_ref)
+
+    @pl.when(qi == 0)
+    def _init_dkv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, pl.ds(t0, block_q), :]      # [BQ, 1]
+    delta = delta_ref[0, pl.ds(t0, block_q), :]  # [BQ, 1]
+    cdt = q.dtype
+
+    n_kv = kv_len // block_k
+    n_kv_live = (jnp.minimum((t0 + block_q - 1) // block_k + 1, n_kv)
+                 if causal else n_kv)
+
+    def body(j, dq):
+        s0 = j * block_k
+        v_blk = v_ref[0, pl.ds(s0, block_k), :]
+        logits, k_blk, e_blk, base = _tile_logits(
+            q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
+            causal, scale)
+        p = jnp.exp(logits - lse)                    # [BQ, BK] f32
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        g = p * (dp - delta)                         # dL/dlogits
+        gs_f32 = g * scale
+        gs = gs_f32.astype(cdt)
+        dq = dq + jax.lax.dot_general(gs, k_blk, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        # shear in f32 (Mosaic's rotate is 32-bit only), matmuls in cdt
+        dqe = _unshear(gs_f32, block_q, w).astype(cdt)  # [BQ, W]
+        dq = dq + jax.lax.dot_general(dqe, e_blk, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        de_ref[pl.ds(base, w), :] += jax.lax.dot_general(
+            dqe, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [W, dh]
+        dk_ref[0, pl.ds(s0, block_k), :] += jax.lax.dot_general(
+            gs, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [BK, dh]
+        dv_ref[0, pl.ds(s0, block_k), :] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq
+
+    dq = jax.lax.fori_loop(0, n_kv_live, body,
+                           jnp.zeros((block_q, dh), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
@@ -369,12 +451,21 @@ def _fwd(q, k, v, e, key_pad, block_q, block_k, causal, interpret,
     return out, (q, k, v, e, key_pad, out, lse)
 
 
+# backward implementation: "fused" = one-pass dQ+dK+dV+dE kernel;
+# "split" = the round-1 pair (dQ+dE kernel, then dK+dV kernel). Module
+# switch so bench.py can compare; "fused" measured faster (one tile-logit
+# recompute instead of two).
+BWD_IMPL = "fused"
+
+
 def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
          bwd_block_k, res, g):
     """Fused flash-style backward: O(L*dh) residuals, p recomputed per
     tile from the saved LSE; dE gathered by the inverse shear."""
     del fwd_block_q, fwd_block_k
     q, k, v, e, key_pad, out, lse = res
+    if bwd_block_q <= 0 or bwd_block_k <= 0:
+        bwd_block_q, bwd_block_k = autotuned_bwd_blocks(q.shape[2])
     block_q, block_k = bwd_block_q, bwd_block_k
     if q.shape[2] % block_q or q.shape[2] % block_k:
         block_q = block_k = 128  # fall back for short/odd lengths
@@ -416,6 +507,42 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
                           memory_space=pltpu.VMEM)
     pad_spec = pl.BlockSpec((1, 1, l), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+
+    if BWD_IMPL == "fused":
+        fused_kernel = functools.partial(
+            _bwd_fused_kernel, block_q=block_q, block_k=block_k,
+            max_seq=max_seq, causal=causal)
+        dqf, dkf, dvf, de_padded = pl.pallas_call(
+            fused_kernel,
+            grid=(bh, l // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),    # q block
+                row_spec, row_spec, e_spec, pad_spec,
+                pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),    # dO block
+                col_spec, col_spec,                       # lse, delta
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),    # dq per block
+                row_spec,    # dk: revisited full row (accum over qi)
+                row_spec,    # dv
+                e_spec,      # dE: revisited across the whole grid
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, l, dh), q.dtype),
+                jax.ShapeDtypeStruct((bh, l, dh), jnp.float32),
+                jax.ShapeDtypeStruct((bh, l, dh), jnp.float32),
+                jax.ShapeDtypeStruct((max_seq + slack, dh), jnp.float32),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, e_padded, padf, dof, lse, delta)
+        dq = dqf.reshape(b, h, l, dh).astype(q.dtype)
+        dk = dkf.reshape(b, h, l, dh).astype(k.dtype)
+        dv = dvf.reshape(b, h, l, dh).astype(v.dtype)
+        de = de_padded[:max_seq].astype(e.dtype)
+        return dq, dk, dv, de, None
 
     dq_kernel = functools.partial(
         _bwd_dq_de_kernel, block_q=block_q, block_k=block_k,

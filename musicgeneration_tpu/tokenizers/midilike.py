@@ -349,6 +349,67 @@ def extract_events(path: str) -> EventSeq:
     return EventSeq.from_note_seq(ns)
 
 
+def encode_array(path: str) -> np.ndarray:
+    """`extract_events(path).to_array()` with NO intermediate Note/Event
+    objects: native SMF parse -> numpy note arrays -> C++ event emission
+    (native/smf_scan.cc mg_encode_midilike, the corpus-pipeline hot
+    path). Falls back to the Python object path — the semantics oracle —
+    when the native library is unavailable; equivalence is tested file-
+    by-file in tests/test_native_smf.py.
+    """
+    import os
+
+    from .. import native
+
+    if os.environ.get("MG_NATIVE", "1") == "0" or not native.available():
+        return extract_events(path).to_array()
+    with open(path, "rb") as f:
+        data = f.read()
+    p = native.parse_midi_bytes(data)
+    if p is None:
+        return extract_events(path).to_array()
+
+    from ..midi.smf import DRUM_CHANNEL
+    from ..midi.timing import TempoMap
+
+    notes = p["notes"]  # [n,7] track,ch,prog,pitch,vel,start,end
+    notes = notes[notes[:, 1] != DRUM_CHANNEL]  # NoteSeq skips drums
+    if not len(notes):
+        return np.zeros(0, SPEC.array_dtype())
+    # replicate the object path's note order exactly: instruments in
+    # first-occurrence order (smf.py _build_from_native), notes within an
+    # instrument sorted (start, pitch), the concatenation stable-sorted
+    # by start (NoteSeq.add_notes) => lexsort (pitch, inst_rank, start)
+    nk = notes[:, 0] * (16 * 128) + notes[:, 1] * 128 + notes[:, 2]
+    uniq, first, inv = np.unique(nk, return_index=True,
+                                 return_inverse=True)
+    rank = np.empty(len(uniq), np.int64)
+    rank[np.argsort(first)] = np.arange(len(uniq))
+    inst_rank = rank[inv]
+
+    tm = TempoMap([(int(t), int(us)) for t, us in p["tempos"]],
+                  p["ticks_per_beat"])
+    starts = tm.tick_to_time(notes[:, 5])
+    ends = tm.tick_to_time(notes[:, 6])
+    order = np.lexsort((notes[:, 3], inst_rank, starts))
+    starts, ends = starts[order], ends[order]
+    pitches, vels = notes[order, 3], notes[order, 4]
+    t0 = starts[0]  # == min: final order is start-major (adjust_time)
+    starts = starts - t0
+    ends = ends - t0
+
+    ranges = SPEC.feat_ranges()
+    ids = native.encode_midilike(
+        starts, ends, pitches, vels,
+        EventSeq.get_velocity_bins(), EventSeq.time_shift_bins,
+        EventSeq.pitch_range, EventSeq.velocity_range,
+        (ranges["note_on"].start, ranges["note_off"].start,
+         ranges["velocity"].start, ranges["time_shift"].start))
+    if ids is None:
+        return extract_events(path).to_array()
+    return ids.astype(SPEC.array_dtype())
+
+
 def to_array(event_seq: EventSeq) -> np.ndarray:
     return event_seq.to_array()
 

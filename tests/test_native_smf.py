@@ -119,3 +119,55 @@ def test_native_tokenizer_equivalence(tmp_path):
     a2 = midilike.extract_events(path).to_array()
     os.environ["MG_NATIVE"] = "1"
     np.testing.assert_array_equal(a1, a2)
+
+
+@pytest.mark.parametrize("builder", [simple_piano_midi, polyphonic_midi,
+                                     multitrack_midi, tempo_change_midi])
+def test_native_encode_array_matches_python(builder, tmp_path):
+    """The all-native fast path (C++ parse + C++ event emission,
+    midilike.encode_array) == the Python object path on every fixture
+    type — note ordering, velocity clipping/binning, greedy time-shift
+    emission (smf_scan.cc mg_encode_midilike vs sequence.py:145-183)."""
+    from musicgeneration_tpu.tokenizers import midilike
+
+    path = str(tmp_path / "e.mid")
+    builder(path)
+    fast = midilike.encode_array(path)
+    os.environ["MG_NATIVE"] = "0"
+    slow = midilike.extract_events(path).to_array()
+    os.environ["MG_NATIVE"] = "1"
+    np.testing.assert_array_equal(fast, slow)
+
+
+def test_native_encode_array_fuzz(tmp_path):
+    """Randomized corpora: edge velocities (0/127), out-of-range pitches,
+    simultaneous onsets across instruments, long gaps (multi-bin
+    time-shift emission incl. the float-drop quirk)."""
+    from musicgeneration_tpu.midi import (Instrument, MidiFile, Note,
+                                          TempoChange)
+    from musicgeneration_tpu.tokenizers import midilike
+
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        m = MidiFile(ticks_per_beat=480)
+        m.tempo_changes = [TempoChange(120, 0)]
+        m._tempo_raw = [(0, 500000)]
+        for inst_i in range(rng.randint(1, 4)):
+            inst = Instrument(rng.randint(0, 128), False, f"i{inst_i}")
+            n = rng.randint(5, 60)
+            starts = np.sort(rng.randint(0, 20000, n))
+            durs = rng.randint(1, 4000, n)
+            for s, du in zip(starts, durs):
+                inst.notes.append(Note(
+                    velocity=int(rng.choice([0, 1, 20, 21, 64, 108, 127])),
+                    pitch=int(rng.choice([10, 20, 21, 22, 60, 107, 108,
+                                          120])),
+                    start=int(s), end=int(s + du)))
+            m.instruments.append(inst)
+        path = str(tmp_path / f"fz{trial}.mid")
+        m.dump(path)
+        fast = midilike.encode_array(path)
+        os.environ["MG_NATIVE"] = "0"
+        slow = midilike.extract_events(path).to_array()
+        os.environ["MG_NATIVE"] = "1"
+        np.testing.assert_array_equal(fast, slow, err_msg=f"trial {trial}")

@@ -137,6 +137,59 @@ class TestDecodeEngine:
             seq = np.concatenate([seq, [[nxt]]], axis=1)
         np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(slow))
 
+    def test_bucketed_prompt_matches_unbucketed(self, setup):
+        """A prompt padded to a static bucket with pad_id + dynamic
+        prompt_len must generate the SAME tokens as the unpadded prompt
+        (the pads are causally masked and their cache rows overwritten),
+        and two true lengths in one bucket must share ONE compile
+        (VERDICT round-1 #7: no per-prime-length decode recompiles)."""
+        model, params = setup
+        dp = DecodeParams(max_len=24, steps=8,
+                          sampling=SamplingParams(temperature=1.0))
+        rng = jax.random.PRNGKey(5)
+        for p_true in (3, 6):
+            prompt = jax.random.randint(jax.random.PRNGKey(p_true),
+                                        (2, p_true), 0, VOCAB - 1)
+            plain = generate(model, params, prompt, rng, dp)
+            padded = jnp.pad(prompt, ((0, 0), (0, 8 - p_true)),
+                             constant_values=model.pad_id)
+            bucketed = generate(model, params, padded, rng, dp, None,
+                                None, jnp.int32(p_true))
+            np.testing.assert_array_equal(np.asarray(bucketed),
+                                          np.asarray(plain))
+        # one compile for both bucketed lengths: the traced signature is
+        # identical (static bucket shape, dynamic prompt_len)
+        before = generate._cache_size()
+        for p_true in (4, 7):
+            prompt = jax.random.randint(jax.random.PRNGKey(p_true),
+                                        (2, p_true), 0, VOCAB - 1)
+            padded = jnp.pad(prompt, ((0, 0), (0, 8 - p_true)),
+                             constant_values=model.pad_id)
+            generate(model, params, padded, rng, dp, None, None,
+                     jnp.int32(p_true))
+        assert generate._cache_size() == before  # already traced above
+
+    def test_bucketed_prompt_rnn_gated_prefill(self):
+        """RNN (scan-prefill) path: padded prompt steps must not touch
+        the hidden state — bucketed == unbucketed continuations."""
+        from musicgeneration_tpu.models import EventMelodyRNN
+
+        model = EventMelodyRNN(event_dim=40, init_dim=8, hidden_dim=32,
+                               num_layers=2, dropout_rate=0.0)
+        init = jnp.zeros((2, 8))
+        events = jnp.zeros((5, 2), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), init, events)["params"]
+        dp = DecodeParams(max_len=24, steps=8,
+                          sampling=SamplingParams(temperature=1.0))
+        rng = jax.random.PRNGKey(5)
+        prompt = jax.random.randint(jax.random.PRNGKey(9), (2, 5), 0, 39)
+        plain = generate(model, params, prompt, rng, dp)
+        padded = jnp.pad(prompt, ((0, 0), (0, 3)))  # pad value gated off
+        bucketed = generate(model, params, padded, rng, dp, None, None,
+                            jnp.int32(5))
+        np.testing.assert_array_equal(np.asarray(bucketed),
+                                      np.asarray(plain))
+
     def test_sampling_transforms(self):
         logits = jnp.asarray([[0.0, 1.0, 2.0, 10.0]])
         # greedy
