@@ -65,6 +65,9 @@ def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
         pedal_midilike.decode_midi([int(t) for t in tokens], path)
     elif scheme == "melody":
         from ..tokenizers import melody
+        # drop sampled pad ids (the melody+transformer config adds a pad
+        # slot above the 130-id note-array vocab)
+        tokens = tokens[tokens < melody.MELODY_VOCAB]
         melody.note_array_to_midi(tokens, path)
     else:
         raise ValueError(f"cannot write scheme {scheme!r}")

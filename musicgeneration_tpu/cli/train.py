@@ -204,7 +204,15 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
         model_kwargs["dtype"] = jnp.dtype(model_kwargs["dtype"]).type
 
     if name == "music_transformer":
-        vocab = model_kwargs.pop("vocab_size", _default_vocab(scheme))
+        default_vocab = _default_vocab(scheme)
+        if scheme == "melody":
+            # melody note-arrays use the full 130-id vocab (129 = the
+            # meaningful no-event token, midi2note.py:6-11), so the
+            # transformer's pad id must be a NEW id on top — covers the
+            # reference's tran_transformer.py experiment (a transformer
+            # LM over note arrays) without masking real tokens
+            default_vocab += 1
+        vocab = model_kwargs.pop("vocab_size", default_vocab)
         if mesh is not None and mesh.shape.get("seq", 1) > 1:
             model_kwargs = {**model_kwargs, "attention_impl": "ring",
                             "mesh": mesh}

@@ -84,6 +84,41 @@ def test_train_melody_rnn(tmp_path):
     _train(tok, tmp_path, "melody_rnn", ["model.hidden_dim=16"])
 
 
+def test_train_melody_transformer_and_overfit_one_midi(tmp_path):
+    """MelodyRNN-folder closeout (VERDICT round-1 #9): a transformer LM
+    over melody note arrays (the reference's tran_transformer.py
+    experiment) trains through the CLI, and overfitting a SINGLE midi
+    (train_one_midi.py's intent) drives the loss down hard."""
+    import json as _json
+
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    from musicgeneration_tpu.cli.train import main as train_main
+
+    midi_dir = tmp_path / "mt1"
+    midi_dir.mkdir()
+    simple_piano_midi(str(midi_dir / "one.mid"), seed=3, n_notes=120)
+    tok = str(tmp_path / "tok_one")
+    assert tokenize_main([str(midi_dir), tok, "--scheme", "melody",
+                          "--workers", "1"]) == 0
+    ckpt = str(tmp_path / "ckpt_melody_tr")
+    metrics = str(tmp_path / "m_melody_tr.jsonl")
+    argv = [tok, "model=music_transformer", "steps=150", "batch_size=2",
+            "seq_len=32", "ckpt_every=150", "log_every=1", "peak_lr=3e-3",
+            "warmup_steps=10", f"ckpt_dir={ckpt}",
+            f"metrics_path={metrics}", "model.dropout_rate=0.0",
+            "model.num_layers=1", "model.d_model=64"]
+    assert train_main(argv) == 0
+    lines = [_json.loads(l) for l in open(metrics)]
+    first, last = lines[0]["loss"], lines[-1]["loss"]
+    assert last < first * 0.5, f"no overfit: {first} -> {last}"
+    out_mid = str(tmp_path / "melody_tr.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "24",
+                     "--prime", str(midi_dir / "one.mid"),
+                     "--prime-len", "16"]) == 0
+    assert os.path.getsize(out_mid) > 0
+
+
 def test_train_popmag(tmp_path):
     from musicgeneration_tpu.cli.tokenize import main as tokenize_main
     midi_dir = tmp_path / "mt"
