@@ -195,6 +195,9 @@ def main(argv=None) -> int:
                              "(melody -> arrangement seq2seq)")
         _generate_arrangement(model, params, cfg, args)
         return 0
+    if cfg.model == "cp_transformer":
+        _generate_cp(model, params, cfg, args)
+        return 0
 
     controls = cache0 = None
     if args.control is not None:
@@ -340,6 +343,37 @@ def _beam_decode(model, params, prompt: np.ndarray, args,
         stochastic=args.stochastic_beam, state_batch_axis=1,
         per_step_inputs=per_step)
     return np.asarray(seq[0])
+
+
+def _generate_cp(model, params, cfg, args) -> None:
+    """Compound-word continuation: prime rows from a MIDI (or a bare
+    bar-marker row) -> type-first sampled rows -> MIDI."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode.cp_generate import generate_cp
+    from ..tokenizers import cp as cp_codec
+
+    if args.prime is not None:
+        rows = cp_codec.extract_events(args.prime)[:args.prime_len]
+        if not len(rows):
+            raise SystemExit("prime MIDI produced no CP rows")
+    else:
+        import numpy as _np
+        rows = _np.asarray(
+            [cp_codec._row(cp_codec.FAMILY_METRIC, position=0)],
+            _np.int32)  # start at a bar marker
+    rows = rows[:max(1, model.max_seq - args.steps)]  # fit the table
+    prompt = jnp.asarray(rows, jnp.int32)[None]
+    out = generate_cp(model, params, prompt,
+                      jax.random.PRNGKey(args.seed), steps=args.steps,
+                      max_len=rows.shape[0] + args.steps,
+                      temperature=args.temperature or 1.0,
+                      greedy=(args.temperature == 0.0))
+    all_rows = np.concatenate([rows, out[0]]) if args.include_prime \
+        else out[0]
+    cp_codec.write_midi(all_rows, args.output)
+    print(f"wrote {args.output} ({len(all_rows)} compound rows)")
 
 
 def _generate_arrangement(model, params, cfg, args) -> None:

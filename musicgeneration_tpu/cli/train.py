@@ -148,6 +148,27 @@ def _control_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
         yield xs, cs
 
 
+def _cp_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+    """Random crops of seq_len+1 COMPOUND ROWS (shards store the [T, 8]
+    arrays flattened; width 8 is fixed by the scheme)."""
+    from ..tokenizers.cp import WIDTH
+
+    seqs = [np.asarray(corpus[i]).reshape(-1, WIDTH)
+            for i in range(len(corpus))]
+    seqs = [s for s in seqs if len(s) > cfg.seq_len]
+    if not seqs:
+        raise ValueError(f"no CP sequence longer than {cfg.seq_len} rows")
+    rng = np.random.RandomState(cfg.seed)
+    b = cfg.batch_size * cfg.accum_steps
+    while True:
+        xs = np.zeros((b, cfg.seq_len + 1, WIDTH), np.int32)
+        for row in range(b):
+            s = seqs[rng.randint(0, len(seqs))]
+            start = rng.randint(0, len(s) - cfg.seq_len)
+            xs[row] = s[start:start + cfg.seq_len + 1]
+        yield xs[:, :-1], xs[:, 1:]
+
+
 def _popmag_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
     from ..data.mumidi_packing import pack_batch
     from ..tokenizers.mumidi import MuMIDI_EventSeq
@@ -296,6 +317,33 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
 
         return model, tcfg, apply_fn, None, adapter
 
+    if name == "cp_transformer":
+        model = cls(**{**defaults(max_seq=cfg.seq_len), **model_kwargs})
+        tcfg = TrainerConfig(
+            vocab_size=0, label_smoothing=0.0, d_model=model.d_model,
+            warmup_steps=cfg.warmup_steps, accum_steps=cfg.accum_steps,
+            max_grad_norm=cfg.max_grad_norm, peak_lr=cfg.peak_lr)
+
+        def cp_loss_fn(params, x, y, rng):
+            # mean CE over the 8 field heads (equal weights; the CP paper
+            # weights them, an easy later knob)
+            logits = model.apply({"params": params}, x,
+                                 deterministic=False,
+                                 rngs={"dropout": rng})
+            loss = 0.0
+            acc = 0.0
+            for i, lg in enumerate(logits):
+                lp = jax.nn.log_softmax(lg, axis=-1)
+                tgt = y[..., i]
+                loss += -jnp.take_along_axis(
+                    lp, tgt[..., None], axis=-1).mean()
+                acc += jnp.mean(
+                    (jnp.argmax(lg, axis=-1) == tgt).astype(jnp.float32))
+            n = len(logits)
+            return loss / n, acc / n
+
+        return model, tcfg, None, cp_loss_fn, lambda b: b
+
     if name == "popmag":
         from ..train.objective import popmag_masked_loss
 
@@ -365,6 +413,9 @@ def main(argv=None) -> int:
     key = "melody" if scheme == "mumidi" else "tokens"
     if cfg.model == "popmag":
         limlen = 0
+    elif cfg.model == "cp_transformer":
+        # shards store flattened [T, 8] rows; limlen counts flat tokens
+        limlen = (cfg.seq_len + 1) * 8
     elif cfg.train_mode == "segment":
         # segment mode shrinks its window to the SHORTEST sequence
         # (reference train.py:312) — don't pre-filter short files away
@@ -394,6 +445,8 @@ def main(argv=None) -> int:
 
     if cfg.model == "popmag":
         batches = _popmag_batches(corpus, cfg)
+    elif cfg.model == "cp_transformer":
+        batches = _cp_batches(corpus, cfg)
     elif cfg.model == "performance_rnn" and scheme == "midilike_control":
         batches = _control_batches(corpus, cfg)
     elif cfg.train_mode == "segment":
@@ -464,7 +517,7 @@ def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig,
 
     x, _y = example
     init_rng, dropout_rng = jax.random.split(rng)
-    if cfg.model == "music_transformer":
+    if cfg.model in ("music_transformer", "cp_transformer"):
         variables = model.init(init_rng, x[:1])
     elif cfg.model == "melody_rnn":
         variables = model.init(init_rng, x[:1].T)

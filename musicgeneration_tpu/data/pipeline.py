@@ -96,6 +96,14 @@ def _tokenize_melody(path: str) -> Dict[str, np.ndarray]:
     return {"tokens": melody.midi_to_note_array(path).astype(np.int16)}
 
 
+def _tokenize_cp(path: str) -> Dict[str, np.ndarray]:
+    """Compound Word rows [T, 8] stored FLATTENED (width 8 is fixed by
+    the scheme; reshape(-1, 8) on load) — the reference README's
+    'CP(to do)' scheme, built here (tokenizers/cp.py)."""
+    from ..tokenizers import cp
+    return {"tokens": cp.extract_events(path).reshape(-1)}
+
+
 SCHEMES: Dict[str, Callable[[str], Dict[str, np.ndarray]]] = {
     "midilike": _tokenize_midilike,
     "midilike_control": _tokenize_midilike_control,
@@ -103,6 +111,7 @@ SCHEMES: Dict[str, Callable[[str], Dict[str, np.ndarray]]] = {
     "mumidi": _tokenize_mumidi,
     "pedal": _tokenize_pedal,
     "melody": _tokenize_melody,
+    "cp": _tokenize_cp,
 }
 
 

@@ -1,0 +1,96 @@
+"""Compound-word generation: one lax.scan over CP rows.
+
+Follows the Compound Word Transformer's type-first sampling (Hsiao et
+al. 2021): sample the FAMILY field, then the remaining fields, then
+force the fields the sampled family does not own to their ignore ids —
+so a metric row never carries pitch/duration/velocity and a note row
+never carries position/tempo/chord, no matter what the heads said.
+Whole continuation = one compiled program (KV-cached decode_step), like
+decode/engine.py for flat-token models.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tokenizers import cp
+
+# field index -> owning family (None = family field itself)
+_METRIC_FIELDS = (1, 2, 3, 4)
+_NOTE_FIELDS = (5, 6, 7)
+
+
+def _mask_row(row: jnp.ndarray) -> jnp.ndarray:
+    """Force ignore ids on fields not owned by the sampled family."""
+    ign = jnp.asarray(cp.ignore_ids(), jnp.int32)
+    fam = row[:, 0:1]
+    is_note = fam == cp.FAMILY_NOTE
+    out = row
+    for f in _METRIC_FIELDS:
+        out = out.at[:, f].set(
+            jnp.where(is_note[:, 0], ign[f], out[:, f]))
+    for f in _NOTE_FIELDS:
+        out = out.at[:, f].set(
+            jnp.where(~is_note[:, 0], ign[f], out[:, f]))
+    return out
+
+
+def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
+                steps: int, max_len: Optional[int] = None,
+                temperature: float = 1.0,
+                greedy: bool = False) -> np.ndarray:
+    """prompt_rows: [B, P, 8] int32 -> generated rows [B, steps, 8].
+
+    The prompt is ingested with the scan prefill; each generated step
+    samples all 8 heads (family first in masking priority) and feeds the
+    masked row back through the KV-cached decode_step.
+    """
+    b, p, _ = prompt_rows.shape
+    max_len = max_len or (p + steps)
+    if p + steps > max_len:
+        raise ValueError("prompt + steps exceeds max_len")
+
+    @jax.jit
+    def run(params, prompt_rows, rng):
+        cache = model.apply({"params": params}, b, max_len,
+                            method=model.init_cache)
+
+        def prefill_body(carry, row):
+            cache, t = carry
+            logits, cache = model.apply({"params": params}, row, cache, t,
+                                        method=model.decode_step)
+            return (cache, t + 1), logits
+
+        (cache, t), logits_seq = jax.lax.scan(
+            prefill_body, (cache, jnp.int32(0)),
+            prompt_rows.transpose(1, 0, 2))
+        last = [lg[-1] for lg in logits_seq]  # list of [B, fd]
+
+        def sample_row(rng_i, logits):
+            keys = jax.random.split(rng_i, len(logits))
+            cols = []
+            for k, lg in zip(keys, logits):
+                if greedy:
+                    cols.append(jnp.argmax(lg, axis=-1).astype(jnp.int32))
+                else:
+                    cols.append(jax.random.categorical(
+                        k, lg / max(temperature, 1e-6),
+                        axis=-1).astype(jnp.int32))
+            return _mask_row(jnp.stack(cols, axis=-1))
+
+        def body(carry, rng_i):
+            cache, t, logits = carry
+            row = sample_row(rng_i, logits)
+            new_logits, cache = model.apply({"params": params}, row, cache,
+                                            t, method=model.decode_step)
+            return (cache, t + 1, new_logits), row
+
+        rngs = jax.random.split(rng, steps)
+        _, rows = jax.lax.scan(body, (cache, t, last), rngs)
+        return rows.transpose(1, 0, 2)  # [B, steps, 8]
+
+    return np.asarray(run(params, prompt_rows, rng))

@@ -16,6 +16,7 @@ TPU-shaped incremental decoding (`init_cache` / `decode_step`) driven by
 `musicgeneration_tpu.decode`.
 """
 
+from .cp_transformer import CPTransformer
 from .event_rnn import EventMelodyRNN
 from .melody_rnn import MelodyRNN
 from .music_transformer import MusicTransformer
@@ -25,6 +26,7 @@ from .registry import get_model, register_model
 
 __all__ = [
     "MusicTransformer",
+    "CPTransformer",
     "EventMelodyRNN",
     "PerformanceRNN",
     "PoPMAGRNN",

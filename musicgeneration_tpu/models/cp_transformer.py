@@ -1,0 +1,111 @@
+"""CPTransformer: transformer LM over Compound Word rows.
+
+The CP scheme (tokenizers/cp.py — the reference README's "CP(to do)",
+never built there) packs one musical event into an 8-field row; this
+model follows the Compound Word Transformer recipe (Hsiao et al., AAAI
+2021): per-field embeddings are SUMMED into one d_model vector per row
+(the same compound-embedding idea PoPMAG's `compression` uses,
+reference PoPMAG_RNN/network.py:141-149), a decoder-only trunk with
+relative global attention processes the row sequence, and 8 output
+heads predict the next row's fields. The trunk reuses MusicTransformer's
+EncoderLayer (Pallas-fused attention on TPU, KV-cached decode_step).
+
+Sequences are ~2-4x shorter than REMI for the same music, so a fixed
+max_seq window covers proportionally more bars.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.relative_attention import sinusoid_position_encoding
+from ..tokenizers import cp
+from .music_transformer import EncoderLayer
+from .registry import register_model
+
+Cache = Dict[str, jnp.ndarray]
+
+
+@register_model("cp_transformer")
+class CPTransformer(nn.Module):
+    field_dims: Tuple[int, ...] = tuple(cp.field_dims())
+    num_layers: int = 4
+    d_model: int = 256
+    max_seq: int = 1024
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+    attention_impl: str = "auto"
+    mesh: Any = None
+
+    @property
+    def num_heads(self) -> int:
+        return self.d_model // 64
+
+    def setup(self):
+        self.embeds = [nn.Embed(fd, self.d_model, dtype=self.dtype,
+                                name=f"embed_{name}")
+                       for fd, name in zip(self.field_dims,
+                                           cp.field_names())]
+        self.pos_table = sinusoid_position_encoding(self.max_seq,
+                                                    self.d_model)
+        self.layers = [
+            EncoderLayer(self.d_model, self.num_heads, self.max_seq,
+                         self.dropout_rate, dtype=self.dtype,
+                         attention_impl=self.attention_impl,
+                         mesh=self.mesh, name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.heads = [nn.Dense(fd, dtype=self.dtype,
+                               name=f"head_{name}")
+                      for fd, name in zip(self.field_dims,
+                                          cp.field_names())]
+
+    def _embed(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [..., 8] int rows -> summed field embeddings [..., d]."""
+        h = self.embeds[0](x[..., 0])
+        for i in range(1, len(self.embeds)):
+            h = h + self.embeds[i](x[..., i])
+        return h * jnp.sqrt(jnp.float32(self.d_model)).astype(self.dtype)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        """x: [B, T, 8] -> list of per-field logits [B, T, fd] (f32)."""
+        b, t, _ = x.shape
+        h = self._embed(x)
+        h = h + jnp.asarray(self.pos_table[:t], self.dtype)[None]
+        # causal-only mask (CP crops carry no pad rows)
+        tt = jnp.arange(t)
+        mask = (tt[None, :] > tt[:, None])[None, None].astype(jnp.float32)
+        for layer in self.layers:
+            h = layer(h, mask, deterministic=deterministic)
+        return [head(h).astype(jnp.float32) for head in self.heads]
+
+    # -- incremental decoding ----------------------------------------------
+
+    def init_cache(self, batch: int, cache_len: int) -> Cache:
+        dh = self.d_model // self.num_heads
+        shape = (self.num_layers, batch, self.num_heads, cache_len, dh)
+        return {"k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype)}
+
+    def decode_step(self, row: jnp.ndarray, cache: Cache, t: jnp.ndarray):
+        """row: [B, 8] int; t: absolute position. Returns (list of
+        per-field logits [B, fd], new cache)."""
+        h = self._embed(row)
+        pos = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
+        h = h + pos[0]
+        k_all, v_all = cache["k"], cache["v"]
+        for i, layer in enumerate(self.layers):
+            h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
+        logits = [head(h).astype(jnp.float32) for head in self.heads]
+        return logits, {"k": k_all, "v": v_all}
+
+
+def cp_transformer_defaults(**overrides) -> dict:
+    cfg = dict(num_layers=4, d_model=256, max_seq=1024, dropout_rate=0.1)
+    cfg.update(overrides)
+    return cfg
