@@ -198,6 +198,9 @@ class MusicTransformer(nn.Module):
     #                               "ring" = sequence-parallel over the
     #                               mesh's 'seq' axis (needs mesh=)
     mesh: Any = None  # jax Mesh for attention_impl="ring"
+    decode_impl: str = "auto"  # "auto" | "fused" | "xla": fused = whole
+    #                            layer per decode step in one Pallas
+    #                            kernel (auto on TPU)
     remat: bool = False  # jax.checkpoint each layer: trade recompute
     #                      FLOPs for activation memory (HBM headroom for
     #                      bigger batches/longer sequences)
@@ -246,9 +249,21 @@ class MusicTransformer(nn.Module):
 
     # -- incremental decoding -------------------------------------------------
 
+    def _decode_fused(self) -> bool:
+        impl = self.decode_impl
+        if impl == "auto":
+            return jax.default_backend() == "tpu"
+        return impl == "fused"
+
     def init_cache(self, batch: int, cache_len: int) -> Cache:
-        dh = self.d_model // self.num_heads
-        shape = (self.num_layers, batch, self.num_heads, cache_len, dh)
+        if self._decode_fused():
+            # fused layout [L, B, S, d]: head dim merged into d so the
+            # kernel's DMA slices stay 128-aligned (ops/pallas_decode.py)
+            shape = (self.num_layers, batch, cache_len, self.d_model)
+        else:
+            dh = self.d_model // self.num_heads
+            shape = (self.num_layers, batch, self.num_heads, cache_len,
+                     dh)
         return {
             "k": jnp.zeros(shape, self.dtype),
             "v": jnp.zeros(shape, self.dtype),
@@ -257,15 +272,28 @@ class MusicTransformer(nn.Module):
     def decode_step(self, token: jnp.ndarray, cache: Cache,
                     t: jnp.ndarray):
         """token: [B] int; t: scalar absolute position. Returns
-        (logits [B, vocab] f32, new cache)."""
+        (logits [B, vocab] f32, new cache).
+
+        decode_impl="fused" (auto on TPU) runs each layer's whole step
+        as ONE Pallas kernel (ops/pallas_decode.py) — the XLA path's
+        ~20 tiny ops per layer are latency-bound at decode shapes."""
         h = self.embedding(token) * jnp.sqrt(
             jnp.float32(self.d_model)).astype(self.dtype)
         pos = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
         h = h + pos
         k_all, v_all = cache["k"], cache["v"]
-        for i, layer in enumerate(self.layers):
-            h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
+        if self._decode_fused():
+            from ..ops.pallas_decode import fused_decode_layer
+            interpret = jax.default_backend() != "tpu"
+            for i, layer in enumerate(self.layers):
+                h, k_all, v_all = fused_decode_layer(
+                    h, t, layer.rga.e.astype(jnp.float32),
+                    _layer_decode_weights(layer), k_all, v_all, i,
+                    self.num_heads, interpret=interpret)
+        else:
+            for i, layer in enumerate(self.layers):
+                h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
         logits = self.fc(h).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 
@@ -287,15 +315,28 @@ class MusicTransformer(nn.Module):
             self.dtype)
         h = h + jnp.asarray(self.pos_table[:p], self.dtype)[None]
         dh = self.d_model // self.num_heads
-        shape = (self.num_layers, b, self.num_heads, cache_len, dh)
+        fused = self._decode_fused()
+        if fused:
+            shape = (self.num_layers, b, cache_len, self.d_model)
+        else:
+            shape = (self.num_layers, b, self.num_heads, cache_len, dh)
         k_all = jnp.zeros(shape, self.dtype)
         v_all = jnp.zeros(shape, self.dtype)
         for i, layer in enumerate(self.layers):
             h, k_i, v_i = layer.forward_kv(h, mask, key_pad)
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
+            if fused:
+                # [B, H, P, dh] -> fused layout rows [B, P, d]
+                k_i = k_i.transpose(0, 2, 1, 3).reshape(b, p, self.d_model)
+                v_i = v_i.transpose(0, 2, 1, 3).reshape(b, p, self.d_model)
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, k_i[None].astype(self.dtype), (i, 0, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, v_i[None].astype(self.dtype), (i, 0, 0, 0))
+            else:
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, k_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, v_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
         if last_idx is None:
             h_last = h[:, -1]
         else:
@@ -303,6 +344,28 @@ class MusicTransformer(nn.Module):
                 h, last_idx, axis=1, keepdims=False)
         logits = self.fc(h_last).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
+
+
+def _layer_decode_weights(layer) -> Dict[str, jnp.ndarray]:
+    """Raw parameter arrays of one EncoderLayer for the fused decode
+    kernel (bound-module variable access)."""
+    def p(mod, name):
+        return mod.variables["params"][name]
+
+    return {
+        "wq": p(layer.rga.wq, "kernel"), "bq": p(layer.rga.wq, "bias"),
+        "wk": p(layer.rga.wk, "kernel"), "bk": p(layer.rga.wk, "bias"),
+        "wv": p(layer.rga.wv, "kernel"), "bv": p(layer.rga.wv, "bias"),
+        "wfc": p(layer.rga.fc, "kernel"), "bfc": p(layer.rga.fc, "bias"),
+        "ln1_scale": p(layer.ln1, "scale"),
+        "ln1_bias": p(layer.ln1, "bias"),
+        "ffn1_w": p(layer.ffn_pre, "kernel"),
+        "ffn1_b": p(layer.ffn_pre, "bias"),
+        "ffn2_w": p(layer.ffn_suf, "kernel"),
+        "ffn2_b": p(layer.ffn_suf, "bias"),
+        "ln2_scale": p(layer.ln2, "scale"),
+        "ln2_bias": p(layer.ln2, "bias"),
+    }
 
 
 def music_transformer_defaults(**overrides) -> dict:

@@ -1,0 +1,103 @@
+"""Fused whole-layer decode kernel vs the XLA decode path.
+
+The kernel (ops/pallas_decode.py) runs one full EncoderLayer decode step
+per pallas_call; on CPU it runs in interpreter mode — the same code
+compiles and runs on TPU (measured 52.1k tok/s vs 24.4k for the XLA
+path at the flagship decode config, BASELINE.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicgeneration_tpu.decode import DecodeParams, generate
+from musicgeneration_tpu.decode.sampling import SamplingParams
+from musicgeneration_tpu.models import MusicTransformer
+
+VOCAB = 64
+
+
+def _pair(num_layers=2, d_model=128, max_seq=64):
+    kw = dict(vocab_size=VOCAB, num_layers=num_layers, d_model=d_model,
+              max_seq=max_seq)
+    m_x = MusicTransformer(decode_impl="xla", **kw)
+    m_f = MusicTransformer(decode_impl="fused", **kw)
+    params = m_x.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8), jnp.int32))["params"]
+    return m_x, m_f, params
+
+
+def test_decode_step_matches_xla_path():
+    """Step-by-step logits equality from a fresh cache — exercises the
+    in-kernel projections, live-prefix DMA loop, rel-bias slice, the
+    analytic current-token term, LN and FFN."""
+    m_x, m_f, params = _pair()
+    cache_x = m_x.apply({"params": params}, 2, 40,
+                        method=m_x.init_cache)
+    cache_f = m_f.apply({"params": params}, 2, 40,
+                        method=m_f.init_cache)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (10, 2), 0,
+                              VOCAB - 1)
+    for t in range(10):
+        lx, cache_x = m_x.apply({"params": params}, toks[t], cache_x,
+                                jnp.int32(t), method=m_x.decode_step)
+        lf, cache_f = m_f.apply({"params": params}, toks[t], cache_f,
+                                jnp.int32(t), method=m_f.decode_step)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_fused_layout_matches():
+    """One-pass prefill fills the fused [L, B, S, d] cache layout; a
+    decode step from it matches the XLA-layout path."""
+    m_x, m_f, params = _pair()
+    x = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 0, VOCAB - 1)
+    lx, cx = m_x.apply({"params": params}, x, 40, method=m_x.prefill)
+    lf, cf = m_f.apply({"params": params}, x, 40, method=m_f.prefill)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
+                               rtol=1e-6, atol=1e-6)
+    tok = jnp.asarray([3, 5], jnp.int32)
+    l2x, _ = m_x.apply({"params": params}, tok, cx, jnp.int32(6),
+                       method=m_x.decode_step)
+    l2f, _ = m_f.apply({"params": params}, tok, cf, jnp.int32(6),
+                       method=m_f.decode_step)
+    np.testing.assert_allclose(np.asarray(l2f), np.asarray(l2x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_generate_end_to_end_same_tokens():
+    """Greedy generation through the engine produces IDENTICAL tokens
+    under both decode impls (prefill + scan + bucketing all included)."""
+    m_x, m_f, params = _pair()
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 5), 0,
+                                VOCAB - 1)
+    dp = DecodeParams(max_len=32, steps=16,
+                      sampling=SamplingParams(greedy=True))
+    rng = jax.random.PRNGKey(4)
+    out_x = np.asarray(generate(m_x, params, prompt, rng, dp))
+    out_f = np.asarray(generate(m_f, params, prompt, rng, dp))
+    np.testing.assert_array_equal(out_f, out_x)
+    # bucketed prompt path under the fused impl
+    padded = jnp.pad(prompt, ((0, 0), (0, 3)),
+                     constant_values=m_f.pad_id)
+    out_b = np.asarray(generate(m_f, params, padded, rng, dp, None,
+                                None, jnp.int32(5)))
+    np.testing.assert_array_equal(out_b, out_x)
+
+
+def test_fused_block_k_odd_cache_length():
+    """Cache lengths that no block size divides degrade to one block."""
+    m_x, m_f, params = _pair(max_seq=64)
+    cache_x = m_x.apply({"params": params}, 1, 24,
+                        method=m_x.init_cache)
+    cache_f = m_f.apply({"params": params}, 1, 24,
+                        method=m_f.init_cache)
+    toks = jax.random.randint(jax.random.PRNGKey(5), (6, 1), 0,
+                              VOCAB - 1)
+    for t in range(6):
+        lx, cache_x = m_x.apply({"params": params}, toks[t], cache_x,
+                                jnp.int32(t), method=m_x.decode_step)
+        lf, cache_f = m_f.apply({"params": params}, toks[t], cache_f,
+                                jnp.int32(t), method=m_f.decode_step)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
+                                   rtol=2e-5, atol=2e-5)
