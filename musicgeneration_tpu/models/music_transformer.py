@@ -252,7 +252,12 @@ class MusicTransformer(nn.Module):
     def _decode_fused(self) -> bool:
         impl = self.decode_impl
         if impl == "auto":
-            return jax.default_backend() == "tpu"
+            if jax.default_backend() != "tpu":
+                return False
+            from ..ops.pallas_decode import decode_vmem_bytes
+            est = decode_vmem_bytes(self.num_layers, self.d_model,
+                                    self.vocab_size, self.max_seq, 64)
+            return est < 10 * 1024 * 1024  # stacked weights must fit VMEM
         return impl == "fused"
 
     def init_cache(self, batch: int, cache_len: int) -> Cache:
@@ -284,13 +289,21 @@ class MusicTransformer(nn.Module):
         h = h + pos
         k_all, v_all = cache["k"], cache["v"]
         if self._decode_fused():
-            from ..ops.pallas_decode import fused_decode_layer
+            from ..ops.pallas_decode import fused_decode_step
             interpret = jax.default_backend() != "tpu"
-            for i, layer in enumerate(self.layers):
-                h, k_all, v_all = fused_decode_layer(
-                    h, t, layer.rga.e.astype(jnp.float32),
-                    _layer_decode_weights(layer), k_all, v_all, i,
-                    self.num_heads, interpret=interpret)
+            # stacked [L, ...] weights; loop-invariant, so XLA hoists
+            # the stacking out of the decode scan
+            w_all = {
+                k: jnp.stack([_layer_decode_weights(layer)[k]
+                              for layer in self.layers])
+                for k in _layer_decode_weights(self.layers[0])
+            }
+            e_all = jnp.stack(
+                [layer.rga.e for layer in self.layers]).astype(
+                jnp.float32)
+            h, k_all, v_all = fused_decode_step(
+                h, t, e_all, w_all, k_all, v_all, self.num_heads,
+                interpret=interpret)
         else:
             for i, layer in enumerate(self.layers):
                 h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)

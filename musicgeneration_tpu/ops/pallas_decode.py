@@ -1,5 +1,5 @@
-"""Fused whole-layer decode step — one Pallas kernel per transformer
-layer per generated token.
+"""Fused decode step — ALL transformer layers in one Pallas kernel per
+generated token.
 
 Why: KV-cached decode is LATENCY-bound, not FLOP-bound. The XLA path
 (models/music_transformer.py EncoderLayer.decode) lowers one decode
@@ -7,23 +7,26 @@ step to ~20 tiny ops per layer (4 projections, 2 cache updates, QK^T,
 rel-bias gather, softmax, PV, 2 layernorms, 2 FFN matmuls, residuals),
 each paying a fixed few-microsecond latency floor at [B<=64, d=256]
 shapes — measured ~50 us/layer/step on v5e while the pure
-bandwidth/FLOP cost is ~5 us. This kernel runs the layer step in one
-program:
+bandwidth/FLOP cost is ~5 us. This kernel runs the whole stack's step
+in ONE program: per layer,
 
-    qkv projections -> stream PAST KV blocks HBM->VMEM with a length
-    bound n_live = ceil(t/BK) (only the LIVE prefix of the cache is
-    read — XLA reads all `cache_len` rows every step) -> online-softmax
-    attention with the relative bias computed from the E table exactly
-    like relative_decode_bias; the CURRENT token's K/V contribution is
-    folded in analytically from the in-kernel projections, so the HBM
-    cache needs no in-kernel write -> output projection -> post-LN ->
-    FFN -> post-LN.
+    qkv projections -> stream PAST KV blocks HBM->VMEM, double-buffered,
+    with a length bound n_live = ceil(t/BK) (only the LIVE prefix of the
+    cache is read — XLA reads all `cache_len` rows every step) ->
+    online-softmax attention with the relative bias sliced from the E
+    table exactly like relative_decode_bias; the CURRENT token's K/V
+    contribution is folded in analytically from the in-kernel
+    projections, so the HBM cache needs no in-kernel write -> output
+    projection -> post-LN -> FFN -> post-LN,
 
-The kernel also returns the new K/V row; the caller inserts it into the
-stacked cache with one dynamic_update_slice per cache (XLA keeps that
-in place under scan donation). Heads are addressed as LANE SLICES of
-the [B, d] activations — Mosaic cannot shape-cast the lane dimension
-into (heads, dh).
+with all layer weights stacked [L, ...] in VMEM. The kernel returns the
+new K/V rows for every layer; the caller inserts them with ONE
+dynamic_update_slice per cache (in place under scan donation).
+
+Mosaic constraints that shaped this (see CLAUDE.md): never reshape
+across the lane dim inside a kernel; manual DMA slices need the memref
+minor dim 128-aligned, so the fused cache layout is [L, B, S, d] (heads
+are VALUE lane slices, which Mosaic handles fine).
 
 Numerics: matmul/softmax accumulation in f32; intermediates quantize to
 the model/cache dtype at the same points as the XLA path (projection
@@ -45,6 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# keys of the stacked weights dict, in kernel argument order
+WEIGHT_KEYS = ("wq", "bq", "wk", "bk", "wv", "bv", "wfc", "bfc",
+               "ln1_scale", "ln1_bias", "ffn1_w", "ffn1_b",
+               "ffn2_w", "ffn2_b", "ln2_scale", "ln2_bias")
+
 
 def _kernel(x_ref, t_ref, e_ref,
             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
@@ -54,202 +62,221 @@ def _kernel(x_ref, t_ref, e_ref,
             kc_ref, vc_ref,
             out_ref, knew_ref, vnew_ref,
             kbuf, vbuf, sems, *,
-            li: int, num_heads: int, block_k: int, max_seq: int,
+            num_layers: int, num_heads: int, block_k: int, max_seq: int,
             eps: float):
     b, d = x_ref.shape
     dh = d // num_heads
     t = t_ref[0]
-
-    x = x_ref[...].astype(jnp.float32)                    # [B, d]
-
-    def proj(w_ref, b_ref):
-        y = jax.lax.dot_general(
-            x, w_ref[...].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b_ref[...]
-        # the XLA path's Dense emits the model dtype here
-        return y.astype(out_ref.dtype).astype(jnp.float32)
-
-    q = proj(wq_ref, bq_ref)
-    k_new = proj(wk_ref, bk_ref)
-    v_new = proj(wv_ref, bv_ref)
-    knew_ref[...] = k_new.astype(knew_ref.dtype)
-    vnew_ref[...] = v_new.astype(vnew_ref.dtype)
-    # the attention below must see the same quantization the cache
-    # stores (bf16 round-trip)
-    k_cur = k_new.astype(knew_ref.dtype).astype(jnp.float32)
-    v_cur = v_new.astype(vnew_ref.dtype).astype(jnp.float32)
-
-    # online-softmax over the LIVE cache prefix [0, t) only, then the
-    # current token folded in analytically. Cache layout is [L, B, S, d]
-    # — minor dim d keeps DMA slices 128-aligned (dh=64 minor dims get
-    # lane-padded memrefs Mosaic refuses to slice); heads are VALUE lane
-    # slices, which Mosaic handles fine
     n_live = (t + block_k - 1) // block_k
     scale = 1.0 / math.sqrt(dh)
-    q_heads = [q[:, h * dh:(h + 1) * dh] for h in range(num_heads)]
 
-    def body(j, carry):
-        ms, ls, accs = carry
-        s0 = j * block_k
-        kd = pltpu.make_async_copy(
-            kc_ref.at[li, :, pl.ds(s0, block_k), :], kbuf, sems.at[0])
-        vd = pltpu.make_async_copy(
-            vc_ref.at[li, :, pl.ds(s0, block_k), :], vbuf, sems.at[1])
-        kd.start()
-        vd.start()
-        # relative bias rows: q . E[max_seq-1-t+s] for s <= t
-        # (ops/relative_attention.relative_decode_bias); rows past the
-        # live range read slack and are masked below
-        base = max_seq - 1 - t + s0
-        e_blk = e_ref[pl.ds(base, block_k), :].astype(jnp.float32)
-        s_ids = s0 + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1)
-        kd.wait()
-        vd.wait()
-        k_all_blk = kbuf[...].astype(jnp.float32)         # [B, BK, d]
-        v_all_blk = vbuf[...].astype(jnp.float32)
-        new_ms, new_ls, new_accs = [], [], []
-        for h in range(num_heads):
-            qh = q_heads[h][:, None, :]                   # [B, 1, dh]
-            k_blk = k_all_blk[:, :, h * dh:(h + 1) * dh]  # [B, BK, dh]
-            logits = jnp.sum(qh * k_blk, axis=-1)         # [B, BK]
-            bias = jnp.sum(qh * e_blk[None], axis=-1)     # [B, BK]
-            logits = (logits + bias) * scale
-            logits = jnp.where(s_ids >= t, NEG_INF, logits)
-            m_new = jnp.maximum(
-                ms[h], jnp.max(logits, axis=-1, keepdims=True))
-            alpha = jnp.exp(ms[h] - m_new)
-            p = jnp.exp(logits - m_new)
-            l_new = ls[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            v_blk = v_all_blk[:, :, h * dh:(h + 1) * dh]
-            # weights drop to the cache dtype entering PV (XLA parity)
-            p_c = p.astype(vbuf.dtype).astype(jnp.float32)
-            acc_new = (accs[h] * alpha
-                       + jnp.sum(p_c[..., None] * v_blk, axis=1))
-            new_ms.append(m_new)
-            new_ls.append(l_new)
-            new_accs.append(acc_new)
-        return tuple(new_ms), tuple(new_ls), tuple(new_accs)
-
-    m0 = tuple(jnp.full((b, 1), NEG_INF, jnp.float32)
-               for _ in range(num_heads))
-    l0 = tuple(jnp.zeros((b, 1), jnp.float32) for _ in range(num_heads))
-    a0 = tuple(jnp.zeros((b, dh), jnp.float32)
-               for _ in range(num_heads))
-    ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
-
-    # current token (s == t): rel index max_seq-1, k/v from this step
-    e_last = e_ref[max_seq - 1, :].astype(jnp.float32)    # [dh]
-    heads_out = []
-    for h in range(num_heads):
-        qh = q_heads[h]                                   # [B, dh]
-        kh = k_cur[:, h * dh:(h + 1) * dh]
-        vh = v_cur[:, h * dh:(h + 1) * dh]
-        logit_t = (jnp.sum(qh * kh, axis=-1, keepdims=True)
-                   + jnp.sum(qh * e_last[None], axis=-1,
-                             keepdims=True)) * scale      # [B, 1]
-        m_new = jnp.maximum(ms[h], logit_t)
-        alpha = jnp.exp(ms[h] - m_new)
-        p_t = jnp.exp(logit_t - m_new)
-        l_new = ls[h] * alpha + p_t
-        p_c = p_t.astype(vbuf.dtype).astype(jnp.float32)
-        acc = accs[h] * alpha + p_c * vh
-        heads_out.append(acc / jnp.maximum(l_new, 1e-30))
-    attn = jnp.concatenate(heads_out, axis=-1)            # [B, d]
-    attn = attn.astype(out_ref.dtype).astype(jnp.float32)
-
-    attn = jax.lax.dot_general(
-        attn, wfc_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bfc_ref[...]
-    attn = attn.astype(out_ref.dtype).astype(jnp.float32)
-
-    def layer_norm(y, s_ref, b_ref):
+    def layer_norm(y, s, bias):
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
-        yn = (y - mu) * jax.lax.rsqrt(var + eps)
-        return yn * s_ref[...] + b_ref[...]
+        return (y - mu) * jax.lax.rsqrt(var + eps) * s + bias
 
-    out1 = layer_norm(attn + x, ln1s_ref, ln1b_ref)
-    out1 = out1.astype(out_ref.dtype).astype(jnp.float32)
-    h = jax.lax.dot_general(
-        out1, w1_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[...]
-    h = jnp.maximum(h.astype(out_ref.dtype).astype(jnp.float32), 0.0)
-    ffn = jax.lax.dot_general(
-        h, w2_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b2_ref[...]
-    ffn = ffn.astype(out_ref.dtype).astype(jnp.float32)
-    out_ref[...] = layer_norm(out1 + ffn, ln2s_ref,
-                              ln2b_ref).astype(out_ref.dtype)
+    x = x_ref[...].astype(jnp.float32)                    # [B, d]
+    for li in range(num_layers):
+        def proj(w, bias):
+            y = jax.lax.dot_general(
+                x, w.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bias
+            # the XLA path's Dense emits the model dtype here
+            return y.astype(out_ref.dtype).astype(jnp.float32)
+
+        q = proj(wq_ref[li], bq_ref[li])
+        k_new = proj(wk_ref[li], bk_ref[li])
+        v_new = proj(wv_ref[li], bv_ref[li])
+        knew_ref[li] = k_new.astype(knew_ref.dtype)
+        vnew_ref[li] = v_new.astype(vnew_ref.dtype)
+        # the attention below must see the same quantization the cache
+        # stores (bf16 round-trip)
+        k_cur = k_new.astype(knew_ref.dtype).astype(jnp.float32)
+        v_cur = v_new.astype(vnew_ref.dtype).astype(jnp.float32)
+        q_heads = [q[:, h * dh:(h + 1) * dh] for h in range(num_heads)]
+
+        # double-buffered KV streaming over the live prefix [0, t)
+        def _start(j, slot):
+            pltpu.make_async_copy(
+                kc_ref.at[li, :, pl.ds(j * block_k, block_k), :],
+                kbuf.at[slot], sems.at[slot]).start()
+            pltpu.make_async_copy(
+                vc_ref.at[li, :, pl.ds(j * block_k, block_k), :],
+                vbuf.at[slot], sems.at[2 + slot]).start()
+
+        @pl.when(n_live > 0)
+        def _warmup():
+            _start(0, 0)
+
+        def body(j, carry):
+            ms, ls, accs = carry
+            slot = jax.lax.rem(j, 2)
+            s0 = j * block_k
+
+            @pl.when(j + 1 < n_live)
+            def _prefetch():
+                _start(j + 1, 1 - slot)
+
+            # relative bias rows: q . E[li, max_seq-1-t+s] for s <= t
+            # (ops/relative_attention.relative_decode_bias); rows past
+            # the live range read slack and are masked below
+            base = max_seq - 1 - t + s0
+            e_blk = e_ref[li, pl.ds(base, block_k), :].astype(
+                jnp.float32)
+            s_ids = s0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            pltpu.make_async_copy(
+                kc_ref.at[li, :, pl.ds(s0, block_k), :],
+                kbuf.at[slot], sems.at[slot]).wait()
+            pltpu.make_async_copy(
+                vc_ref.at[li, :, pl.ds(s0, block_k), :],
+                vbuf.at[slot], sems.at[2 + slot]).wait()
+            k_all_blk = kbuf[slot].astype(jnp.float32)    # [B, BK, d]
+            v_all_blk = vbuf[slot].astype(jnp.float32)
+            new_ms, new_ls, new_accs = [], [], []
+            for h in range(num_heads):
+                qh = q_heads[h][:, None, :]               # [B, 1, dh]
+                k_blk = k_all_blk[:, :, h * dh:(h + 1) * dh]
+                logits = jnp.sum(qh * k_blk, axis=-1)     # [B, BK]
+                bias = jnp.sum(qh * e_blk[None], axis=-1)
+                logits = (logits + bias) * scale
+                logits = jnp.where(s_ids >= t, NEG_INF, logits)
+                m_new = jnp.maximum(
+                    ms[h], jnp.max(logits, axis=-1, keepdims=True))
+                alpha = jnp.exp(ms[h] - m_new)
+                p = jnp.exp(logits - m_new)
+                l_new = (ls[h] * alpha
+                         + jnp.sum(p, axis=-1, keepdims=True))
+                v_blk = v_all_blk[:, :, h * dh:(h + 1) * dh]
+                # weights drop to the cache dtype entering PV
+                p_c = p.astype(vbuf.dtype).astype(jnp.float32)
+                acc_new = (accs[h] * alpha
+                           + jnp.sum(p_c[..., None] * v_blk, axis=1))
+                new_ms.append(m_new)
+                new_ls.append(l_new)
+                new_accs.append(acc_new)
+            return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+
+        m0 = tuple(jnp.full((b, 1), NEG_INF, jnp.float32)
+                   for _ in range(num_heads))
+        l0 = tuple(jnp.zeros((b, 1), jnp.float32)
+                   for _ in range(num_heads))
+        a0 = tuple(jnp.zeros((b, dh), jnp.float32)
+                   for _ in range(num_heads))
+        ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+
+        # current token (s == t): rel index max_seq-1, K/V from this step
+        e_last = e_ref[li, max_seq - 1, :].astype(jnp.float32)
+        heads_out = []
+        for h in range(num_heads):
+            qh = q_heads[h]
+            kh = k_cur[:, h * dh:(h + 1) * dh]
+            vh = v_cur[:, h * dh:(h + 1) * dh]
+            logit_t = (jnp.sum(qh * kh, axis=-1, keepdims=True)
+                       + jnp.sum(qh * e_last[None], axis=-1,
+                                 keepdims=True)) * scale
+            m_new = jnp.maximum(ms[h], logit_t)
+            alpha = jnp.exp(ms[h] - m_new)
+            p_t = jnp.exp(logit_t - m_new)
+            l_new = ls[h] * alpha + p_t
+            p_c = p_t.astype(vbuf.dtype).astype(jnp.float32)
+            acc = accs[h] * alpha + p_c * vh
+            heads_out.append(acc / jnp.maximum(l_new, 1e-30))
+        attn = jnp.concatenate(heads_out, axis=-1)        # [B, d]
+        attn = attn.astype(out_ref.dtype).astype(jnp.float32)
+
+        attn = jax.lax.dot_general(
+            attn, wfc_ref[li].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bfc_ref[li]
+        attn = attn.astype(out_ref.dtype).astype(jnp.float32)
+
+        out1 = layer_norm(attn + x, ln1s_ref[li], ln1b_ref[li])
+        out1 = out1.astype(out_ref.dtype).astype(jnp.float32)
+        hh = jax.lax.dot_general(
+            out1, w1_ref[li].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[li]
+        hh = jnp.maximum(hh.astype(out_ref.dtype).astype(jnp.float32),
+                         0.0)
+        ffn = jax.lax.dot_general(
+            hh, w2_ref[li].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2_ref[li]
+        ffn = ffn.astype(out_ref.dtype).astype(jnp.float32)
+        x = layer_norm(out1 + ffn, ln2s_ref[li], ln2b_ref[li])
+        x = x.astype(out_ref.dtype).astype(jnp.float32)
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
+def decode_vmem_bytes(num_layers: int, d: int, vocab: int,
+                      max_seq: int, dh: int, block_k: int = 128,
+                      batch: int = 8, bytes_per: int = 2) -> int:
+    """Rough VMEM footprint of the fused step (weights + E + buffers) —
+    the model's auto impl falls back to XLA when this exceeds ~12 MB."""
+    w = num_layers * (4 * d * d + 2 * d * (d // 2)) * bytes_per
+    e = num_layers * (max_seq + block_k) * dh * 4
+    bufs = 2 * 2 * batch * block_k * d * bytes_per
+    return w + e + bufs
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("li", "num_heads", "block_k", "interpret"))
-def fused_decode_layer(x, t, e, weights, k_cache, v_cache, li: int,
-                       num_heads: int, block_k: int = 128,
-                       interpret: bool = False):
-    """One transformer-layer decode step, fully fused.
+    static_argnames=("num_heads", "block_k", "interpret"))
+def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
+                      num_heads: int, block_k: int = 128,
+                      interpret: bool = False):
+    """All-layers decode step, fully fused into one kernel.
 
-    x: [B, d]; t: scalar int32 position; e: [max_seq, dh] f32;
-    weights: dict (see models/music_transformer._layer_decode_weights);
-    k_cache/v_cache: FULL stacked [L, B, S, d] caches (read-only here;
-    the head dim is merged into d so the memref's minor dim stays
-    128-aligned for DMA slicing); li selects the layer. Returns
-    (out [B, d], k_cache, v_cache) with the new K/V row inserted at
-    position t via dynamic-update-slice (in place under jit donation).
+    x: [B, d] (already embedded + positioned); t: scalar int32 position;
+    e_all: [L, max_seq, dh] f32 (stacked relative tables); weights: dict
+    of STACKED per-layer arrays (keys = WEIGHT_KEYS, each [L, ...]);
+    k_cache/v_cache: [L, B, S, d]. Returns (out [B, d], k_cache,
+    v_cache) with every layer's new K/V row inserted at position t via
+    ONE dynamic_update_slice per cache (in place under jit donation).
     """
     b, d = x.shape
-    dh = d // num_heads
+    num_layers = k_cache.shape[0]
     s = k_cache.shape[2]
-    max_seq = e.shape[0]
+    max_seq = e_all.shape[1]
     if s % block_k:
         block_k = s  # degrade to one block for odd cache lengths
     # slack so the bias slice never reads past the table (masked anyway)
-    e_pad = jnp.pad(e.astype(jnp.float32), ((0, block_k), (0, 0)))
+    e_pad = jnp.pad(e_all.astype(jnp.float32),
+                    ((0, 0), (0, block_k), (0, 0)))
     t_arr = jnp.asarray(t, jnp.int32).reshape(1)
 
-    w = weights
     kernel = functools.partial(
-        _kernel, li=li, num_heads=num_heads, block_k=block_k,
-        max_seq=max_seq, eps=1e-6)
+        _kernel, num_layers=num_layers, num_heads=num_heads,
+        block_k=block_k, max_seq=max_seq, eps=1e-6)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     # caches must stay in HBM: ANY lets the compiler pull them into VMEM
-    # where the (8,128) tiling pads dh 64->128 and DMA slices of the
-    # untiled 64-wide minor dim become misaligned
-    anyspec = pl.BlockSpec(memory_space=pltpu.HBM)
-    out, k_new, v_new = pl.pallas_call(
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    out, k_news, v_news = pl.pallas_call(
         kernel,
         in_specs=[
             vmem(),                                         # x
             pl.BlockSpec(memory_space=pltpu.SMEM),          # t
             vmem(),                                         # e_pad
             *([vmem()] * 16),                               # weights
-            anyspec, anyspec,                               # caches
+            hbm, hbm,                                       # caches
         ],
         out_specs=(vmem(), vmem(), vmem()),
         out_shape=(
             jax.ShapeDtypeStruct((b, d), x.dtype),
-            jax.ShapeDtypeStruct((b, d), k_cache.dtype),
-            jax.ShapeDtypeStruct((b, d), v_cache.dtype),
+            jax.ShapeDtypeStruct((num_layers, b, d), k_cache.dtype),
+            jax.ShapeDtypeStruct((num_layers, b, d), v_cache.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, block_k, d), k_cache.dtype),
-            pltpu.VMEM((b, block_k, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
+            pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(x, t_arr, e_pad,
-      w["wq"], w["bq"], w["wk"], w["bk"], w["wv"], w["bv"],
-      w["wfc"], w["bfc"], w["ln1_scale"], w["ln1_bias"],
-      w["ffn1_w"], w["ffn1_b"], w["ffn2_w"], w["ffn2_b"],
-      w["ln2_scale"], w["ln2_bias"],
+    )(x, t_arr, e_pad, *[weights[k] for k in WEIGHT_KEYS],
       k_cache, v_cache)
-    k_row = k_new.reshape(1, b, 1, d)
-    v_row = v_new.reshape(1, b, 1, d)
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_row,
-                                           (li, 0, t, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v_row,
-                                           (li, 0, t, 0))
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_news.reshape(num_layers, b, 1, d), (0, 0, t, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_news.reshape(num_layers, b, 1, d), (0, 0, t, 0))
     return out, k_cache, v_cache

@@ -1,8 +1,8 @@
-"""Fused whole-layer decode kernel vs the XLA decode path.
+"""Fused decode-step kernel vs the XLA decode path.
 
-The kernel (ops/pallas_decode.py) runs one full EncoderLayer decode step
-per pallas_call; on CPU it runs in interpreter mode — the same code
-compiles and runs on TPU (measured 52.1k tok/s vs 24.4k for the XLA
+The kernel (ops/pallas_decode.py) runs ALL layers' decode step in one
+pallas_call; on CPU it runs in interpreter mode — the same code
+compiles and runs on TPU (measured ~50k tok/s vs 24.4k for the XLA
 path at the flagship decode config, BASELINE.md)."""
 
 import jax
