@@ -78,14 +78,23 @@ class RelativeGlobalAttentionBlock(nn.Module):
             # interpret mode on CPU would be pure overhead
             impl = ("pallas" if jax.default_backend() == "tpu"
                     and l % 128 == 0 else "xla")
-        if impl == "ring":
+        if impl in ("ring", "ring_pallas"):
             # sequence-parallel path: activations sharded over the 'seq'
-            # mesh axis, KV shards rotated with ppermute
-            # (parallel/ring_attention.py)
+            # mesh axis; "ring" rotates KV with XLA ppermutes
+            # (parallel/ring_attention.py), "ring_pallas" with in-kernel
+            # RDMA overlapped with the tile compute
+            # (parallel/ring_attention_pallas.py; backward = XLA ring)
             if self.mesh is None:
-                raise ValueError('attention_impl="ring" needs mesh=')
-            from ..parallel.ring_attention import ring_relative_attention
-            out = ring_relative_attention(
+                raise ValueError(f'attention_impl="{impl}" needs mesh=')
+            if impl == "ring_pallas":
+                from ..parallel.ring_attention_pallas import (
+                    ring_relative_attention_pallas as ring_fn,
+                )
+            else:
+                from ..parallel.ring_attention import (
+                    ring_relative_attention as ring_fn,
+                )
+            out = ring_fn(
                 q, k, v, self.e.astype(jnp.float32), self.mesh,
                 axis_name="seq", causal=True, key_pad=key_pad)
         elif impl == "pallas" and l % 128 == 0:

@@ -16,6 +16,7 @@ from .mesh import (
     shard_batch,
 )
 from .ring_attention import ring_relative_attention
+from .ring_attention_pallas import ring_relative_attention_pallas
 
 __all__ = [
     "make_mesh",
@@ -25,4 +26,5 @@ __all__ = [
     "shard_batch",
     "multihost_shard_batch",
     "ring_relative_attention",
+    "ring_relative_attention_pallas",
 ]
