@@ -168,6 +168,11 @@ def main(argv=None) -> int:
     p.add_argument("--init-zero", action="store_true",
                    help="zero init latent instead of N(0,1) (reference "
                         "generate.py:-z)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="generate N continuations in one device batch; "
+                        "N>1 writes <stem>-000.mid ... like the "
+                        "reference's per-batch outputs "
+                        "(PerformanceRNN/generate.py:190-196)")
     args = p.parse_args(argv)
 
     import jax
@@ -219,15 +224,17 @@ def main(argv=None) -> int:
         import jax.numpy as _jnp
         controls = _jnp.asarray(ctrl, _jnp.float32)[:, None, :]
 
+    nb = max(args.batch, 1)
     if cfg.model == "performance_rnn":
         # reference generation starts from the primary event with a
-        # latent-derived hidden (generate.py:171-175, network.py:89-95)
+        # latent-derived hidden (generate.py:171-175, network.py:89-95);
+        # each batch row gets its own latent
         import jax as _jax
         import jax.numpy as _jnp
-        init = (_jnp.zeros((1, model.init_dim)) if args.init_zero else
+        init = (_jnp.zeros((nb, model.init_dim)) if args.init_zero else
                 _jax.random.normal(_jax.random.PRNGKey(args.seed + 7),
-                                   (1, model.init_dim)))
-        cache0 = model.apply({"params": params}, 1, 0, init,
+                                   (nb, model.init_dim)))
+        cache0 = model.apply({"params": params}, nb, 0, init,
                              method=model.init_cache)
         if args.prime is None:
             prime = [model.primary_event]
@@ -236,7 +243,11 @@ def main(argv=None) -> int:
                 scheme, args.prime, args.prime_len)
     else:
         prime = _prime_tokens(scheme, args.prime, args.prime_len)
-    prompt = np.asarray(prime, np.int32)[None]
+    prompt = np.tile(np.asarray(prime, np.int32)[None], (nb, 1))
+    if controls is not None and nb > 1:
+        import jax.numpy as _jnp
+        controls = _jnp.broadcast_to(
+            controls, (controls.shape[0], nb, controls.shape[2]))
     # top_p=0 would mean "keep only the argmax" in sample_logits; treat it
     # as off (the flag's documented default) so sampling stays categorical
     sampling = SamplingParams(temperature=args.temperature,
@@ -246,10 +257,16 @@ def main(argv=None) -> int:
         if cfg.model not in ("event_rnn", "performance_rnn"):
             raise SystemExit("--beam is for the RNN LMs "
                              "(event_rnn / performance_rnn)")
+        if nb > 1:
+            raise SystemExit("--batch and --beam are mutually exclusive "
+                             "(a beam already explores N hypotheses)")
         out = _beam_decode(model, params, prompt, args,
                            controls=controls, cache0=cache0)
     elif (cfg.model == "music_transformer"
           and len(prime) + args.steps > model.max_seq):
+        if nb > 1:
+            raise SystemExit("--batch with a continuation beyond max_seq "
+                             "(sliding window) is not supported")
         # continuation longer than the relative table: sliding-window
         # re-priming (the reference's threshold_len behavior done in
         # cached chunks — decode/engine.py)
@@ -286,11 +303,23 @@ def main(argv=None) -> int:
             max_len = min(max(cfg.seq_len, max_len), model.max_seq)
         dp = DecodeParams(max_len=max_len, steps=args.steps,
                           sampling=sampling)
-        out = np.asarray(generate(model, params, prompt,
-                                  jax.random.PRNGKey(args.seed), dp,
-                                  controls, cache0, prompt_len))[0]
-    tokens = (np.concatenate([prompt[0], out]) if args.include_prime
-              else out)
+        outs = np.asarray(generate(model, params, prompt,
+                                   jax.random.PRNGKey(args.seed), dp,
+                                   controls, cache0, prompt_len))
+        if nb > 1:
+            import os as _os
+            stem, ext = _os.path.splitext(args.output)
+            for i, row in enumerate(outs):
+                tokens = (np.concatenate([np.asarray(prime, np.int32),
+                                          row])
+                          if args.include_prime else row)
+                path_i = f"{stem}-{i:03d}{ext or '.mid'}"
+                _write_midi(scheme, tokens, path_i)
+                print(f"wrote {path_i} ({len(tokens)} tokens)")
+            return 0
+        out = outs[0]
+    tokens = (np.concatenate([np.asarray(prime, np.int32), out])
+              if args.include_prime else out)
     _write_midi(scheme, tokens, args.output)
     print(f"wrote {args.output} ({len(tokens)} tokens)")
     return 0

@@ -284,6 +284,28 @@ def test_generate_with_control_spec_and_file(tmp_path):
         gen_main([ckpt, out1, "--steps", "8", "--control", ";99"])
 
 
+def test_generate_batch_writes_numbered_outputs(tok_dir, tmp_path):
+    """--batch N generates N continuations in one device batch and
+    writes <stem>-000.mid ... (reference PerformanceRNN/generate.py
+    writes output-{i:03d}.mid per batch row)."""
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64"])
+    out_mid = str(tmp_path / "multi.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "16", "--batch", "3",
+                     "--include-prime"]) == 0
+    for i in range(3):
+        assert os.path.getsize(str(tmp_path / f"multi-{i:03d}.mid")) > 0
+    # rows differ (independent samples)
+    data = [open(str(tmp_path / f"multi-{i:03d}.mid"), "rb").read()
+            for i in range(3)]
+    assert len(set(data)) > 1
+    import pytest
+    with pytest.raises(SystemExit):
+        gen_main([ckpt, out_mid, "--steps", "8", "--batch", "2",
+                  "--beam", "3"])
+
+
 def test_noop_resume_does_not_advance_checkpoint(tok_dir, tmp_path):
     """Re-running with the same total_steps must not bump the saved step
     (review regression: the finally force-save ran on zero steps)."""
