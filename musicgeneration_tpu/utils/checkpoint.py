@@ -99,8 +99,18 @@ def restore_checkpoint(path_or_dir: str,
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     if target is not None:
-        payload["state"] = serialization.from_state_dict(
-            target, payload["state"])
+        restored = serialization.from_state_dict(target, payload["state"])
+
+        # mesh-training resume: from_state_dict yields host numpy leaves;
+        # place each back under the TARGET leaf's sharding so a resumed
+        # run keeps its FSDP/TP layout instead of replicating everything
+        # on first use
+        def _place(r, t):
+            if isinstance(t, jax.Array) and not isinstance(r, jax.Array):
+                return jax.device_put(r, t.sharding)
+            return r
+
+        payload["state"] = jax.tree.map(_place, restored, target)
     return payload
 
 

@@ -170,6 +170,28 @@ def test_run_loop_nan_guard_and_resume(tmp_path):
     assert int(out2.step) == 5  # nothing to do, state restored
 
 
+def test_restore_keeps_target_shardings(tmp_path):
+    """Mesh-training resume: restored leaves must come back under the
+    TARGET's shardings (FSDP/TP layout), not as unplaced host arrays."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from musicgeneration_tpu.parallel.mesh import make_mesh
+    from musicgeneration_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    mesh = make_mesh(dp=4, tp=2)
+    sh = NamedSharding(mesh, P("data", "model"))
+    w = jax.device_put(jnp.arange(64.0).reshape(8, 8), sh)
+    state = {"w": w, "b": jnp.zeros(3)}
+    save_checkpoint(str(tmp_path), 0, state)
+    restored = restore_checkpoint(str(tmp_path), target=state)["state"]
+    assert restored["w"].sharding == sh
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.asarray(w))
+
+
 def test_run_loop_interrupt_labels_last_completed_step(tmp_path):
     """A KeyboardInterrupt that fires AFTER the batch fetch but BEFORE
     step_fn completes must checkpoint the (previous-step) state with the
