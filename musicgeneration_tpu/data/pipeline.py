@@ -59,8 +59,8 @@ def _tokenize_midilike(path: str) -> Dict[str, np.ndarray]:
 
 def _tokenize_remi(path: str) -> Dict[str, np.ndarray]:
     from ..tokenizers import remi
-    events = remi.REMI_EventSeq.extract_events(path)
-    return {"tokens": remi.REMI_EventSeq.to_array(events).astype(np.uint16)}
+    # vectorized fast path (Event-object path is the equivalence oracle)
+    return {"tokens": remi.encode_array(path).astype(np.uint16)}
 
 
 def _tokenize_mumidi(path: str) -> Dict[str, np.ndarray]:

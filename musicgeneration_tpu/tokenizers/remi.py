@@ -212,6 +212,120 @@ def item2event(groups: List[list], strict: bool = False) -> List[Event]:
     return events
 
 
+def encode_array(path: str) -> np.ndarray:
+    """`to_array(extract_events(path))` without Event objects — the
+    corpus-pipeline hot path, fully vectorized after chord inference.
+
+    Replicates group_items + item2event + to_array semantics exactly
+    (downbeat double-count, argmin position ties snapping down, the
+    velocity<4 -> last-slot quirk, pitch/velocity clamps of the default
+    non-strict mode); equivalence with the Event path is tested file-by-
+    file and by fuzzing (tests/test_tokenizers.py).
+    """
+    note_items, tempo_items = read_items(path)
+    note_items = quantize_items(note_items)
+    if not note_items:
+        return np.zeros(0, SPEC.array_dtype())
+    max_time = note_items[-1].end
+    chord_items = extract_chords(note_items)
+    items = chord_items + tempo_items + note_items
+    items.sort(key=lambda x: x.start)  # stable, like group_items
+
+    n = len(items)
+    kind = np.empty(n, np.int8)  # 0 chord, 1 tempo, 2 note
+    start = np.empty(n, np.int64)
+    payload = np.zeros((n, 3), np.int64)  # per-kind token ids (post-pos)
+    ranges = SPEC.feat_ranges()
+    on0 = ranges["note_on"].start
+    dur0 = ranges["note_duration"].start
+    vel0 = ranges["note_velocity"].start
+    bar_id = ranges["bar"].start
+    pos0 = ranges["position"].start
+    tc0 = ranges["tempo_class"].start
+    tv0 = ranges["tempo_value"].start
+    ch0 = ranges["chord"].start
+    iv = DEFAULT_TEMPO_INTERVALS
+    for i, it in enumerate(items):
+        start[i] = it.start
+        if it.name == "note":
+            kind[i] = 2
+        elif it.name == "tempo":
+            kind[i] = 1
+            t = it.pitch
+            if t in iv[0]:
+                payload[i, :2] = (tc0, tv0 + t - iv[0].start)
+            elif t in iv[1]:
+                payload[i, :2] = (tc0 + 1, tv0 + t - iv[1].start)
+            elif t in iv[2]:
+                payload[i, :2] = (tc0 + 2, tv0 + t - iv[2].start)
+            elif t < iv[0].start:
+                payload[i, :2] = (tc0, tv0)
+            else:  # >= 210 (the ==210 reference fall-through, non-strict)
+                payload[i, :2] = (tc0 + 2, tv0 + 59)
+        else:
+            kind[i] = 0
+            payload[i, 0] = ch0 + vocab.CHORD_MAP[it.pitch]
+    note_mask = kind == 2
+    if note_mask.any():
+        vels = np.array([it.velocity for it, m in zip(items, note_mask)
+                         if m], np.int64)
+        durs = np.array([it.end - it.start
+                         for it, m in zip(items, note_mask) if m],
+                        np.int64)
+        pitches = np.minimum(
+            np.array([it.pitch for it, m in zip(items, note_mask) if m],
+                     np.int64), len(vocab.REMI_PITCH_RANGE) - 1)
+        vi = DEFAULT_VELOCITY_BINS.searchsorted(vels, "right") - 1
+        vi = np.where((vi >= 0) & (vi < vocab.REMI_VELOCITY_STEPS), vi,
+                      vocab.REMI_VELOCITY_STEPS - 1)
+        di = np.argmin(np.abs(DEFAULT_DURATION_BINS[None, :]
+                              - durs[:, None]), axis=1)
+        payload[note_mask, 0] = vel0 + vi
+        payload[note_mask, 1] = on0 + pitches
+        payload[note_mask, 2] = dur0 + di
+
+    # bar assignment with the downbeat double-count: an item at exactly a
+    # downbeat belongs to the bar it ENDS (as its last item) and the bar
+    # it starts (group_items' l/r pointer semantics, REMI.py:139-165)
+    bar = start // TICKS_PER_BAR
+    dup = (start % TICKS_PER_BAR == 0) & (start > 0)
+    idx_all = np.concatenate([np.arange(n), np.nonzero(dup)[0]])
+    bar_all = np.concatenate([bar, bar[dup] - 1])
+    # order: (bar, start, original concat position) — matches per-bar
+    # slices of the stable start-sorted list
+    order = np.lexsort((idx_all, start[idx_all], bar_all))
+    idx_all, bar_all = idx_all[order], bar_all[order]
+
+    # keep only bars containing at least one note
+    note_bars = np.unique(bar_all[kind[idx_all] == 2])
+    keep = np.isin(bar_all, note_bars)
+    idx_all, bar_all = idx_all[keep], bar_all[keep]
+    if not len(idx_all):
+        return np.zeros(0, SPEC.array_dtype())
+
+    k = kind[idx_all]
+    n_tok = np.where(k == 2, 4, np.where(k == 1, 3, 2))
+    is_bar_start = np.empty(len(idx_all), bool)
+    is_bar_start[0] = True
+    is_bar_start[1:] = bar_all[1:] != bar_all[:-1]
+    offs = np.cumsum(n_tok + is_bar_start) - n_tok  # first POS slot
+    total = int(offs[-1] + n_tok[-1])
+    out = np.zeros(total, np.int64)
+    out[offs[is_bar_start] - 1] = bar_id
+    # position tokens (argmin over the 120-tick flags; exact-half ties
+    # snap DOWN like argmin's first-minimum; start==next downbeat -> 15)
+    step = TICKS_PER_BAR // vocab.REMI_FRACTION
+    rel = start[idx_all] - bar_all * TICKS_PER_BAR
+    q, r = np.divmod(rel, step)
+    pos_idx = np.minimum(q + (r > step // 2), vocab.REMI_FRACTION - 1)
+    out[offs] = pos0 + pos_idx
+    for count, width in ((2, 1), (3, 2), (4, 3)):
+        rows = n_tok == count
+        for j in range(width):
+            out[offs[rows] + 1 + j] = payload[idx_all[rows], j]
+    return out.astype(SPEC.array_dtype())
+
+
 # ---------------------------------------------------------------------------
 # REMI_EventSeq
 # ---------------------------------------------------------------------------

@@ -208,6 +208,48 @@ class TestMuMIDI:
         assert len(midi.instruments) >= 3
 
 
+def test_remi_encode_array_matches_event_path(tmp_path):
+    """The vectorized pipeline path (remi.encode_array, no Event
+    objects) is byte-identical to to_array(extract_events(...)) across
+    fixture types AND a boundary-heavy fuzz (downbeat-aligned starts,
+    edge tempi 29/209, edge velocities/pitches)."""
+    from .fixtures import (multitrack_midi, polyphonic_midi,
+                           simple_piano_midi, tempo_change_midi)
+
+    for j, builder in enumerate([simple_piano_midi, polyphonic_midi,
+                                 multitrack_midi, tempo_change_midi]):
+        p = str(tmp_path / f"x{j}.mid")
+        builder(p)
+        ref = remi.REMI_EventSeq.to_array(
+            remi.REMI_EventSeq.extract_events(p))
+        np.testing.assert_array_equal(remi.encode_array(p), ref)
+
+    from musicgeneration_tpu.midi import (Instrument, MidiFile, Note,
+                                          TempoChange)
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        m = MidiFile(ticks_per_beat=480)
+        bpm = int(rng.choice([60, 120, 185, 29, 209]))
+        m.tempo_changes = [TempoChange(bpm, 0)]
+        m._tempo_raw = [(0, int(round(60e6 / bpm)))]
+        inst = Instrument(0, False, "t")
+        n = rng.randint(10, 120)
+        starts = np.sort(rng.choice(
+            [0, 480, 1920, 3840, 1919, 1921]
+            + list(rng.randint(0, 20000, n)), n))
+        for s in starts:
+            inst.notes.append(Note(int(rng.randint(1, 128)),
+                                   int(rng.randint(0, 128)), int(s),
+                                   int(s + rng.randint(30, 4000))))
+        m.instruments.append(inst)
+        p = str(tmp_path / f"fz{trial}.mid")
+        m.dump(p)
+        ref = remi.REMI_EventSeq.to_array(
+            remi.REMI_EventSeq.extract_events(p))
+        np.testing.assert_array_equal(remi.encode_array(p), ref,
+                                      err_msg=f"trial {trial}")
+
+
 def test_vectorized_chord_scorer_matches_oracle():
     """_score_all_windows (vectorized) vs _find_chord (per-window oracle)
     on random presence windows."""
