@@ -81,6 +81,20 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,              # id offsets
                 _u16, ctypes.c_int64,                        # out
             ]
+            lib.mg_encode_remi.restype = ctypes.c_int64
+            lib.mg_encode_remi.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,             # file bytes
+                _i64, ctypes.c_int64, _i64, ctypes.c_int64,  # dur/vel bins
+                ctypes.c_int64, ctypes.c_int64,              # resolution, frac
+                ctypes.c_int64, ctypes.c_int64,              # vel_steps, pmax
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,              # tempo intervals
+                _i64,                                        # chord id table
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,              # token offsets
+                _u16, ctypes.c_int64,                        # out
+            ]
             _lib = lib
         except OSError:
             _lib = None
@@ -126,6 +140,46 @@ def encode_midilike(starts: np.ndarray, ends: np.ndarray,
     if m < 0:
         return None
     return out[:m].copy()
+
+
+def encode_remi(data: bytes, dur_bins: np.ndarray, vel_bins: np.ndarray,
+                resolution: int, fraction: int, vel_steps: int,
+                pitch_max: int, tempo_bounds, chord_ids: np.ndarray,
+                offsets) -> Optional[np.ndarray]:
+    """Full-file REMI tokenization in C++ (smf_scan.cc mg_encode_remi):
+    SMF parse -> instrument-0 notes -> 120-tick quantize -> chord
+    inference -> bar grouping -> tokens, replicating the reference
+    pipeline REMI.py:64-257 with the quirks tokenizers/remi.py documents.
+    `offsets` = (note_on, note_duration, note_velocity, bar, position,
+    tempo_class, tempo_value, chord) token-id starts; `tempo_bounds` =
+    (30, 90, 150, 210)-style interval edges; `chord_ids[q*12+r]` + [60]
+    for N:N from vocab.CHORD_MAP. None = unavailable or a parse/tempo
+    error (caller falls back to the Python oracle path)."""
+    lib = _load()
+    if lib is None or getattr(lib, "mg_encode_remi", None) is None:
+        return None
+    dur_bins = np.ascontiguousarray(dur_bins, np.int64)
+    vel_bins = np.ascontiguousarray(vel_bins, np.int64)
+    chord_ids = np.ascontiguousarray(chord_ids, np.int64)
+    cap = 4096
+    for _ in range(3):
+        out = np.empty(cap, np.uint16)
+        m = lib.mg_encode_remi(
+            data, len(data), dur_bins, len(dur_bins),
+            vel_bins, len(vel_bins),
+            resolution, fraction, vel_steps, pitch_max,
+            tempo_bounds[0], tempo_bounds[1], tempo_bounds[2],
+            tempo_bounds[3], chord_ids,
+            offsets[0], offsets[1], offsets[2], offsets[3],
+            offsets[4], offsets[5], offsets[6], offsets[7],
+            out, cap)
+        if m == -1:
+            return None
+        if m < -1:
+            cap = -m  # exact size needed; retry once
+            continue
+        return out[:m].copy()
+    return None
 
 
 def parse_midi_bytes(data: bytes) -> Optional[Dict[str, np.ndarray]]:

@@ -317,4 +317,359 @@ int64_t mg_encode_midilike(
     return m;
 }
 
+// ---------------------------------------------------------------------------
+// REMI full-file tokenization: parse -> instrument-0 notes -> quantize ->
+// chord inference -> bar grouping -> token emission, all in C++.
+//
+// Exact C++ transcription of the vectorized Python pipeline in
+// tokenizers/remi.py:encode_array (itself parity-locked to the reference
+// mg/model/utils/REMI.py:64-257 + chord_inference.py), oracle-tested
+// file-by-file and by fuzzing in tests/test_native_remi.py:
+//   * instrument selection mirrors smf.py _build_from_native: the file's
+//     first (track, notes-before-controls, order) key is "instruments[0]",
+//   * quantize_items 120-tick grid snap with argmin tie-down (REMI.py:113),
+//   * chord inference: per-beat presence, 4- then 2-beat windows, template
+//     scores, greedy (score, end) segmentation, ':None' head-strip/merge
+//     (chord_inference.py:89-188),
+//   * tempo items expanded per beat with EXACT-tick dict lookup
+//     (REMI.py:92-110 quirk: off-grid tempo changes are invisible),
+//   * bar grouping double-counts items landing exactly on a downbeat
+//     (group_items l/r pointers, REMI.py:139-165), bars without notes drop,
+//   * velocity searchsorted-right-1 with the <4-slots quirk, pitch clamp to
+//     126, duration argmin first-min (REMI.py:196-228 non-strict mode).
+//
+// Bin arrays / token-id offsets / chord-id table are passed in from the
+// Python vocab spec. Returns the token count; -needed when `cap` is too
+// small (caller retries); -1 on parse/tempo error (caller falls back to
+// the Python oracle path, which raises the matching exception).
+
+namespace {
+
+struct RemiItem {
+    int64_t start;
+    int8_t kind;  // 0 chord, 1 tempo, 2 note
+    int64_t p0, p1, p2;
+};
+
+// chord template tables (the algorithm's definition — chord_inference.py:9-31)
+const int kQualities = 5;  // maj min dim aug dom
+int chord_weight(int q, int n) {
+    static int w[5][12];
+    static bool init = false;
+    if (!init) {
+        const int maps[5][4] = {{0, 4, -1, -1}, {0, 3, -1, -1},
+                                {0, 3, 6, -1}, {0, 4, 8, -1}, {0, 4, 7, 10}};
+        const int ins[5][2] = {{7, -1}, {7, -1}, {9, -1}, {-1, -1}, {-1, -1}};
+        const int o1[5][3] = {{2, 5, 9}, {2, 5, 8}, {2, 5, 10},
+                              {2, 5, 9}, {2, 5, 9}};
+        const int o2[5][5] = {{1, 3, 6, 8, 10}, {1, 4, 6, 9, 11},
+                              {1, 4, 7, 8, 11}, {1, 3, 6, 7, 10},
+                              {1, 3, 6, 8, 11}};
+        for (int qi = 0; qi < 5; ++qi)
+            for (int n2 = 0; n2 < 12; ++n2) {
+                int v = 0;
+                bool member = false;
+                for (int k = 0; k < 4; ++k)
+                    if (maps[qi][k] == n2) member = true;
+                if (!member) {
+                    bool hit = false;
+                    for (int k = 0; k < 3; ++k)
+                        if (o1[qi][k] == n2) { v = -1; hit = true; }
+                    if (!hit)
+                        for (int k = 0; k < 5; ++k)
+                            if (o2[qi][k] == n2) { v = -2; hit = true; }
+                    if (!hit)
+                        for (int k = 0; k < 2; ++k)
+                            if (ins[qi][k] == n2) v = 1;
+                }
+                w[qi][n2] = v;
+            }
+        init = true;
+    }
+    return w[q][n];
+}
+
+struct WinResult { int root; int qual; int bass; int score; };
+// qual: 0..4 quality, -1 invalid ("None"), 5 empty window ("N:N")
+
+WinResult score_window(const uint64_t* bits) {
+    WinResult r{-1, 5, -1, 0};
+    int low_by_class[12];
+    for (int c = 0; c < 12; ++c) low_by_class[c] = 1000;
+    int low_pitch = 1000;
+    for (int p = 0; p < 128; ++p) {
+        if (bits[p >> 6] & (1ull << (p & 63))) {
+            if (p < low_pitch) low_pitch = p;
+            if (p < low_by_class[p % 12]) low_by_class[p % 12] = p;
+        }
+    }
+    if (low_pitch == 1000) return r;  // empty
+    r.bass = low_pitch % 12;
+    int best_score = -2000000, best_root = -1, best_low = 1001;
+    int quals[12];
+    int scores[12];
+    for (int root = 0; root < 12; ++root) {
+        if (low_by_class[root] == 1000) { scores[root] = -2000000; continue; }
+        bool rel[12];
+        for (int i = 0; i < 12; ++i)
+            rel[i] = low_by_class[(root + i) % 12] < 1000;
+        if (rel[3] == rel[4]) {  // both or neither third -> invalid
+            scores[root] = -100;
+            quals[root] = -1;
+        } else {
+            int q;
+            if (rel[3]) q = rel[6] ? 2 : 1;            // dim : min
+            else if (rel[8]) q = 3;                    // aug
+            else if (rel[7] && rel[10]) q = 4;         // dom
+            else q = 0;                                // maj
+            int s = 0;
+            for (int i = 0; i < 12; ++i)
+                if (rel[i]) s += chord_weight(q, i);
+            scores[root] = s;
+            quals[root] = q;
+        }
+    }
+    for (int root = 0; root < 12; ++root) {
+        if (scores[root] == -2000000) continue;
+        // tie-break: reference walks pitches ascending and takes the first
+        // tied class == tied class with the minimal lowest pitch
+        if (scores[root] > best_score ||
+            (scores[root] == best_score && low_by_class[root] < best_low)) {
+            best_score = scores[root];
+            best_root = root;
+            best_low = low_by_class[root];
+        }
+    }
+    r.root = best_root;
+    r.qual = quals[best_root];
+    r.score = best_score;
+    return r;
+}
+
+}  // namespace
+
+int64_t mg_encode_remi(
+    const uint8_t* data, int64_t n_bytes,
+    const int64_t* dur_bins, int64_t n_dur,
+    const int64_t* vel_bins, int64_t n_vel,
+    int64_t resolution, int64_t fraction, int64_t vel_steps,
+    int64_t pitch_max,
+    int64_t iv0, int64_t iv1, int64_t iv2, int64_t iv3,
+    const int64_t* chord_ids,  // [61]: qual*12+root; [60] = N:N
+    int64_t off_on, int64_t off_dur, int64_t off_vel, int64_t off_bar,
+    int64_t off_pos, int64_t off_tc, int64_t off_tv, int64_t off_chord,
+    uint16_t* out, int64_t cap) {
+    MgParse* p = mg_parse(data, n_bytes);
+    if (p->error) { mg_free(p); return -1; }
+
+    const int64_t ticks_per_beat = resolution;            // 480
+    const int64_t ticks_per_bar = resolution * 4;         // 1920
+    const int64_t grid = 120;                             // quantize grid
+
+    // ---- instrument 0 (smf.py _build_from_native key order) ----
+    // first (track, notes<controls, seq) occurrence picks the key
+    struct NoteRow { int64_t start, end, pitch, vel; };
+    std::vector<NoteRow> notes;
+    if (p->n_notes || p->n_controls) {
+        int64_t kt, kc, kp;
+        bool use_note = p->n_notes &&
+            (!p->n_controls || p->notes[0] <= p->controls[0]);
+        if (use_note) { kt = p->notes[0]; kc = p->notes[1]; kp = p->notes[2]; }
+        else { kt = p->controls[0]; kc = p->controls[1]; kp = p->controls[2]; }
+        for (int64_t i = 0; i < p->n_notes; ++i) {
+            const int64_t* r = p->notes + i * 7;
+            if (r[0] == kt && r[1] == kc && r[2] == kp)
+                notes.push_back({r[5], r[6], r[3], r[4]});
+        }
+    }
+    std::stable_sort(notes.begin(), notes.end(),
+                     [](const NoteRow& a, const NoteRow& b) {
+                         return a.start != b.start ? a.start < b.start
+                                                   : a.pitch < b.pitch;
+                     });
+
+    // ---- tempo changes (tick, bpm_int) ----
+    std::vector<std::pair<int64_t, int64_t>> tempo_ev;
+    for (int64_t i = 0; i < p->n_tempos; ++i) {
+        int64_t us = p->tempos[i * 2 + 1];
+        if (us <= 0) { mg_free(p); return -1; }  // Python raises; fall back
+        tempo_ev.push_back({p->tempos[i * 2],
+                            static_cast<int64_t>(60e6 / double(us))});
+    }
+    mg_free(p);
+    if (tempo_ev.empty()) tempo_ev.push_back({0, 120});
+
+    if (notes.empty()) return 0;
+
+    // ---- quantize_items: snap starts to the 120-tick grid ----
+    int64_t grid_stop = std::max(notes.back().start, int64_t(1));
+    int64_t n_grids = (grid_stop + grid - 1) / grid;
+    for (auto& nt : notes) {
+        int64_t q = nt.start / grid, rem = nt.start % grid;
+        int64_t idx = std::min(q + (rem > grid / 2 ? 1 : 0), n_grids - 1);
+        int64_t shift = idx * grid - nt.start;
+        nt.start += shift;
+        nt.end += shift;
+    }
+    // ---- chord inference (chords.py MIDIChord.extract) ----
+    int64_t max_tick_c = 0;
+    for (auto& nt : notes) max_tick_c = std::max(max_tick_c, nt.end);
+    int64_t n_beats = std::max<int64_t>(
+        (max_tick_c + ticks_per_beat - 1) / ticks_per_beat, 1);
+    std::vector<uint64_t> presence(n_beats * 2, 0);
+    for (auto& nt : notes) {
+        if (nt.end <= nt.start) continue;
+        int64_t b0 = nt.start / ticks_per_beat;
+        int64_t b1 = (std::min(nt.end, max_tick_c) - 1) / ticks_per_beat;
+        int pc = int(nt.pitch & 127);
+        for (int64_t b = b0; b <= b1 && b < n_beats; ++b)
+            presence[b * 2 + (pc >> 6)] |= 1ull << (pc & 63);
+    }
+    std::vector<WinResult> res4(n_beats), res2(n_beats);
+    for (int pass = 0; pass < 2; ++pass) {
+        int64_t interval = pass == 0 ? 4 : 2;
+        auto& res = pass == 0 ? res4 : res2;
+        for (int64_t b = 0; b < n_beats; ++b) {
+            uint64_t bits[2] = {0, 0};
+            for (int64_t d = 0; d < interval && b + d < n_beats; ++d) {
+                bits[0] |= presence[(b + d) * 2];
+                bits[1] |= presence[(b + d) * 2 + 1];
+            }
+            res[b] = score_window(bits);
+        }
+    }
+    // greedy (score, end) segmentation
+    struct Seg { int64_t start, end; int root, qual; };
+    std::vector<Seg> segs;
+    int64_t st = 0;
+    while (st < max_tick_c) {
+        int64_t b = st / ticks_per_beat;
+        int64_t end4 = std::min(st + 4 * ticks_per_beat, max_tick_c);
+        int64_t end2 = std::min(st + 2 * ticks_per_beat, max_tick_c);
+        // candidates sorted by (score, end), take last; the 2-beat entry
+        // exists only when its end differs (dict keyed by end)
+        bool use2 = end2 != end4 && res2[b].score > res4[b].score;
+        const WinResult& w = use2 ? res2[b] : res4[b];
+        segs.push_back({st, use2 ? end2 : end4, w.root, w.qual});
+        st = use2 ? end2 : end4;
+    }
+    // strip ':None' heads, merge ':None' into the previous chord
+    size_t head = 0;
+    while (head < segs.size() && segs[head].qual == -1) {
+        if (head + 1 == segs.size()) { segs.clear(); break; }
+        segs[head + 1].start = segs[head].start;
+        ++head;
+    }
+    std::vector<Seg> chords;
+    for (size_t i = head; i < segs.size(); ++i) {
+        if (segs[i].qual != -1) chords.push_back(segs[i]);
+        else chords.back().end = segs[i].end;
+    }
+
+    // ---- tempo items: every beat up to the last tempo-event tick, with
+    // EXACT-tick lookup (read_items quirk: off-grid changes are invisible)
+    std::stable_sort(tempo_ev.begin(), tempo_ev.end(),
+                     [](auto& a, auto& b) { return a.first < b.first; });
+    int64_t max_tt = tempo_ev.back().first;
+    int64_t first_bpm = tempo_ev.front().second;
+
+    // ---- items = chords + tempos + notes, stable by start ----
+    std::vector<RemiItem> items;
+    items.reserve(chords.size() + size_t(max_tt / ticks_per_beat) + 1 +
+                  notes.size());
+    for (auto& c : chords) {
+        int64_t cid = c.qual == 5 ? chord_ids[60]
+                                  : chord_ids[c.qual * 12 + c.root];
+        items.push_back({c.start, 0, off_chord + cid, 0, 0});
+    }
+    {
+        int64_t last = first_bpm;
+        size_t ptr = 0;
+        for (int64_t tick = 0; tick <= max_tt; tick += ticks_per_beat) {
+            // exact-tick dict semantics, duplicates: LAST same-tick wins
+            while (ptr < tempo_ev.size() && tempo_ev[ptr].first < tick) ++ptr;
+            size_t q = ptr;
+            while (q < tempo_ev.size() && tempo_ev[q].first == tick) {
+                last = tempo_ev[q].second;
+                ++q;
+            }
+            int64_t t = last;
+            int64_t tc, tv;
+            if (t >= iv0 && t < iv1) { tc = 0; tv = t - iv0; }
+            else if (t >= iv1 && t < iv2) { tc = 1; tv = t - iv1; }
+            else if (t >= iv2 && t < iv3) { tc = 2; tv = t - iv2; }
+            else if (t < iv0) { tc = 0; tv = 0; }
+            else { tc = 2; tv = iv1 - iv0 - 1; }  // >=210 fall-through
+            items.push_back({tick, 1, off_tc + tc, off_tv + tv, 0});
+        }
+    }
+    for (auto& nt : notes) {
+        int64_t v = nt.vel;
+        int64_t vi = (std::upper_bound(vel_bins, vel_bins + n_vel, v)
+                      - vel_bins) - 1;
+        if (vi < 0 || vi >= vel_steps) vi = vel_steps - 1;  // <4-slots quirk
+        int64_t pitch = std::min(nt.pitch, pitch_max);
+        int64_t dur = nt.end - nt.start;
+        // argmin |dur_bins - dur|, first minimum on ties
+        int64_t di = std::lower_bound(dur_bins, dur_bins + n_dur, dur)
+                     - dur_bins;
+        if (di == n_dur) di = n_dur - 1;
+        else if (di > 0 &&
+                 (dur - dur_bins[di - 1]) <= (dur_bins[di] - dur)) --di;
+        items.push_back({nt.start, 2, off_vel + vi, off_on + pitch,
+                         off_dur + di});
+    }
+    std::stable_sort(items.begin(), items.end(),
+                     [](const RemiItem& a, const RemiItem& b) {
+                         return a.start < b.start;
+                     });
+
+    // ---- bar entries with the downbeat double-count ----
+    struct Entry { int64_t bar, start, idx; };
+    std::vector<Entry> entries;
+    entries.reserve(items.size() + items.size() / 4);
+    for (int64_t i = 0; i < int64_t(items.size()); ++i) {
+        int64_t bar = items[i].start / ticks_per_bar;
+        entries.push_back({bar, items[i].start, i});
+        if (items[i].start % ticks_per_bar == 0 && items[i].start > 0)
+            entries.push_back({bar - 1, items[i].start, i});
+    }
+    std::sort(entries.begin(), entries.end(),
+              [](const Entry& a, const Entry& b) {
+                  if (a.bar != b.bar) return a.bar < b.bar;
+                  if (a.start != b.start) return a.start < b.start;
+                  return a.idx < b.idx;
+              });
+    int64_t max_bar = 0;
+    for (auto& e : entries) max_bar = std::max(max_bar, e.bar);
+    std::vector<char> bar_has_note(max_bar + 1, 0);
+    for (auto& e : entries)
+        if (items[e.idx].kind == 2) bar_has_note[e.bar] = 1;
+
+    // ---- emit ----
+    std::vector<uint16_t> toks;
+    toks.reserve(entries.size() * 4);
+    int64_t step = ticks_per_bar / fraction;
+    int64_t prev_bar = -1;
+    for (auto& e : entries) {
+        if (!bar_has_note[e.bar]) continue;
+        if (e.bar != prev_bar) {
+            toks.push_back(uint16_t(off_bar));
+            prev_bar = e.bar;
+        }
+        int64_t rel = e.start - e.bar * ticks_per_bar;
+        int64_t q = rel / step, r = rel % step;
+        int64_t pos = std::min(q + (r > step / 2 ? 1 : 0), fraction - 1);
+        toks.push_back(uint16_t(off_pos + pos));
+        const RemiItem& it = items[e.idx];
+        toks.push_back(uint16_t(it.p0));
+        if (it.kind >= 1) toks.push_back(uint16_t(it.p1));
+        if (it.kind == 2) toks.push_back(uint16_t(it.p2));
+    }
+    int64_t total = int64_t(toks.size());
+    if (total > cap) return -total;  // caller retries with a bigger buffer
+    std::memcpy(out, toks.data(), total * sizeof(uint16_t));
+    return total;
+}
+
 }  // extern "C"

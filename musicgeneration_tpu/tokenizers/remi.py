@@ -22,6 +22,7 @@ of crashing):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -213,8 +214,45 @@ def item2event(groups: List[list], strict: bool = False) -> List[Event]:
 
 
 def encode_array(path: str) -> np.ndarray:
-    """`to_array(extract_events(path))` without Event objects — the
-    corpus-pipeline hot path, fully vectorized after chord inference.
+    """`to_array(extract_events(path))` — the corpus-pipeline hot path.
+
+    Prefers the full C++ pipeline (native/smf_scan.cc mg_encode_remi:
+    parse -> quantize -> chord inference -> bar grouping -> tokens) and
+    falls back to the vectorized Python path below, which is the
+    semantics oracle in tests (tests/test_native_remi.py)."""
+    if os.environ.get("MG_NATIVE", "1") != "0":
+        from .. import native
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = None
+        if data is not None:
+            ranges = SPEC.feat_ranges()
+            toks = native.encode_remi(
+                data, DEFAULT_DURATION_BINS, DEFAULT_VELOCITY_BINS,
+                DEFAULT_RESOLUTION, vocab.REMI_FRACTION,
+                vocab.REMI_VELOCITY_STEPS, len(vocab.REMI_PITCH_RANGE) - 1,
+                (DEFAULT_TEMPO_INTERVALS[0].start,
+                 DEFAULT_TEMPO_INTERVALS[1].start,
+                 DEFAULT_TEMPO_INTERVALS[2].start,
+                 DEFAULT_TEMPO_INTERVALS[2].stop),
+                np.array([vocab.CHORD_MAP[f"{r}:{q}"]
+                          for q in vocab.CHORD_QUALITY
+                          for r in vocab.CHORD_ROOT]
+                         + [vocab.CHORD_MAP["N:N"]], np.int64),
+                (ranges["note_on"].start, ranges["note_duration"].start,
+                 ranges["note_velocity"].start, ranges["bar"].start,
+                 ranges["position"].start, ranges["tempo_class"].start,
+                 ranges["tempo_value"].start, ranges["chord"].start))
+            if toks is not None:
+                return toks.astype(SPEC.array_dtype())
+    return encode_array_py(path)
+
+
+def encode_array_py(path: str) -> np.ndarray:
+    """`to_array(extract_events(path))` without Event objects — fully
+    vectorized after chord inference; the native path's oracle.
 
     Replicates group_items + item2event + to_array semantics exactly
     (downbeat double-count, argmin position ties snapping down, the
