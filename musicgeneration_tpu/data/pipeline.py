@@ -65,10 +65,11 @@ def _tokenize_remi(path: str) -> Dict[str, np.ndarray]:
 
 def _tokenize_mumidi(path: str) -> Dict[str, np.ndarray]:
     from ..tokenizers import mumidi
-    melody, arrangement = mumidi.MuMIDI_EventSeq.extract_split_events(path)
-    to_array = mumidi.MuMIDI_EventSeq.to_array
-    return {"melody": to_array(melody).astype(np.uint16),
-            "arrangement": to_array(arrangement).astype(np.uint16)}
+    melody, arrangement = mumidi.MuMIDI_EventSeq.encode_split_arrays(path)
+    if melody is None:
+        raise ValueError("no melody/arrangement tracks to split")
+    return {"melody": melody.astype(np.uint16),
+            "arrangement": arrangement.astype(np.uint16)}
 
 
 def _tokenize_midilike_control(path: str) -> Dict[str, np.ndarray]:

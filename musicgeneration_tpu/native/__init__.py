@@ -95,6 +95,23 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,              # token offsets
                 _u16, ctypes.c_int64,                        # out
             ]
+            lib.mg_encode_mumidi.restype = ctypes.c_int64
+            lib.mg_encode_mumidi.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,             # file bytes
+                ctypes.c_char_p, ctypes.c_int64,             # role names
+                ctypes.c_int64, ctypes.c_int64,              # mask, drum role
+                _i64, ctypes.c_int64, _i64, ctypes.c_int64,  # dur/vel bins
+                ctypes.c_int64, ctypes.c_int64,              # resolution, frac
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64,                              # pitch/drum/n
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,              # tempo intervals
+                _i64,                                        # chord id table
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                _u16, ctypes.c_int64,                        # out
+            ]
             _lib = lib
         except OSError:
             _lib = None
@@ -177,6 +194,48 @@ def encode_remi(data: bytes, dur_bins: np.ndarray, vel_bins: np.ndarray,
             return None
         if m < -1:
             cap = -m  # exact size needed; retry once
+            continue
+        return out[:m].copy()
+    return None
+
+
+def encode_mumidi(data: bytes, role_names, role_mask: int, drum_role: int,
+                  dur_bins: np.ndarray, vel_bins: np.ndarray,
+                  resolution: int, fraction: int,
+                  pitch_lo: int, drum_lo: int, n_pitch: int,
+                  tempo_bounds, chord_ids: np.ndarray,
+                  offsets) -> Optional[np.ndarray]:
+    """One MuMIDI con_instr subset in C++ (smf_scan.cc mg_encode_mumidi;
+    reference MuMIDI.py:86-207). `role_names` = the 6 track roles in
+    vocab order; `role_mask` selects which to include (melody-only vs
+    the 5 arrangement roles); `offsets` = (note_on, note_duration,
+    note_velocity, bar, position, track, tempo_class, tempo_value,
+    chord) token-id starts. Returns an EMPTY array when the file has no
+    selected notes (the caller's None case) and None when the library
+    is unavailable or parsing failed (fall back to Python)."""
+    lib = _load()
+    if lib is None or getattr(lib, "mg_encode_mumidi", None) is None:
+        return None
+    blob = b"".join(name.encode("ascii") + b"\0" for name in role_names)
+    dur_bins = np.ascontiguousarray(dur_bins, np.int64)
+    vel_bins = np.ascontiguousarray(vel_bins, np.int64)
+    chord_ids = np.ascontiguousarray(chord_ids, np.int64)
+    cap = 4096
+    for _ in range(3):
+        out = np.empty(cap, np.uint16)
+        m = lib.mg_encode_mumidi(
+            data, len(data), blob, len(role_names), role_mask, drum_role,
+            dur_bins, len(dur_bins), vel_bins, len(vel_bins),
+            resolution, fraction, pitch_lo, drum_lo, n_pitch,
+            tempo_bounds[0], tempo_bounds[1], tempo_bounds[2],
+            tempo_bounds[3], chord_ids,
+            offsets[0], offsets[1], offsets[2], offsets[3], offsets[4],
+            offsets[5], offsets[6], offsets[7], offsets[8],
+            out, cap)
+        if m == -1:
+            return None
+        if m < -1:
+            cap = -m
             continue
         return out[:m].copy()
     return None

@@ -392,6 +392,9 @@ int chord_weight(int q, int n) {
 struct WinResult { int root; int qual; int bass; int score; };
 // qual: 0..4 quality, -1 invalid ("None"), 5 empty window ("N:N")
 
+struct NoteRow { int64_t start, end, pitch, vel; int track; };
+struct ChordSeg { int64_t start, end; int root, qual; };
+
 WinResult score_window(const uint64_t* bits) {
     WinResult r{-1, 5, -1, 0};
     int low_by_class[12];
@@ -446,72 +449,11 @@ WinResult score_window(const uint64_t* bits) {
     return r;
 }
 
-}  // namespace
-
-int64_t mg_encode_remi(
-    const uint8_t* data, int64_t n_bytes,
-    const int64_t* dur_bins, int64_t n_dur,
-    const int64_t* vel_bins, int64_t n_vel,
-    int64_t resolution, int64_t fraction, int64_t vel_steps,
-    int64_t pitch_max,
-    int64_t iv0, int64_t iv1, int64_t iv2, int64_t iv3,
-    const int64_t* chord_ids,  // [61]: qual*12+root; [60] = N:N
-    int64_t off_on, int64_t off_dur, int64_t off_vel, int64_t off_bar,
-    int64_t off_pos, int64_t off_tc, int64_t off_tv, int64_t off_chord,
-    uint16_t* out, int64_t cap) {
-    MgParse* p = mg_parse(data, n_bytes);
-    if (p->error) { mg_free(p); return -1; }
-
-    const int64_t ticks_per_beat = resolution;            // 480
-    const int64_t ticks_per_bar = resolution * 4;         // 1920
-    const int64_t grid = 120;                             // quantize grid
-
-    // ---- instrument 0 (smf.py _build_from_native key order) ----
-    // first (track, notes<controls, seq) occurrence picks the key
-    struct NoteRow { int64_t start, end, pitch, vel; };
-    std::vector<NoteRow> notes;
-    if (p->n_notes || p->n_controls) {
-        int64_t kt, kc, kp;
-        bool use_note = p->n_notes &&
-            (!p->n_controls || p->notes[0] <= p->controls[0]);
-        if (use_note) { kt = p->notes[0]; kc = p->notes[1]; kp = p->notes[2]; }
-        else { kt = p->controls[0]; kc = p->controls[1]; kp = p->controls[2]; }
-        for (int64_t i = 0; i < p->n_notes; ++i) {
-            const int64_t* r = p->notes + i * 7;
-            if (r[0] == kt && r[1] == kc && r[2] == kp)
-                notes.push_back({r[5], r[6], r[3], r[4]});
-        }
-    }
-    std::stable_sort(notes.begin(), notes.end(),
-                     [](const NoteRow& a, const NoteRow& b) {
-                         return a.start != b.start ? a.start < b.start
-                                                   : a.pitch < b.pitch;
-                     });
-
-    // ---- tempo changes (tick, bpm_int) ----
-    std::vector<std::pair<int64_t, int64_t>> tempo_ev;
-    for (int64_t i = 0; i < p->n_tempos; ++i) {
-        int64_t us = p->tempos[i * 2 + 1];
-        if (us <= 0) { mg_free(p); return -1; }  // Python raises; fall back
-        tempo_ev.push_back({p->tempos[i * 2],
-                            static_cast<int64_t>(60e6 / double(us))});
-    }
-    mg_free(p);
-    if (tempo_ev.empty()) tempo_ev.push_back({0, 120});
-
-    if (notes.empty()) return 0;
-
-    // ---- quantize_items: snap starts to the 120-tick grid ----
-    int64_t grid_stop = std::max(notes.back().start, int64_t(1));
-    int64_t n_grids = (grid_stop + grid - 1) / grid;
-    for (auto& nt : notes) {
-        int64_t q = nt.start / grid, rem = nt.start % grid;
-        int64_t idx = std::min(q + (rem > grid / 2 ? 1 : 0), n_grids - 1);
-        int64_t shift = idx * grid - nt.start;
-        nt.start += shift;
-        nt.end += shift;
-    }
-    // ---- chord inference (chords.py MIDIChord.extract) ----
+// chords.py MIDIChord.extract: per-beat presence, 4- then 2-beat windows,
+// greedy (score, end) segmentation, ':None' head-strip/merge. Shared by
+// the REMI and MuMIDI encoders (both call it on their quantized notes).
+std::vector<ChordSeg> infer_chords(const std::vector<NoteRow>& notes,
+                                   int64_t ticks_per_beat) {
     int64_t max_tick_c = 0;
     for (auto& nt : notes) max_tick_c = std::max(max_tick_c, nt.end);
     int64_t n_beats = std::max<int64_t>(
@@ -539,8 +481,7 @@ int64_t mg_encode_remi(
         }
     }
     // greedy (score, end) segmentation
-    struct Seg { int64_t start, end; int root, qual; };
-    std::vector<Seg> segs;
+    std::vector<ChordSeg> segs;
     int64_t st = 0;
     while (st < max_tick_c) {
         int64_t b = st / ticks_per_beat;
@@ -560,62 +501,151 @@ int64_t mg_encode_remi(
         segs[head + 1].start = segs[head].start;
         ++head;
     }
-    std::vector<Seg> chords;
+    std::vector<ChordSeg> chords;
     for (size_t i = head; i < segs.size(); ++i) {
         if (segs[i].qual != -1) chords.push_back(segs[i]);
         else chords.back().end = segs[i].end;
     }
+    return chords;
+}
 
-    // ---- tempo items: every beat up to the last tempo-event tick, with
-    // EXACT-tick lookup (read_items quirk: off-grid changes are invisible)
+// quantize_items: snap starts to the 120-tick grid, ties down, clipped to
+// the last grid point below the max start (REMI.py:113-122 / MuMIDI.py)
+void quantize_notes(std::vector<NoteRow>& notes, int64_t grid) {
+    if (notes.empty()) return;
+    int64_t max_start = 0;
+    for (auto& nt : notes) max_start = std::max(max_start, nt.start);
+    int64_t grid_stop = std::max(max_start, int64_t(1));
+    int64_t n_grids = (grid_stop + grid - 1) / grid;
+    for (auto& nt : notes) {
+        int64_t q = nt.start / grid, rem = nt.start % grid;
+        int64_t idx = std::min(q + (rem > grid / 2 ? 1 : 0), n_grids - 1);
+        int64_t shift = idx * grid - nt.start;
+        nt.start += shift;
+        nt.end += shift;
+    }
+}
+
+// REMI.py:237-254 tempo interval branches incl. the ==iv3 fall-through
+void tempo_class_value(int64_t t, int64_t iv0, int64_t iv1, int64_t iv2,
+                       int64_t iv3, int64_t* tc, int64_t* tv) {
+    (void)iv3;
+    if (t >= iv0 && t < iv1) { *tc = 0; *tv = t - iv0; }
+    else if (t >= iv1 && t < iv2) { *tc = 1; *tv = t - iv1; }
+    else if (t >= iv2 && t < iv3) { *tc = 2; *tv = t - iv2; }
+    else if (t < iv0) { *tc = 0; *tv = 0; }
+    else { *tc = 2; *tv = iv1 - iv0 - 1; }  // >=210 fall-through
+}
+
+// argmin |bins - x| with the first minimum winning ties
+int64_t argmin_abs(const int64_t* bins, int64_t n, int64_t x) {
+    int64_t di = std::lower_bound(bins, bins + n, x) - bins;
+    if (di == n) return n - 1;
+    if (di > 0 && (x - bins[di - 1]) <= (bins[di] - x)) return di - 1;
+    return di;
+}
+
+// read_items tempo expansion: one item per beat from 0 to the last tempo
+// tick, EXACT-tick dict lookup (off-grid changes invisible, last same-tick
+// wins), seeded with the first event's bpm (REMI.py:92-110)
+std::vector<std::pair<int64_t, int64_t>> expand_tempo_items(
+    std::vector<std::pair<int64_t, int64_t>>& tempo_ev,
+    int64_t ticks_per_beat) {
     std::stable_sort(tempo_ev.begin(), tempo_ev.end(),
                      [](auto& a, auto& b) { return a.first < b.first; });
+    std::vector<std::pair<int64_t, int64_t>> items;
+    int64_t last = tempo_ev.front().second;
+    size_t ptr = 0;
     int64_t max_tt = tempo_ev.back().first;
-    int64_t first_bpm = tempo_ev.front().second;
+    for (int64_t tick = 0; tick <= max_tt; tick += ticks_per_beat) {
+        while (ptr < tempo_ev.size() && tempo_ev[ptr].first < tick) ++ptr;
+        size_t q = ptr;
+        while (q < tempo_ev.size() && tempo_ev[q].first == tick) {
+            last = tempo_ev[q].second;
+            ++q;
+        }
+        items.push_back({tick, last});
+    }
+    return items;
+}
+
+}  // namespace
+
+int64_t mg_encode_remi(
+    const uint8_t* data, int64_t n_bytes,
+    const int64_t* dur_bins, int64_t n_dur,
+    const int64_t* vel_bins, int64_t n_vel,
+    int64_t resolution, int64_t fraction, int64_t vel_steps,
+    int64_t pitch_max,
+    int64_t iv0, int64_t iv1, int64_t iv2, int64_t iv3,
+    const int64_t* chord_ids,  // [61]: qual*12+root; [60] = N:N
+    int64_t off_on, int64_t off_dur, int64_t off_vel, int64_t off_bar,
+    int64_t off_pos, int64_t off_tc, int64_t off_tv, int64_t off_chord,
+    uint16_t* out, int64_t cap) {
+    MgParse* p = mg_parse(data, n_bytes);
+    if (p->error) { mg_free(p); return -1; }
+
+    const int64_t ticks_per_beat = resolution;            // 480
+    const int64_t ticks_per_bar = resolution * 4;         // 1920
+    const int64_t grid = 120;                             // quantize grid
+
+    // ---- instrument 0 (smf.py _build_from_native key order) ----
+    // first (track, notes<controls, seq) occurrence picks the key
+    std::vector<NoteRow> notes;
+    if (p->n_notes || p->n_controls) {
+        int64_t kt, kc, kp;
+        bool use_note = p->n_notes &&
+            (!p->n_controls || p->notes[0] <= p->controls[0]);
+        if (use_note) { kt = p->notes[0]; kc = p->notes[1]; kp = p->notes[2]; }
+        else { kt = p->controls[0]; kc = p->controls[1]; kp = p->controls[2]; }
+        for (int64_t i = 0; i < p->n_notes; ++i) {
+            const int64_t* r = p->notes + i * 7;
+            if (r[0] == kt && r[1] == kc && r[2] == kp)
+                notes.push_back({r[5], r[6], r[3], r[4], -1});
+        }
+    }
+    std::stable_sort(notes.begin(), notes.end(),
+                     [](const NoteRow& a, const NoteRow& b) {
+                         return a.start != b.start ? a.start < b.start
+                                                   : a.pitch < b.pitch;
+                     });
+
+    // ---- tempo changes (tick, bpm_int) ----
+    std::vector<std::pair<int64_t, int64_t>> tempo_ev;
+    for (int64_t i = 0; i < p->n_tempos; ++i) {
+        int64_t us = p->tempos[i * 2 + 1];
+        if (us <= 0) { mg_free(p); return -1; }  // Python raises; fall back
+        tempo_ev.push_back({p->tempos[i * 2],
+                            static_cast<int64_t>(60e6 / double(us))});
+    }
+    mg_free(p);
+    if (tempo_ev.empty()) tempo_ev.push_back({0, 120});
+
+    if (notes.empty()) return 0;
+
+    quantize_notes(notes, grid);
+    std::vector<ChordSeg> chords = infer_chords(notes, ticks_per_beat);
+    auto tempo_items = expand_tempo_items(tempo_ev, ticks_per_beat);
 
     // ---- items = chords + tempos + notes, stable by start ----
     std::vector<RemiItem> items;
-    items.reserve(chords.size() + size_t(max_tt / ticks_per_beat) + 1 +
-                  notes.size());
+    items.reserve(chords.size() + tempo_items.size() + notes.size());
     for (auto& c : chords) {
         int64_t cid = c.qual == 5 ? chord_ids[60]
                                   : chord_ids[c.qual * 12 + c.root];
         items.push_back({c.start, 0, off_chord + cid, 0, 0});
     }
-    {
-        int64_t last = first_bpm;
-        size_t ptr = 0;
-        for (int64_t tick = 0; tick <= max_tt; tick += ticks_per_beat) {
-            // exact-tick dict semantics, duplicates: LAST same-tick wins
-            while (ptr < tempo_ev.size() && tempo_ev[ptr].first < tick) ++ptr;
-            size_t q = ptr;
-            while (q < tempo_ev.size() && tempo_ev[q].first == tick) {
-                last = tempo_ev[q].second;
-                ++q;
-            }
-            int64_t t = last;
-            int64_t tc, tv;
-            if (t >= iv0 && t < iv1) { tc = 0; tv = t - iv0; }
-            else if (t >= iv1 && t < iv2) { tc = 1; tv = t - iv1; }
-            else if (t >= iv2 && t < iv3) { tc = 2; tv = t - iv2; }
-            else if (t < iv0) { tc = 0; tv = 0; }
-            else { tc = 2; tv = iv1 - iv0 - 1; }  // >=210 fall-through
-            items.push_back({tick, 1, off_tc + tc, off_tv + tv, 0});
-        }
+    for (auto& tp : tempo_items) {
+        int64_t tc, tv;
+        tempo_class_value(tp.second, iv0, iv1, iv2, iv3, &tc, &tv);
+        items.push_back({tp.first, 1, off_tc + tc, off_tv + tv, 0});
     }
     for (auto& nt : notes) {
-        int64_t v = nt.vel;
-        int64_t vi = (std::upper_bound(vel_bins, vel_bins + n_vel, v)
+        int64_t vi = (std::upper_bound(vel_bins, vel_bins + n_vel, nt.vel)
                       - vel_bins) - 1;
         if (vi < 0 || vi >= vel_steps) vi = vel_steps - 1;  // <4-slots quirk
         int64_t pitch = std::min(nt.pitch, pitch_max);
-        int64_t dur = nt.end - nt.start;
-        // argmin |dur_bins - dur|, first minimum on ties
-        int64_t di = std::lower_bound(dur_bins, dur_bins + n_dur, dur)
-                     - dur_bins;
-        if (di == n_dur) di = n_dur - 1;
-        else if (di > 0 &&
-                 (dur - dur_bins[di - 1]) <= (dur_bins[di] - dur)) --di;
+        int64_t di = argmin_abs(dur_bins, n_dur, nt.end - nt.start);
         items.push_back({nt.start, 2, off_vel + vi, off_on + pitch,
                          off_dur + di});
     }
@@ -668,6 +698,236 @@ int64_t mg_encode_remi(
     }
     int64_t total = int64_t(toks.size());
     if (total > cap) return -total;  // caller retries with a bigger buffer
+    std::memcpy(out, toks.data(), total * sizeof(uint16_t));
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// MuMIDI full-file tokenization (one con_instr subset per call).
+//
+// Exact C++ transcription of tokenizers/mumidi.py extract_events+to_array
+// (reference mg/model/utils/MuMIDI.py:86-207, 337-431), oracle-tested in
+// tests/test_native_mumidi.py. Deltas from REMI:
+//   * notes come from EVERY instrument whose track-name meta matches a
+//     selected role (role_mask over role_names), in smf.py instrument
+//     first-occurrence order, each instrument's notes (start, pitch)-sorted,
+//   * combined items sort by (start, track-NAME) — chord/tempo items carry
+//     the empty name and sort first (MuMIDI.py:182),
+//   * position granularity 32, ONE-based, emitted only when it changes
+//     within the bar (MuMIDI.py:243-251),
+//   * velocity = searchsorted(side='right') WITHOUT the -1 and WITHOUT a
+//     clamp (MuMIDI.py:265-268 quirk),
+//   * drum notes offset into the second half of note_on; non-drum pitch 0
+//     underflows to off_on-1 exactly like the reference's pitch-1.
+//
+// Returns token count (0 = no selected notes -> caller maps to None),
+// -needed when cap is too small, -1 on parse/tempo error (fallback).
+int64_t mg_encode_mumidi(
+    const uint8_t* data, int64_t n_bytes,
+    const char* role_names, int64_t n_roles, int64_t role_mask,
+    int64_t drum_role,
+    const int64_t* dur_bins, int64_t n_dur,
+    const int64_t* vel_bins, int64_t n_vel,
+    int64_t resolution, int64_t fraction,
+    int64_t pitch_lo, int64_t drum_lo, int64_t n_pitch,
+    int64_t iv0, int64_t iv1, int64_t iv2, int64_t iv3,
+    const int64_t* chord_ids,
+    int64_t off_on, int64_t off_dur, int64_t off_vel, int64_t off_bar,
+    int64_t off_pos, int64_t off_track, int64_t off_tc, int64_t off_tv,
+    int64_t off_chord,
+    uint16_t* out, int64_t cap) {
+    MgParse* p = mg_parse(data, n_bytes);
+    if (p->error) { mg_free(p); return -1; }
+
+    const int64_t ticks_per_beat = resolution;
+    const int64_t ticks_per_bar = resolution * 4;
+
+    // unpack role names + alphabetical rank (the Python sort key is the
+    // track-name STRING; chord/tempo items carry "" and sort first)
+    std::vector<const char*> roles;
+    {
+        const char* q = role_names;
+        for (int64_t i = 0; i < n_roles; ++i) {
+            roles.push_back(q);
+            q += std::strlen(q) + 1;
+        }
+    }
+    std::vector<int> alpha_rank(n_roles);
+    {
+        std::vector<int> order(n_roles);
+        for (int64_t i = 0; i < n_roles; ++i) order[i] = int(i);
+        std::sort(order.begin(), order.end(), [&](int a, int b) {
+            return std::strcmp(roles[a], roles[b]) < 0;
+        });
+        for (int64_t r = 0; r < n_roles; ++r) alpha_rank[order[r]] = int(r);
+    }
+
+    // first track-name meta per track (smf.py names.setdefault)
+    std::vector<std::pair<int64_t, std::pair<int64_t, int64_t>>> names;
+    for (int64_t i = 0; i < p->n_metas; ++i) {
+        const int64_t* m = p->metas + i * 5;
+        if (m[2] != 0x03) continue;
+        bool seen = false;
+        for (auto& nm : names) if (nm.first == m[0]) { seen = true; break; }
+        if (!seen) names.push_back({m[0], {m[3], m[4]}});
+    }
+    auto track_role = [&](int64_t track) -> int {
+        for (auto& nm : names) {
+            if (nm.first != track) continue;
+            int64_t off = nm.second.first, len = nm.second.second;
+            if (off < 0 || off + len > n_bytes) return -1;
+            for (int64_t r = 0; r < n_roles; ++r) {
+                if (int64_t(std::strlen(roles[r])) == len &&
+                    std::memcmp(data + off, roles[r], len) == 0)
+                    return int(r);
+            }
+            return -1;
+        }
+        return -1;  // unnamed track
+    };
+
+    // instruments in first-note-occurrence order (control-only instruments
+    // carry no notes and cannot affect note order — skip them)
+    std::vector<int64_t> inst_keys;
+    std::vector<std::vector<NoteRow>> inst_notes;
+    std::vector<int> inst_role;
+    for (int64_t i = 0; i < p->n_notes; ++i) {
+        const int64_t* r = p->notes + i * 7;
+        int64_t key = (r[0] << 32) | (r[1] << 16) | r[2];
+        size_t slot = 0;
+        for (; slot < inst_keys.size(); ++slot)
+            if (inst_keys[slot] == key) break;
+        if (slot == inst_keys.size()) {
+            inst_keys.push_back(key);
+            inst_notes.emplace_back();
+            int role = track_role(r[0]);
+            if (role >= 0 && !((role_mask >> role) & 1)) role = -1;
+            inst_role.push_back(role);
+        }
+        if (inst_role[slot] >= 0)
+            inst_notes[slot].push_back({r[5], r[6], r[3], r[4],
+                                        inst_role[slot]});
+    }
+
+    std::vector<std::pair<int64_t, int64_t>> tempo_ev;
+    for (int64_t i = 0; i < p->n_tempos; ++i) {
+        int64_t us = p->tempos[i * 2 + 1];
+        if (us <= 0) { mg_free(p); return -1; }
+        tempo_ev.push_back({p->tempos[i * 2],
+                            static_cast<int64_t>(60e6 / double(us))});
+    }
+    mg_free(p);
+    if (tempo_ev.empty()) tempo_ev.push_back({0, 120});
+
+    std::vector<NoteRow> notes;
+    for (size_t s = 0; s < inst_keys.size(); ++s) {
+        auto& v = inst_notes[s];
+        std::stable_sort(v.begin(), v.end(),
+                         [](const NoteRow& a, const NoteRow& b) {
+                             return a.start != b.start ? a.start < b.start
+                                                       : a.pitch < b.pitch;
+                         });
+        notes.insert(notes.end(), v.begin(), v.end());
+    }
+    if (notes.empty()) return 0;  // -> None (extract_split_events)
+    // read_items' global stable start-sort (ties keep instrument order)
+    std::stable_sort(notes.begin(), notes.end(),
+                     [](const NoteRow& a, const NoteRow& b) {
+                         return a.start < b.start;
+                     });
+
+    quantize_notes(notes, 120);
+    std::vector<ChordSeg> chords = infer_chords(notes, ticks_per_beat);
+    auto tempo_items = expand_tempo_items(tempo_ev, ticks_per_beat);
+
+    // items: kind 0 chord / 1 tempo / 2 note; sort (start, track-name)
+    struct MuItem {
+        int64_t start;
+        int8_t kind;
+        int rank;  // -1 for chord/tempo (empty name), else alpha rank
+        int64_t p0, p1, p2, p3;
+    };
+    std::vector<MuItem> items;
+    items.reserve(chords.size() + tempo_items.size() + notes.size());
+    for (auto& c : chords) {
+        int64_t cid = c.qual == 5 ? chord_ids[60]
+                                  : chord_ids[c.qual * 12 + c.root];
+        items.push_back({c.start, 0, -1, off_chord + cid, 0, 0, 0});
+    }
+    for (auto& tp : tempo_items) {
+        int64_t tc, tv;
+        tempo_class_value(tp.second, iv0, iv1, iv2, iv3, &tc, &tv);
+        items.push_back({tp.first, 1, -1, off_tc + tc, off_tv + tv, 0, 0});
+    }
+    for (auto& nt : notes) {
+        // searchsorted(side='right'), NO -1, NO clamp (MuMIDI.py:265-268)
+        int64_t vi = std::upper_bound(vel_bins, vel_bins + n_vel, nt.vel)
+                     - vel_bins;
+        int64_t on = nt.track == drum_role
+                         ? nt.pitch - drum_lo + n_pitch
+                         : nt.pitch - pitch_lo;
+        int64_t di = argmin_abs(dur_bins, n_dur, nt.end - nt.start);
+        items.push_back({nt.start, 2, alpha_rank[nt.track],
+                         off_track + nt.track, off_vel + vi, off_on + on,
+                         off_dur + di});
+    }
+    std::stable_sort(items.begin(), items.end(),
+                     [](const MuItem& a, const MuItem& b) {
+                         return a.start != b.start ? a.start < b.start
+                                                   : a.rank < b.rank;
+                     });
+
+    // bar entries with the downbeat double-count
+    struct Entry { int64_t bar, start, idx; };
+    std::vector<Entry> entries;
+    entries.reserve(items.size() + items.size() / 4);
+    for (int64_t i = 0; i < int64_t(items.size()); ++i) {
+        int64_t bar = items[i].start / ticks_per_bar;
+        entries.push_back({bar, items[i].start, i});
+        if (items[i].start % ticks_per_bar == 0 && items[i].start > 0)
+            entries.push_back({bar - 1, items[i].start, i});
+    }
+    std::sort(entries.begin(), entries.end(),
+              [](const Entry& a, const Entry& b) {
+                  if (a.bar != b.bar) return a.bar < b.bar;
+                  if (a.start != b.start) return a.start < b.start;
+                  return a.idx < b.idx;
+              });
+    int64_t max_bar = 0;
+    for (auto& e : entries) max_bar = std::max(max_bar, e.bar);
+    std::vector<char> bar_has_note(max_bar + 1, 0);
+    for (auto& e : entries)
+        if (items[e.idx].kind == 2) bar_has_note[e.bar] = 1;
+
+    // emit: position is ONE-based and emitted only when it changes
+    std::vector<uint16_t> toks;
+    toks.reserve(entries.size() * 5);
+    int64_t step = ticks_per_bar / fraction;
+    int64_t prev_bar = -1, last_pos = -1;
+    for (auto& e : entries) {
+        if (!bar_has_note[e.bar]) continue;
+        if (e.bar != prev_bar) {
+            toks.push_back(uint16_t(off_bar));
+            prev_bar = e.bar;
+            last_pos = -1;
+        }
+        int64_t rel = e.start - e.bar * ticks_per_bar;
+        int64_t q = rel / step, r = rel % step;
+        int64_t pos = std::min(q + (r > step / 2 ? 1 : 0), fraction - 1) + 1;
+        if (pos != last_pos) {
+            toks.push_back(uint16_t(off_pos + pos));
+            last_pos = pos;
+        }
+        const MuItem& it = items[e.idx];
+        toks.push_back(uint16_t(it.p0));
+        if (it.kind >= 1) toks.push_back(uint16_t(it.p1));
+        if (it.kind == 2) {
+            toks.push_back(uint16_t(it.p2));
+            toks.push_back(uint16_t(it.p3));
+        }
+    }
+    int64_t total = int64_t(toks.size());
+    if (total > cap) return -total;
     std::memcpy(out, toks.data(), total * sizeof(uint16_t));
     return total;
 }

@@ -160,6 +160,54 @@ def item2event(groups: List[list], strict: bool = False) -> List[Event]:
     return events
 
 
+def _native_split_arrays(input_path: str):
+    """C++ fast path for encode_split_arrays. Returns (melody, arrange)
+    arrays, (None, None) when a split side has no notes, or None to make
+    the caller fall back to the Python oracle path."""
+    from .. import native
+    try:
+        with open(input_path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    ranges = SPEC.feat_ranges()
+    chord_ids = np.array([vocab.CHORD_MAP[f"{r}:{q}"]
+                          for q in vocab.CHORD_QUALITY
+                          for r in vocab.CHORD_ROOT]
+                         + [vocab.CHORD_MAP["N:N"]], np.int64)
+    offsets = (ranges["note_on"].start, ranges["note_duration"].start,
+               ranges["note_velocity"].start, ranges["bar"].start,
+               ranges["position"].start, ranges["track"].start,
+               ranges["tempo_class"].start, ranges["tempo_value"].start,
+               ranges["chord"].start)
+    common = dict(
+        role_names=DEFAULT_TRACKS, drum_role=TRACKS_IDX["drum"],
+        dur_bins=DEFAULT_DURATION_BINS, vel_bins=DEFAULT_VELOCITY_BINS,
+        resolution=DEFAULT_RESOLUTION, fraction=DEFAULT_FRACTION,
+        pitch_lo=DEFAULT_PITCH_RANGE.start, drum_lo=DEFAULT_DRUM_TYPE.start,
+        n_pitch=len(DEFAULT_PITCH_RANGE),
+        tempo_bounds=(vocab.REMI_TEMPO_INTERVALS[0].start,
+                      vocab.REMI_TEMPO_INTERVALS[1].start,
+                      vocab.REMI_TEMPO_INTERVALS[2].start,
+                      vocab.REMI_TEMPO_INTERVALS[2].stop),
+        chord_ids=chord_ids, offsets=offsets)
+    melody_mask = 1 << TRACKS_IDX["melody"]
+    arrange_mask = sum(1 << i for i in range(len(DEFAULT_TRACKS))) \
+        & ~melody_mask
+    melody = native.encode_mumidi(data, role_mask=melody_mask, **common)
+    if melody is None:
+        return None  # library missing / parse error -> Python path
+    if len(melody) == 0:
+        return None, None
+    arrange = native.encode_mumidi(data, role_mask=arrange_mask, **common)
+    if arrange is None:
+        return None
+    if len(arrange) == 0:
+        return None, None
+    dtype = SPEC.array_dtype()
+    return melody.astype(dtype), arrange.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # MuMIDI_EventSeq
 # ---------------------------------------------------------------------------
@@ -242,6 +290,25 @@ class MuMIDI_EventSeq:
         if arrange is None:
             return None, None
         return melody, arrange
+
+    @staticmethod
+    def encode_split_arrays(input_path: str):
+        """(melody_tokens, arrangement_tokens) as arrays, or (None, None)
+        — `to_array(extract_split_events(path))`, the corpus-pipeline hot
+        path. Prefers the C++ pipeline (native/smf_scan.cc
+        mg_encode_mumidi, one call per con_instr subset) and falls back
+        to the Event-object path, which is the semantics oracle
+        (tests/test_native_mumidi.py)."""
+        import os
+        if os.environ.get("MG_NATIVE", "1") != "0":
+            arrs = _native_split_arrays(input_path)
+            if arrs is not None:
+                return arrs
+        melody, arrange = MuMIDI_EventSeq.extract_split_events(input_path)
+        if melody is None:
+            return None, None
+        return (MuMIDI_EventSeq.to_array(melody),
+                MuMIDI_EventSeq.to_array(arrange))
 
     @staticmethod
     def to_array(events: List[Event]) -> np.ndarray:
