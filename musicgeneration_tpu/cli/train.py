@@ -52,6 +52,12 @@ class TrainCLIConfig(Config):
     # PoPMAG bucketing (static shapes across batches)
     max_bars: int = 16
     max_bar_len: int = 96
+    # CP per-head loss weights, in tokenizers/cp field order (family,
+    # position, tempo_class, tempo_value, chord, pitch, duration,
+    # velocity); normalized to mean 1. The Compound Word Transformer
+    # paper up-weights the routing "family" head — pass e.g.
+    # cp_head_weights=(2,1,1,1,1,1,1,1). None = equal.
+    cp_head_weights: Optional[tuple] = None
     # -- multi-chip SPMD (music_transformer; parallel/mesh.py) ---------
     # Any of these != default builds a ('data','seq','model') mesh over
     # all visible devices: dp = data parallel (defaults to n/(tp*sp)),
@@ -324,9 +330,21 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
             warmup_steps=cfg.warmup_steps, accum_steps=cfg.accum_steps,
             max_grad_norm=cfg.max_grad_norm, peak_lr=cfg.peak_lr)
 
+        n_heads = len(model.field_dims)
+        if cfg.cp_head_weights is not None:
+            if len(cfg.cp_head_weights) != n_heads:
+                raise ValueError(
+                    f"cp_head_weights needs {n_heads} entries "
+                    f"(got {len(cfg.cp_head_weights)})")
+            w = np.asarray(cfg.cp_head_weights, np.float32)
+            head_w = tuple(float(x) for x in (w / w.mean()))
+        else:
+            head_w = (1.0,) * n_heads
+
         def cp_loss_fn(params, x, y, rng):
-            # mean CE over the 8 field heads (equal weights; the CP paper
-            # weights them, an easy later knob)
+            # weighted mean CE over the 8 field heads (Compound Word
+            # Transformer recipe; cp_head_weights, mean-1 normalized so
+            # the loss scale is comparable across weightings)
             logits = model.apply({"params": params}, x,
                                  deterministic=False,
                                  rngs={"dropout": rng})
@@ -335,7 +353,7 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
             for i, lg in enumerate(logits):
                 lp = jax.nn.log_softmax(lg, axis=-1)
                 tgt = y[..., i]
-                loss += -jnp.take_along_axis(
+                loss += head_w[i] * -jnp.take_along_axis(
                     lp, tgt[..., None], axis=-1).mean()
                 acc += jnp.mean(
                     (jnp.argmax(lg, axis=-1) == tgt).astype(jnp.float32))

@@ -186,3 +186,51 @@ def test_cli_cp_end_to_end(tmp_path):
                      "--prime-len", "16"]) == 0
     assert os.path.getsize(out_mid) > 0
     MidiFile(out_mid)
+
+
+def test_cp_head_loss_weighting():
+    """cp_head_weights reweights per-head CE (mean-1 normalized): the
+    weighted loss equals sum(w_i * ce_i) / n for the same params/batch,
+    and a wrong-length tuple is rejected."""
+    from musicgeneration_tpu.cli.train import TrainCLIConfig, build_session
+
+    kwargs = dict(num_layers=1, d_model=64, max_seq=16)
+    cfg_eq = TrainCLIConfig(model="cp_transformer", seq_len=16)
+    cfg_w = TrainCLIConfig(model="cp_transformer", seq_len=16,
+                           cp_head_weights=(2, 1, 1, 1, 1, 1, 1, 1))
+    model, _, _, loss_eq, _ = build_session(cfg_eq, "cp", dict(kwargs))
+    _, _, _, loss_w, _ = build_session(cfg_w, "cp", dict(kwargs))
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (2, 8, cp.WIDTH), 0, 3)
+    y = jax.random.randint(jax.random.PRNGKey(1), (2, 8, cp.WIDTH), 0, 3)
+    params = model.init({"params": rng, "dropout": rng}, x,
+                        deterministic=True)["params"]
+
+    # per-head CE at these params (deterministic apply for the oracle;
+    # loss fns use dropout, so compare them to each other on one rng)
+    drop = jax.random.PRNGKey(2)
+    l_eq, acc_eq = loss_eq(params, x, y, drop)
+    l_w, acc_w = loss_w(params, x, y, drop)
+    assert np.isfinite(l_eq) and np.isfinite(l_w)
+    assert acc_eq == acc_w  # weights change the loss, not accuracy
+    assert not np.isclose(float(l_eq), float(l_w))
+
+    # oracle: recompute from the logits with the normalized weights
+    logits = model.apply({"params": params}, x, deterministic=False,
+                         rngs={"dropout": drop})
+    w = np.asarray(cfg_w.cp_head_weights, np.float32)
+    w = w / w.mean()
+    ce = []
+    for i, lg in enumerate(logits):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        ce.append(float(-jnp.take_along_axis(
+            lp, y[..., i][..., None], axis=-1).mean()))
+    np.testing.assert_allclose(float(l_w), np.dot(w, ce) / len(ce),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(l_eq), np.mean(ce), rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        build_session(
+            TrainCLIConfig(model="cp_transformer",
+                           cp_head_weights=(1, 2)), "cp", dict(kwargs))
