@@ -80,10 +80,12 @@ def _tokenize_midilike_control(path: str) -> Dict[str, np.ndarray]:
     wanted but lacked (its Event_Control_Dataset import is broken,
     SURVEY.md §1)."""
     from ..tokenizers import midilike
-    events = midilike.extract_events(path)
-    controls = midilike.ControlSeq.from_event_seq(events)
-    return {"tokens": events.to_array().astype(np.uint16),
-            "controls": controls.to_compressed_array().reshape(-1)}
+    tokens = midilike.encode_array(path)  # native C++ emission fast path
+    # controls are a pure function of the token ids (event times ARE the
+    # time_shift chain) — vectorized, byte-equal to the object path
+    controls = midilike.ControlSeq.compressed_from_ids(tokens)
+    return {"tokens": tokens.astype(np.uint16),
+            "controls": controls.reshape(-1)}
 
 
 def _tokenize_pedal(path: str) -> Dict[str, np.ndarray]:

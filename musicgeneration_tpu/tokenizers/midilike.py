@@ -310,6 +310,64 @@ class ControlSeq:
         return ControlSeq(controls)
 
     @staticmethod
+    def compressed_from_ids(ids) -> np.ndarray:
+        """Vectorized `from_event_seq(EventSeq.from_array(ids))
+        .to_compressed_array()` — the corpus-pipeline hot path.
+
+        Event times are BY CONSTRUCTION the cumulative time_shift chain
+        (EventSeq.__init__, reference sequence.py:236-241), so controls
+        are a pure function of the token ids: prefix-sum the shift bins
+        for times (np.cumsum accumulates left-to-right, bit-identical to
+        the loop), prefix-sum one-hot pitch classes for the window
+        histograms, searchsorted + an exact diff-form fix-up for the
+        window ends. Byte-equal to the object path (tested)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        n = len(ids)
+        if n == 0:
+            return np.zeros((0, 13), np.uint8)
+        ranges = SPEC.feat_ranges()
+        ts = ranges["time_shift"]
+        on = ranges["note_on"]
+        bins = EventSeq.time_shift_bins
+        shift = np.where((ids >= ts.start) & (ids < ts.stop),
+                         bins[np.clip(ids - ts.start, 0, len(bins) - 1)],
+                         0.0)
+        acc = np.cumsum(shift)
+        times = np.concatenate([[0.0], acc[:-1]])  # time BEFORE event i
+
+        window = float(ControlSeq.window_size)
+        end = np.searchsorted(times, times + window, side="right")
+        # exact loop semantics: first j with times[j] - times[i] > window
+        # (searchsorted compares times[j] > times[i]+window, which can
+        # differ by 1 ulp — fix up with the diff form)
+        for _ in range(2):
+            over = (end > np.arange(n)) & (times[np.minimum(end, n) - 1]
+                                           - times > window)
+            end = np.where(over, end - 1, end)
+            under = (end < n) & (times[np.minimum(end, n - 1)]
+                                 - times <= window)
+            under &= end < n
+            end = np.where(under, end + 1, end)
+
+        on_mask = (ids >= on.start) & (ids < on.stop)
+        base = EventSeq.pitch_range.start
+        cls = (ids - on.start + base - 24) % 12
+        onehot = np.zeros((n, 12), np.int64)
+        onehot[np.nonzero(on_mask)[0], cls[on_mask]] = 1
+        cum = np.zeros((n + 1, 12), np.int64)
+        np.cumsum(onehot, axis=0, out=cum[1:])
+        idx = np.arange(n)
+        counts = cum[end] - cum[idx]          # [n, 12]
+        note_count = counts.sum(axis=1)
+        dens = np.searchsorted(ControlSeq.note_density_bins, note_count,
+                               side="right") - 1
+        dens = np.maximum(dens, 0).astype(np.uint8).reshape(-1, 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            hist = counts / note_count[:, None].astype(np.float64)
+        hist[note_count == 0] = 1.0 / 12
+        return np.concatenate([dens, (hist * 255).astype(np.uint8)], 1)
+
+    @staticmethod
     def dim() -> int:
         return CONTROL_SPEC.dim()
 

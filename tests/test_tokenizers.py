@@ -294,3 +294,32 @@ def test_quantize_items_matches_argmin_oracle():
     idx = np.argmin(np.abs(grids[None, :] - starts[:, None]), axis=1)
     for item, want in zip(got, grids[idx]):
         assert item.start == want
+
+
+def test_compressed_controls_from_ids_matches_object_path(tmp_path):
+    """ControlSeq.compressed_from_ids is byte-equal to
+    from_event_seq(...).to_compressed_array() — event times are the
+    time_shift chain (sequence.py:236-241), so controls are a pure
+    function of the ids; the vectorized path must reproduce the sliding
+    4-beat window exactly, boundary ulps included."""
+    from musicgeneration_tpu.tokenizers import midilike
+
+    path = str(tmp_path / "c.mid")
+    fixtures.simple_piano_midi(path, seed=9, n_notes=200)
+    ev = midilike.extract_events(path)
+    oracle = midilike.ControlSeq.from_event_seq(ev).to_compressed_array()
+    fast = midilike.ControlSeq.compressed_from_ids(ev.to_array())
+    np.testing.assert_array_equal(oracle, fast)
+
+    rng = np.random.RandomState(3)
+    dim = midilike.EventSeq.dim()
+    for it in range(10):
+        ids = rng.randint(0, dim, rng.randint(1, 1200))
+        ev = midilike.EventSeq.from_array(ids)
+        oracle = midilike.ControlSeq.from_event_seq(ev)
+        np.testing.assert_array_equal(
+            oracle.to_compressed_array(),
+            midilike.ControlSeq.compressed_from_ids(ids),
+            err_msg=f"fuzz iter {it}")
+    assert len(midilike.ControlSeq.compressed_from_ids(
+        np.zeros(0, np.int64))) == 0
