@@ -104,7 +104,7 @@ def _tokenize_cp(path: str) -> Dict[str, np.ndarray]:
     the scheme; reshape(-1, 8) on load) — the reference README's
     'CP(to do)' scheme, built here (tokenizers/cp.py)."""
     from ..tokenizers import cp
-    return {"tokens": cp.extract_events(path).reshape(-1)}
+    return {"tokens": cp.encode_rows(path).reshape(-1)}
 
 
 SCHEMES: Dict[str, Callable[[str], Dict[str, np.ndarray]]] = {

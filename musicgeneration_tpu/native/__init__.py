@@ -95,6 +95,17 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,              # token offsets
                 _u16, ctypes.c_int64,                        # out
             ]
+            lib.mg_encode_cp.restype = ctypes.c_int64
+            lib.mg_encode_cp.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,             # file bytes
+                _i64, ctypes.c_int64, _i64, ctypes.c_int64,  # dur/vel bins
+                ctypes.c_int64, ctypes.c_int64,              # resolution, frac
+                ctypes.c_int64, ctypes.c_int64,              # vel_steps, pmax
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,              # tempo intervals
+                _i64, _i64,                                  # chords, ignores
+                _u16, ctypes.c_int64,                        # out (rows)
+            ]
             lib.mg_encode_mumidi.restype = ctypes.c_int64
             lib.mg_encode_mumidi.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,             # file bytes
@@ -196,6 +207,40 @@ def encode_remi(data: bytes, dur_bins: np.ndarray, vel_bins: np.ndarray,
             cap = -m  # exact size needed; retry once
             continue
         return out[:m].copy()
+    return None
+
+
+def encode_cp(data: bytes, dur_bins: np.ndarray, vel_bins: np.ndarray,
+              resolution: int, fraction: int, vel_steps: int,
+              pitch_max: int, tempo_bounds, chord_ids: np.ndarray,
+              ignore_ids: np.ndarray) -> Optional[np.ndarray]:
+    """Full-file CP (Compound Word) tokenization in C++ (smf_scan.cc
+    mg_encode_cp). Returns [T, 8] uint16 rows, or None when the library
+    is unavailable or parsing failed (caller falls back to the Python
+    path in tokenizers/cp.py, the semantics oracle)."""
+    lib = _load()
+    if lib is None or getattr(lib, "mg_encode_cp", None) is None:
+        return None
+    dur_bins = np.ascontiguousarray(dur_bins, np.int64)
+    vel_bins = np.ascontiguousarray(vel_bins, np.int64)
+    chord_ids = np.ascontiguousarray(chord_ids, np.int64)
+    ignore_ids = np.ascontiguousarray(ignore_ids, np.int64)
+    cap = 2048
+    for _ in range(3):
+        out = np.empty(cap * 8, np.uint16)
+        m = lib.mg_encode_cp(
+            data, len(data), dur_bins, len(dur_bins),
+            vel_bins, len(vel_bins),
+            resolution, fraction, vel_steps, pitch_max,
+            tempo_bounds[0], tempo_bounds[1], tempo_bounds[2],
+            tempo_bounds[3], chord_ids, ignore_ids,
+            out, cap)
+        if m == -1:
+            return None
+        if m < -1:
+            cap = -m
+            continue
+        return out[:m * 8].reshape(m, 8).copy()
     return None
 
 

@@ -703,6 +703,176 @@ int64_t mg_encode_remi(
 }
 
 // ---------------------------------------------------------------------------
+// CP (Compound Word) full-file tokenization -> [T, 8] rows (flattened).
+//
+// Exact C++ transcription of tokenizers/cp.py extract_events (this
+// repo's own scheme — the reference README's "CP (to do)"), which reuses
+// the REMI item pipeline: parse -> instrument-0 notes -> quantize ->
+// chord inference -> REMI bar grouping (downbeat double-count). Emission
+// per kept bar: a bar-marker metric row, then per occupied 1-based grid
+// position one metric row (tempo/chord compounded, later items
+// overwrite) followed by one note row per note. Unused fields hold the
+// per-field ignore id. Row field order: family, position, tempo_class,
+// tempo_value, chord, pitch, duration, velocity (cp.py _FIELDS).
+// Oracle-tested against cp.extract_events in tests/test_native_cp.py.
+//
+// Returns ROW count; -needed when cap (in rows) is too small; -1 on
+// parse/tempo error (caller falls back to the Python path).
+int64_t mg_encode_cp(
+    const uint8_t* data, int64_t n_bytes,
+    const int64_t* dur_bins, int64_t n_dur,
+    const int64_t* vel_bins, int64_t n_vel,
+    int64_t resolution, int64_t fraction, int64_t vel_steps,
+    int64_t pitch_max,
+    int64_t iv0, int64_t iv1, int64_t iv2, int64_t iv3,
+    const int64_t* chord_ids,  // [61] chord VALUES (not offsets)
+    const int64_t* ignore,     // [8] per-field ignore ids
+    uint16_t* out, int64_t cap) {
+    MgParse* p = mg_parse(data, n_bytes);
+    if (p->error) { mg_free(p); return -1; }
+    const int64_t ticks_per_beat = resolution;
+    const int64_t ticks_per_bar = resolution * 4;
+
+    // instrument-0 selection: identical to mg_encode_remi
+    std::vector<NoteRow> notes;
+    if (p->n_notes || p->n_controls) {
+        int64_t kt, kc, kp;
+        bool use_note = p->n_notes &&
+            (!p->n_controls || p->notes[0] <= p->controls[0]);
+        if (use_note) { kt = p->notes[0]; kc = p->notes[1]; kp = p->notes[2]; }
+        else { kt = p->controls[0]; kc = p->controls[1]; kp = p->controls[2]; }
+        for (int64_t i = 0; i < p->n_notes; ++i) {
+            const int64_t* r = p->notes + i * 7;
+            if (r[0] == kt && r[1] == kc && r[2] == kp)
+                notes.push_back({r[5], r[6], r[3], r[4], -1});
+        }
+    }
+    std::stable_sort(notes.begin(), notes.end(),
+                     [](const NoteRow& a, const NoteRow& b) {
+                         return a.start != b.start ? a.start < b.start
+                                                   : a.pitch < b.pitch;
+                     });
+    std::vector<std::pair<int64_t, int64_t>> tempo_ev;
+    for (int64_t i = 0; i < p->n_tempos; ++i) {
+        int64_t us = p->tempos[i * 2 + 1];
+        if (us <= 0) { mg_free(p); return -1; }
+        tempo_ev.push_back({p->tempos[i * 2],
+                            static_cast<int64_t>(60e6 / double(us))});
+    }
+    mg_free(p);
+    if (tempo_ev.empty()) tempo_ev.push_back({0, 120});
+    if (notes.empty()) return 0;
+
+    quantize_notes(notes, 120);
+    std::vector<ChordSeg> chords = infer_chords(notes, ticks_per_beat);
+    auto tempo_items = expand_tempo_items(tempo_ev, ticks_per_beat);
+
+    // items (field VALUES, not token ids), stable by start
+    std::vector<RemiItem> items;
+    items.reserve(chords.size() + tempo_items.size() + notes.size());
+    for (auto& c : chords) {
+        int64_t cid = c.qual == 5 ? chord_ids[60]
+                                  : chord_ids[c.qual * 12 + c.root];
+        items.push_back({c.start, 0, cid, 0, 0});
+    }
+    for (auto& tp : tempo_items) {
+        int64_t tc, tv;
+        tempo_class_value(tp.second, iv0, iv1, iv2, iv3, &tc, &tv);
+        items.push_back({tp.first, 1, tc, tv, 0});
+    }
+    for (auto& nt : notes) {
+        int64_t vi = (std::upper_bound(vel_bins, vel_bins + n_vel, nt.vel)
+                      - vel_bins) - 1;
+        // CP clamps into [0, vel_steps) on BOTH ends (cp.py:128-131)
+        vi = std::max(std::min(vi, vel_steps - 1), int64_t(0));
+        int64_t pitch = std::min(nt.pitch, pitch_max);
+        int64_t di = argmin_abs(dur_bins, n_dur, nt.end - nt.start);
+        items.push_back({nt.start, 2, pitch, di, vi});
+    }
+    std::stable_sort(items.begin(), items.end(),
+                     [](const RemiItem& a, const RemiItem& b) {
+                         return a.start < b.start;
+                     });
+
+    struct Entry { int64_t bar, start, idx; };
+    std::vector<Entry> entries;
+    for (int64_t i = 0; i < int64_t(items.size()); ++i) {
+        int64_t bar = items[i].start / ticks_per_bar;
+        entries.push_back({bar, items[i].start, i});
+        if (items[i].start % ticks_per_bar == 0 && items[i].start > 0)
+            entries.push_back({bar - 1, items[i].start, i});
+    }
+    std::sort(entries.begin(), entries.end(),
+              [](const Entry& a, const Entry& b) {
+                  if (a.bar != b.bar) return a.bar < b.bar;
+                  if (a.start != b.start) return a.start < b.start;
+                  return a.idx < b.idx;
+              });
+    int64_t max_bar = 0;
+    for (auto& e : entries) max_bar = std::max(max_bar, e.bar);
+    std::vector<char> bar_has_note(max_bar + 1, 0);
+    for (auto& e : entries)
+        if (items[e.idx].kind == 2) bar_has_note[e.bar] = 1;
+
+    // emit rows; positions bucket contiguously (pos is monotone in start)
+    std::vector<uint16_t> rows;
+    rows.reserve(entries.size() * 8 + 64);
+    int64_t step = ticks_per_bar / fraction;
+    auto push_row = [&](int64_t fam, int64_t pos, int64_t tc, int64_t tv,
+                        int64_t ch, int64_t pit, int64_t dur, int64_t vel) {
+        rows.push_back(uint16_t(fam));
+        rows.push_back(uint16_t(pos));
+        rows.push_back(uint16_t(tc));
+        rows.push_back(uint16_t(tv));
+        rows.push_back(uint16_t(ch));
+        rows.push_back(uint16_t(pit));
+        rows.push_back(uint16_t(dur));
+        rows.push_back(uint16_t(vel));
+    };
+    const int64_t IG1 = ignore[1], IG2 = ignore[2], IG3 = ignore[3],
+                  IG4 = ignore[4], IG5 = ignore[5], IG6 = ignore[6],
+                  IG7 = ignore[7];
+    int64_t prev_bar = -1;
+    size_t i = 0;
+    while (i < entries.size()) {
+        if (!bar_has_note[entries[i].bar]) { ++i; continue; }
+        if (entries[i].bar != prev_bar) {
+            prev_bar = entries[i].bar;
+            push_row(0, 0, IG2, IG3, IG4, IG5, IG6, IG7);  // bar marker
+        }
+        // one position run: same bar, same grid index
+        int64_t bar = entries[i].bar;
+        auto pos_of = [&](const Entry& e) {
+            int64_t rel = e.start - e.bar * ticks_per_bar;
+            int64_t q = rel / step, r = rel % step;
+            return std::min(q + (r > step / 2 ? 1 : 0), fraction - 1) + 1;
+        };
+        int64_t pos = pos_of(entries[i]);
+        size_t j = i;
+        int64_t tc = -1, tv = -1, ch = -1;
+        std::vector<const RemiItem*> run_notes;
+        while (j < entries.size() && entries[j].bar == bar &&
+               pos_of(entries[j]) == pos) {
+            const RemiItem& it = items[entries[j].idx];
+            if (it.kind == 1) { tc = it.p0; tv = it.p1; }
+            else if (it.kind == 0) ch = it.p0;
+            else run_notes.push_back(&it);
+            ++j;
+        }
+        if (tc >= 0 || ch >= 0 || !run_notes.empty())
+            push_row(0, pos, tc >= 0 ? tc : IG2, tv >= 0 ? tv : IG3,
+                     ch >= 0 ? ch : IG4, IG5, IG6, IG7);
+        for (auto* it : run_notes)  // payload: p0 pitch, p1 dur, p2 vel
+            push_row(1, IG1, IG2, IG3, IG4, it->p0, it->p1, it->p2);
+        i = j;
+    }
+    int64_t total_rows = int64_t(rows.size()) / 8;
+    if (total_rows > cap) return -total_rows;
+    std::memcpy(out, rows.data(), rows.size() * sizeof(uint16_t));
+    return total_rows;
+}
+
+// ---------------------------------------------------------------------------
 // MuMIDI full-file tokenization (one con_instr subset per call).
 //
 // Exact C++ transcription of tokenizers/mumidi.py extract_events+to_array

@@ -75,6 +75,40 @@ def _row(family: int, **kw) -> List[int]:
     return row
 
 
+def encode_rows(input_path: str) -> np.ndarray:
+    """MIDI -> CP rows [T, 8] (uint16) — the corpus-pipeline hot path.
+
+    Prefers the full C++ pipeline (native/smf_scan.cc mg_encode_cp) and
+    falls back to `extract_events` below, the semantics oracle
+    (tests/test_native_cp.py)."""
+    import os
+    if os.environ.get("MG_NATIVE", "1") != "0":
+        from .. import native
+        try:
+            with open(input_path, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = None
+        if data is not None:
+            rows = native.encode_cp(
+                data, vocab.REMI_DURATION_BINS, vocab.REMI_VELOCITY_BINS,
+                vocab.REMI_RESOLUTION, vocab.REMI_FRACTION,
+                vocab.REMI_VELOCITY_STEPS,
+                len(vocab.REMI_PITCH_RANGE) - 1,
+                (vocab.REMI_TEMPO_INTERVALS[0].start,
+                 vocab.REMI_TEMPO_INTERVALS[1].start,
+                 vocab.REMI_TEMPO_INTERVALS[2].start,
+                 vocab.REMI_TEMPO_INTERVALS[2].stop),
+                np.array([vocab.CHORD_MAP[f"{r}:{q}"]
+                          for q in vocab.CHORD_QUALITY
+                          for r in vocab.CHORD_ROOT]
+                         + [vocab.CHORD_MAP["N:N"]], np.int64),
+                np.array(ignore_ids(), np.int64))
+            if rows is not None:
+                return rows
+    return extract_events(input_path)
+
+
 def extract_events(input_path: str) -> np.ndarray:
     """MIDI -> CP rows [T, 8] (uint16).
 
