@@ -66,30 +66,33 @@ def bench_reference_schedule(model, params, batch=8, prompt_len=16,
     return batch / per_token  # tokens/sec under the reference schedule
 
 
-def bench_tokenize(n_files: int = 500) -> float:
-    """Host tokenizer throughput (files/sec, MIDI-like scheme, auto-sized
-    worker pool, all-native parse+emission path). A full 10k-file corpus
-    run on this 1-CPU host measured 1623 files/s = 97k files/min
-    (BASELINE.md); set MG_BENCH_TOK10K=1 to repeat it."""
+def bench_tokenize(n_files: int = 500, scheme: str = "midilike") -> float:
+    """Host tokenizer throughput (files/sec, auto-sized worker pool,
+    all-native parse+emission path). A full 10k-file corpus run on this
+    1-CPU host measured 1623 files/s = 97k files/min for midilike
+    (BASELINE.md); set MG_BENCH_TOK10K=1 to repeat it.
+    MG_BENCH_SWEEP also reports remi/mumidi/cp/midilike_control (every
+    scheme's hot path now runs in C++ or fully vectorized numpy)."""
     import os
     import tempfile
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests.fixtures import simple_piano_midi
+    from tests.fixtures import multitrack_midi, simple_piano_midi
 
     from musicgeneration_tpu.data.pipeline import tokenize_corpus
 
     if os.environ.get("MG_BENCH_TOK10K"):
         n_files = 10000
+    builder = multitrack_midi if scheme == "mumidi" else simple_piano_midi
     with tempfile.TemporaryDirectory() as d:
         midi_dir = os.path.join(d, "m")
         os.makedirs(midi_dir)
         for i in range(n_files):
-            simple_piano_midi(os.path.join(midi_dir, f"f{i}.mid"),
-                              seed=i, n_notes=400)
+            builder(os.path.join(midi_dir, f"f{i}.mid"), seed=i,
+                    **({} if scheme == "mumidi" else {"n_notes": 400}))
         out = os.path.join(d, "tok")
         t0 = time.perf_counter()
-        stats = tokenize_corpus(midi_dir, out, scheme="midilike",
+        stats = tokenize_corpus(midi_dir, out, scheme=scheme,
                                 num_workers=0)
         dt = time.perf_counter() - t0
         assert stats.n_ok == n_files
@@ -156,6 +159,11 @@ def main():
               f"(midilike, auto pool on {multiprocessing.cpu_count()} "
               "CPU(s), 400-note files, native parse+emission)",
               file=sys.stderr)
+        if os.environ.get("MG_BENCH_SWEEP"):
+            for scheme in ("remi", "cp", "midilike_control", "mumidi"):
+                fps = bench_tokenize(300, scheme)
+                print(f"# tokenizer {scheme}: {fps:.1f} files/sec",
+                      file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — diagnostics must not kill bench
         print(f"# tokenizer bench skipped: {e}", file=sys.stderr)
     if os.environ.get("MG_BENCH_TRAIN"):
