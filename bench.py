@@ -166,6 +166,18 @@ def main():
                       file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — diagnostics must not kill bench
         print(f"# tokenizer bench skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_RNN"):
+        try:
+            from musicgeneration_tpu.models.event_rnn import EventMelodyRNN
+            rnn = EventMelodyRNN(dtype=dtype)
+            rparams = rnn.init(jax.random.PRNGKey(0),
+                               jnp.zeros((8, 32)),
+                               jnp.zeros((4, 8), jnp.int32))["params"]
+            tps, _ = bench_decode(rnn, rparams)
+            print(f"# rnn decode: {tps:.0f} tok/s (EventMelodyRNN 3x512, "
+                  f"batch 8, {jnp.dtype(dtype).name})", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# rnn decode bench skipped: {e}", file=sys.stderr)
     if os.environ.get("MG_BENCH_TRAIN"):
         try:
             sps = bench_train(model, params)

@@ -90,8 +90,7 @@ def _tokenize_midilike_control(path: str) -> Dict[str, np.ndarray]:
 
 def _tokenize_pedal(path: str) -> Dict[str, np.ndarray]:
     from ..tokenizers import pedal_midilike
-    return {"tokens": np.asarray(pedal_midilike.encode_midi(path),
-                                 np.uint16)}
+    return {"tokens": pedal_midilike.encode_array(path).astype(np.uint16)}
 
 
 def _tokenize_melody(path: str) -> Dict[str, np.ndarray]:

@@ -95,6 +95,12 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64,              # token offsets
                 _u16, ctypes.c_int64,                        # out
             ]
+            lib.mg_encode_pedal.restype = ctypes.c_int64
+            lib.mg_encode_pedal.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,             # file bytes
+                ctypes.c_int32,                              # faithful
+                _u16, ctypes.c_int64,                        # out
+            ]
             lib.mg_encode_cp.restype = ctypes.c_int64
             lib.mg_encode_cp.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,             # file bytes
@@ -205,6 +211,28 @@ def encode_remi(data: bytes, dur_bins: np.ndarray, vel_bins: np.ndarray,
             return None
         if m < -1:
             cap = -m  # exact size needed; retry once
+            continue
+        return out[:m].copy()
+    return None
+
+
+def encode_pedal(data: bytes, faithful: bool = False
+                 ) -> Optional[np.ndarray]:
+    """Full-file sustain-pedal codec (vocab 388) in C++ (smf_scan.cc
+    mg_encode_pedal; reference MusicTransformer/processor.py:202-230).
+    Token ids as uint16, or None when the library is unavailable or
+    parsing failed (caller falls back to the Python oracle path)."""
+    lib = _load()
+    if lib is None or getattr(lib, "mg_encode_pedal", None) is None:
+        return None
+    cap = 8192
+    for _ in range(3):
+        out = np.empty(cap, np.uint16)
+        m = lib.mg_encode_pedal(data, len(data), int(faithful), out, cap)
+        if m == -1:
+            return None
+        if m < -1:
+            cap = -m
             continue
         return out[:m].copy()
     return None

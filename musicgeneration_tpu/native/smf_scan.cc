@@ -18,6 +18,7 @@
 // Build: make -C musicgeneration_tpu/native     (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -698,6 +699,300 @@ int64_t mg_encode_remi(
     }
     int64_t total = int64_t(toks.size());
     if (total > cap) return -total;  // caller retries with a bigger buffer
+    std::memcpy(out, toks.data(), total * sizeof(uint16_t));
+    return total;
+}
+
+// ---------------------------------------------------------------------------
+// Sustain-pedal MIDI-like codec (vocab 388) — full-file tokenization.
+//
+// Exact C++ transcription of tokenizers/pedal_midilike.py encode_midi
+// (reference mg/model/MusicTransformer/processor.py:202-230), oracle-
+// tested in tests/test_native_pedal.py:
+//   * tick->seconds via the tempo map EXACTLY like midi/timing.py
+//     TempoMap (same expression order, so IEEE-identical),
+//   * per instrument: CC64 down/up pairing (processor.py:163-178),
+//     sustain extension in reverse note order, the default
+//     keep-all-notes routing or the faithful note-dropping variant
+//     (processor.py:181-199),
+//   * point events stable-sorted by time; velocity emitted when the
+//     RAW previous velocity differs from the QUANTIZED current one
+//     (the reference's raw-vs-quantized quirk, processor.py:128,228),
+//   * 10 ms time-shift runs with Python round-half-even.
+//
+// Returns token count; -needed when cap too small; -1 on parse/tempo
+// error (caller falls back to the Python oracle path).
+
+namespace {
+
+struct TempoMapC {
+    std::vector<int64_t> ticks;
+    std::vector<double> cumsec;
+    std::vector<double> sec_per_tick;
+
+    void build(const std::vector<std::pair<int64_t, int64_t>>& raw,
+               int64_t tpb) {
+        // dedup last-wins; implicit (0, 500000) when absent (timing.py)
+        std::vector<std::pair<int64_t, int64_t>> ch;
+        if (raw.empty() || raw.front().first != 0)
+            ch.push_back({0, 500000});
+        for (auto& r : raw) ch.push_back(r);
+        std::stable_sort(ch.begin(), ch.end(),
+                         [](auto& a, auto& b) { return a.first < b.first; });
+        for (size_t i = 0; i < ch.size(); ++i) {
+            if (!ticks.empty() && ticks.back() == ch[i].first) {
+                sec_per_tick.back() = ch[i].second / 1e6 / double(tpb);
+            } else {
+                ticks.push_back(ch[i].first);
+                sec_per_tick.push_back(ch[i].second / 1e6 / double(tpb));
+            }
+        }
+        cumsec.resize(ticks.size());
+        cumsec[0] = 0.0;
+        for (size_t i = 1; i < ticks.size(); ++i)
+            cumsec[i] = cumsec[i - 1] +
+                double(ticks[i] - ticks[i - 1]) * sec_per_tick[i - 1];
+    }
+
+    double at(int64_t tick) const {
+        // searchsorted-right - 1, clipped (timing.py:44-47)
+        size_t idx = std::upper_bound(ticks.begin(), ticks.end(), tick)
+                     - ticks.begin();
+        idx = idx > 0 ? idx - 1 : 0;
+        return cumsec[idx] +
+               (double(tick) - double(ticks[idx])) * sec_per_tick[idx];
+    }
+};
+
+struct PedalNote { double start, end; int32_t pitch, vel; };
+
+// one pedal-down window [start, end) and its governed notes
+struct SustainC {
+    double start, end;
+    std::vector<int64_t> managed;  // indices into a note vector
+};
+
+void extend_notes(std::vector<PedalNote>& notes, SustainC& s) {
+    // reverse order: end -> next onset of the same pitch, or the pedal
+    // release if later than the written end (processor.py:33-39)
+    double next_start[128];
+    bool seen[128] = {false};
+    for (auto it = s.managed.rbegin(); it != s.managed.rend(); ++it) {
+        PedalNote& n = notes[*it];
+        int pc = n.pitch & 127;
+        if (seen[pc]) n.end = next_start[pc];
+        else n.end = std::max(s.end, n.end);
+        next_start[pc] = n.start;
+        seen[pc] = true;
+    }
+}
+
+}  // namespace
+
+}  // extern "C"
+
+extern "C" {
+
+int64_t mg_encode_pedal(const uint8_t* data, int64_t n_bytes,
+                        int32_t faithful, uint16_t* out, int64_t cap) {
+    const int64_t START_NOTE_OFF = 128, START_TIME_SHIFT = 256,
+                  START_VELOCITY = 356, RANGE_TIME_SHIFT = 100;
+    MgParse* p = mg_parse(data, n_bytes);
+    if (p->error) { mg_free(p); return -1; }
+    for (int64_t i = 0; i < p->n_tempos; ++i)
+        if (p->tempos[i * 2 + 1] <= 0) { mg_free(p); return -1; }
+
+    TempoMapC tm;
+    {
+        std::vector<std::pair<int64_t, int64_t>> raw;
+        for (int64_t i = 0; i < p->n_tempos; ++i)
+            raw.push_back({p->tempos[i * 2], p->tempos[i * 2 + 1]});
+        tm.build(raw, p->ticks_per_beat);
+    }
+
+    // instruments in first-occurrence order over (track, notes<ctrls, seq)
+    struct Inst {
+        std::vector<PedalNote> notes;        // seconds
+        std::vector<std::pair<double, int32_t>> pedal;  // CC64 (sec, val)
+    };
+    std::vector<int64_t> keys;
+    std::vector<Inst> insts;
+    auto slot_of = [&](int64_t key) -> size_t {
+        for (size_t s = 0; s < keys.size(); ++s)
+            if (keys[s] == key) return s;
+        keys.push_back(key);
+        insts.emplace_back();
+        return keys.size() - 1;
+    };
+    // first-occurrence rank: notes of track t precede its controls
+    struct TmpNote { int64_t key, tick, end, pitch, vel, seq; };
+    std::vector<TmpNote> tmp_notes;
+    for (int64_t i = 0; i < p->n_notes; ++i) {
+        const int64_t* r = p->notes + i * 7;
+        tmp_notes.push_back({(r[0] << 32) | (r[1] << 16) | r[2],
+                             r[5], r[6], r[3], r[4], i});
+    }
+    struct TmpCC { int64_t key, tick, num, val, seq; };
+    std::vector<TmpCC> tmp_ccs;
+    for (int64_t i = 0; i < p->n_controls; ++i) {
+        const int64_t* r = p->controls + i * 6;
+        tmp_ccs.push_back({(r[0] << 32) | (r[1] << 16) | r[2],
+                           r[5], r[3], r[4], i});
+    }
+    mg_free(p);
+    // discovery order: walk (track, is_ctrl, seq)-sorted occurrences —
+    // keys sort by (track<<32|ch<<16|prog) embedded in seq order already
+    {
+        size_t ni = 0, ci = 0;
+        while (ni < tmp_notes.size() || ci < tmp_ccs.size()) {
+            bool take_note;
+            if (ni == tmp_notes.size()) take_note = false;
+            else if (ci == tmp_ccs.size()) take_note = true;
+            else {
+                int64_t tn = tmp_notes[ni].key >> 32;
+                int64_t tc = tmp_ccs[ci].key >> 32;
+                take_note = tn <= tc;  // same track: notes first
+            }
+            if (take_note) { slot_of(tmp_notes[ni].key); ++ni; }
+            else { slot_of(tmp_ccs[ci].key); ++ci; }
+        }
+    }
+    for (auto& n : tmp_notes) {
+        size_t s = slot_of(n.key);
+        insts[s].notes.push_back({tm.at(n.tick), tm.at(n.end),
+                                  int32_t(n.pitch), int32_t(n.vel)});
+    }
+    for (auto& c : tmp_ccs) {
+        if (c.num != 64) continue;
+        insts[slot_of(c.key)].pedal.push_back({tm.at(c.tick),
+                                               int32_t(c.val)});
+    }
+
+    std::vector<PedalNote> all_notes;
+    for (auto& inst : insts) {
+        // instrument notes are (start_tick, pitch)-sorted in smf.py; the
+        // seconds view preserves that order (monotone map), and
+        // encode_midi's sorted(key=start) is stable on equal starts
+        std::stable_sort(inst.notes.begin(), inst.notes.end(),
+                         [](const PedalNote& a, const PedalNote& b) {
+                             return a.start != b.start ? a.start < b.start
+                                                       : a.pitch < b.pitch;
+                         });
+        // CC64 down/up pairing (processor.py:163-178)
+        std::vector<SustainC> sustains;
+        bool open = false;
+        SustainC cur{0, 0, {}};
+        for (auto& cc : inst.pedal) {
+            if (cc.second >= 64 && !open) {
+                cur = SustainC{cc.first, 0, {}};
+                open = true;
+            } else if (cc.second < 64 && open) {
+                cur.end = cc.first;
+                sustains.push_back(cur);
+                open = false;
+            } else if (cc.second < 64 && !sustains.empty()) {
+                sustains.back().end = cc.first;
+            }
+        }
+        std::vector<PedalNote>& nts = inst.notes;
+        if (faithful) {
+            // processor.py:181-199 transliteration incl. its
+            // note-dropping/duplication
+            std::vector<PedalNote> stream;
+            int64_t rem0 = 0;  // start of `remaining`
+            for (auto& s : sustains) {
+                for (int64_t idx = 0;
+                     idx < int64_t(nts.size()) - rem0; ++idx) {
+                    PedalNote& note = nts[rem0 + idx];
+                    if (note.start < s.start) {
+                        stream.push_back(note);
+                    } else if (note.start > s.end) {
+                        rem0 += idx;
+                        extend_notes(nts, s);
+                        break;
+                    } else {
+                        s.managed.push_back(rem0 + idx);
+                    }
+                }
+            }
+            for (auto& s : sustains)
+                for (int64_t i : s.managed) stream.push_back(nts[i]);
+            std::stable_sort(stream.begin(), stream.end(),
+                             [](const PedalNote& a, const PedalNote& b) {
+                                 return a.start < b.start;
+                             });
+            all_notes.insert(all_notes.end(), stream.begin(),
+                             stream.end());
+        } else {
+            std::vector<PedalNote> stream;
+            size_t si = 0;
+            for (int64_t i = 0; i < int64_t(nts.size()); ++i) {
+                while (si < sustains.size() &&
+                       nts[i].start > sustains[si].end)
+                    ++si;
+                if (si < sustains.size() &&
+                    sustains[si].start <= nts[i].start)
+                    sustains[si].managed.push_back(i);
+                else
+                    stream.push_back(nts[i]);
+            }
+            for (auto& s : sustains) {
+                extend_notes(nts, s);
+                for (int64_t i : s.managed) stream.push_back(nts[i]);
+            }
+            std::stable_sort(stream.begin(), stream.end(),
+                             [](const PedalNote& a, const PedalNote& b) {
+                                 return a.start < b.start;
+                             });
+            all_notes.insert(all_notes.end(), stream.begin(),
+                             stream.end());
+        }
+    }
+    // global stable start-sort across instruments (encode_midi:166)
+    std::stable_sort(all_notes.begin(), all_notes.end(),
+                     [](const PedalNote& a, const PedalNote& b) {
+                         return a.start < b.start;
+                     });
+    // point events (time, is_off, pitch, vel), stable by time
+    struct Point { double t; int32_t is_off, pitch, vel; };
+    std::vector<Point> points;
+    points.reserve(all_notes.size() * 2);
+    for (auto& n : all_notes) {
+        points.push_back({n.start, 0, n.pitch, n.vel});
+        points.push_back({n.end, 1, n.pitch, -1});
+    }
+    std::stable_sort(points.begin(), points.end(),
+                     [](const Point& a, const Point& b) {
+                         return a.t < b.t;
+                     });
+
+    std::vector<uint16_t> toks;
+    toks.reserve(points.size() * 2 + 16);
+    double cur_time = 0.0;
+    int64_t cur_vel = 0;  // -1 encodes Python None (after an off)
+    for (auto& pt : points) {
+        // 10 ms shifts; Python int(round(x)) is round-half-even
+        double x = (pt.t - cur_time) * 100.0;
+        int64_t interval = int64_t(std::nearbyint(x));
+        while (interval >= RANGE_TIME_SHIFT) {
+            toks.push_back(uint16_t(START_TIME_SHIFT + RANGE_TIME_SHIFT
+                                    - 1));
+            interval -= RANGE_TIME_SHIFT;
+        }
+        if (interval > 0)
+            toks.push_back(uint16_t(START_TIME_SHIFT + interval - 1));
+        if (pt.vel >= 0) {
+            int64_t qvel = pt.vel / 4;
+            if (cur_vel != qvel)
+                toks.push_back(uint16_t(START_VELOCITY + qvel));
+        }
+        toks.push_back(uint16_t((pt.is_off ? START_NOTE_OFF : 0)
+                                + pt.pitch));
+        cur_time = pt.t;
+        cur_vel = pt.vel;  // raw velocity / -1-as-None (the quirk)
+    }
+    int64_t total = int64_t(toks.size());
+    if (total > cap) return -total;
     std::memcpy(out, toks.data(), total * sizeof(uint16_t));
     return total;
 }

@@ -127,6 +127,59 @@ class GRUStack(nn.Module):
         return outputs, h_t
 
     def step(self, x: jnp.ndarray, h: jnp.ndarray):
-        """One inference step (no dropout)."""
+        """One inference step (no dropout).
+
+        A fused all-layers Pallas step kernel exists
+        (ops/pallas_gru_decode.py, MG_GRU_FUSED=1) but MEASURED SLOWER
+        than this XLA lowering on v5e (bf16 104k vs 128k tok/s, f32 70k
+        vs 93k at B8 H512 L3) in BOTH the layer-grid and grid-free
+        variants: the decode scan's XLA step already keeps the whole
+        GRU's weights streaming efficiently, and the kernel re-pays the
+        weight HBM->VMEM copy without saving enough dispatch latency.
+        Kept off by default as a documented negative result (numerics
+        match: f32 exact, bf16 to bf16 tolerance — tests)."""
+        if self._fused_ok(x.shape[-1]):
+            return self._step_fused(x, h)
         outputs, h_t = self.__call__(x[None], h, deterministic=True)
         return outputs[0], h_t
+
+    def _fused_ok(self, in_dim: int) -> bool:
+        import os
+        flag = os.environ.get("MG_GRU_FUSED", "0")
+        if flag == "0":
+            return False
+        if jax.default_backend() != "tpu" and flag != "force":
+            # "force" runs the kernel in interpret mode off-TPU (tests)
+            return False
+        if self.hidden_dim % 128:
+            return False
+        from .pallas_gru_decode import gru_fused_vmem_bytes
+        bytes_per = jnp.dtype(self.dtype).itemsize
+        return gru_fused_vmem_bytes(
+            in_dim, self.hidden_dim, bytes_per,
+            num_layers=self.num_layers) < 13 * 1024 * 1024
+
+    def _step_fused(self, x: jnp.ndarray, h: jnp.ndarray):
+        from .pallas_gru_decode import _round_up, fused_gru_step
+        H = self.hidden_dim
+        in_dim = x.shape[-1]
+        p = _round_up(max(in_dim, H), 128)
+        params = self.variables["params"]
+
+        def pad_rows(w):
+            return jnp.pad(w, ((0, p - w.shape[0]), (0, 0)))
+
+        # loop-invariant stacking: XLA hoists this out of the decode scan
+        w_ih = jnp.stack([pad_rows(params[f"l{i}_w_ih"])
+                          for i in range(self.num_layers)])
+        w_hh = jnp.stack([params[f"l{i}_w_hh"]
+                          for i in range(self.num_layers)])
+        b_ih = jnp.stack([params[f"l{i}_b_ih"]
+                          for i in range(self.num_layers)])
+        b_hh = jnp.stack([params[f"l{i}_b_hh"]
+                          for i in range(self.num_layers)])
+        out, h_new = fused_gru_step(
+            x.astype(self.dtype), h.astype(self.dtype),
+            w_ih, w_hh, b_ih, b_hh,
+            interpret=jax.default_backend() != "tpu")
+        return out, h_new

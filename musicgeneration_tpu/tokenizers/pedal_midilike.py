@@ -148,6 +148,29 @@ def _time_shift_tokens(prev: float, post: float) -> List[int]:
     return out
 
 
+def encode_array(path: str, faithful: bool = False) -> np.ndarray:
+    """`np.asarray(encode_midi(path))` — the corpus-pipeline hot path.
+
+    Prefers the full C++ pipeline (native/smf_scan.cc mg_encode_pedal:
+    parse -> tempo-map seconds -> sustain pairing -> emission,
+    token-exact incl. the faithful mode) and falls back to the Python
+    `encode_midi` below, the semantics oracle
+    (tests/test_native_pedal.py)."""
+    import os as _os
+    if _os.environ.get("MG_NATIVE", "1") != "0":
+        from .. import native
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = None
+        if data is not None:
+            toks = native.encode_pedal(data, faithful)
+            if toks is not None:
+                return toks
+    return np.asarray(encode_midi(path, faithful=faithful), np.uint16)
+
+
 def encode_midi(path_or_midi, faithful: bool = False) -> List[int]:
     """MIDI file -> token ids (reference processor.py:202-230)."""
     midi = path_or_midi
