@@ -301,10 +301,13 @@ class MusicTransformer(nn.Module):
             from ..ops.pallas_decode import fused_decode_step
             interpret = jax.default_backend() != "tpu"
             # stacked [L, ...] weights; loop-invariant, so XLA hoists
-            # the stacking out of the decode scan
+            # the stacking out of the decode scan. Cast to the model
+            # dtype: the XLA path's Dense computes in self.dtype anyway,
+            # and bf16 weights halve the kernel's VMEM so batch 32/64
+            # decode fits the 16 MB scoped-vmem budget
             w_all = {
                 k: jnp.stack([_layer_decode_weights(layer)[k]
-                              for layer in self.layers])
+                              for layer in self.layers]).astype(self.dtype)
                 for k in _layer_decode_weights(self.layers[0])
             }
             e_all = jnp.stack(

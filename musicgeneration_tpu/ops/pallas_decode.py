@@ -241,6 +241,17 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     max_seq = e_all.shape[1]
     if s % block_k:
         block_k = s  # degrade to one block for odd cache lengths
+    else:
+        # the double-buffered KV scratch scales with B*block_k; shrink
+        # the block so batch-32/64 decode fits the 16 MB scoped VMEM
+        # (weights + E are the fixed part of the budget)
+        fixed = (sum(w.size * w.dtype.itemsize for w in weights.values())
+                 + (max_seq + block_k) * e_all.shape[-1] * 4 * num_layers
+                 + 3 * b * d * 4)
+        bytes_kv = k_cache.dtype.itemsize
+        while (block_k > 32 and s % (block_k // 2) == 0 and
+               fixed + 4 * b * block_k * d * bytes_kv > 14 * 1024 * 1024):
+            block_k //= 2
     # slack so the bias slice never reads past the table (masked anyway)
     e_pad = jnp.pad(e_all.astype(jnp.float32),
                     ((0, 0), (0, block_k), (0, 0)))

@@ -47,8 +47,16 @@ def midi_to_note_array(midi: Union[str, MidiFile],
     """MIDI -> Melody-RNN int array, one slot per sixteenth note.
 
     `instr_idx=None` flattens all non-drum instruments (music21
-    stream.flat parity); an int restricts to that instrument.
-    """
+    stream.flat parity); an int restricts to that instrument. Path
+    inputs with no instrument restriction take a no-Note-objects fast
+    path straight off the native parse rows (same flatten order:
+    instruments by first occurrence, notes (start, pitch)-sorted)."""
+    import os
+    if (isinstance(midi, str) and instr_idx is None
+            and os.environ.get("MG_NATIVE", "1") != "0"):
+        arr = _note_array_from_parse(midi)
+        if arr is not None:
+            return arr
     if isinstance(midi, str):
         midi = MidiFile(midi)
     sq = midi.ticks_per_beat / 4.0  # ticks per semiquaver
@@ -63,6 +71,45 @@ def midi_to_note_array(midi: Union[str, MidiFile],
     dur = np.array([int(round((n.end - n.start) / sq)) for n in notes])
     pitch = np.array([n.pitch for n in notes])
     total = int(round(max(n.end for n in notes) / sq))
+    return _note_array_from_columns(pos, dur, pitch, total)
+
+
+def _note_array_from_parse(path: str) -> Optional[np.ndarray]:
+    """Fast path: native parse rows -> note array, no Note objects.
+    Replicates the Python path's flatten order (instrument key first-
+    occurrence, then (start, pitch), stable) so equal-(slot, pitch)
+    duration ties resolve identically. None = fall back."""
+    from .. import native
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    parsed = native.parse_midi_bytes(data)
+    if parsed is None:
+        return None
+    rows = parsed["notes"]
+    rows = rows[rows[:, 1] != 9]  # drop drum channel 10
+    if not len(rows):
+        return np.full(2, MELODY_NO_EVENT, dtype=np.int16)
+    nk = rows[:, 0] * (16 * 128) + rows[:, 1] * 128 + rows[:, 2]
+    _, first_pos, inv = np.unique(nk, return_index=True,
+                                  return_inverse=True)
+    rank = np.argsort(np.argsort(first_pos))[inv]
+    order = np.lexsort((np.arange(len(rows)), rows[:, 3], rows[:, 5],
+                        rank))
+    rows = rows[order]
+    sq = parsed["ticks_per_beat"] / 4.0
+    start, end, pitch = rows[:, 5], rows[:, 6], rows[:, 3]
+    # Python path: int(round(x)) on python floats — round-half-even;
+    # np.round matches (banker's rounding)
+    pos = np.round(start / sq).astype(np.int64)
+    dur = np.round((end - start) / sq).astype(np.int64)
+    total = int(np.round(end.max() / sq))
+    return _note_array_from_columns(pos, dur, pitch, total)
+
+
+def _note_array_from_columns(pos, dur, pitch, total) -> np.ndarray:
 
     # highest pitch per grid slot (reference sorts (pos asc, pitch desc)
     # then drop_duplicates(pos) — midi2note.py:30-31)

@@ -11,6 +11,8 @@ from musicgeneration_tpu.midi import Instrument, MidiFile, Note, TempoChange
 from musicgeneration_tpu.models import MelodyRNN
 from musicgeneration_tpu.tokenizers import melody as mel
 
+from .fixtures import multitrack_midi
+
 
 def _midi(notes, tpb=480, tempo=120.0):
     m = MidiFile(ticks_per_beat=tpb)
@@ -131,3 +133,47 @@ def test_melody_rnn_packed_lengths():
     # padded positions produce the zero-state projection (bias only)
     pad_out = logits[4, 1]
     np.testing.assert_allclose(pad_out, logits[5, 1], rtol=1e-6)
+
+
+def test_note_array_native_fast_path_matches(tmp_path, monkeypatch):
+    """The no-Note-objects fast path (native parse rows) must equal the
+    object path on fixtures and on random multi-instrument files,
+    including drum filtering and flatten-order-dependent duration ties."""
+    from musicgeneration_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+    from musicgeneration_tpu.midi import (Instrument, MidiFile, Note,
+                                          TempoChange)
+
+    def both(path):
+        monkeypatch.setenv("MG_NATIVE", "1")
+        a = mel.midi_to_note_array(path)
+        monkeypatch.setenv("MG_NATIVE", "0")
+        b = mel.midi_to_note_array(path)
+        monkeypatch.setenv("MG_NATIVE", "1")
+        return a, b
+
+    path = str(tmp_path / "m.mid")
+    multitrack_midi(path)
+    a, b = both(path)
+    np.testing.assert_array_equal(a, b)
+
+    rng = np.random.RandomState(3)
+    for it in range(25):
+        midi = MidiFile(ticks_per_beat=480)
+        midi.tempo_changes = [TempoChange(tempo=120.0, time=0)]
+        midi._tempo_raw = [(0, 500000)]
+        for _ in range(rng.randint(1, 4)):
+            inst = Instrument(program=int(rng.randint(0, 100)),
+                              is_drum=bool(rng.rand() < 0.2))
+            for _ in range(int(rng.randint(1, 50))):
+                s = int(rng.randint(0, 8000))
+                d = int(rng.choice([0, 1, 60, 120, 481, 960]))
+                inst.notes.append(Note(velocity=80,
+                                       pitch=int(rng.randint(0, 128)),
+                                       start=s, end=s + d))
+            midi.instruments.append(inst)
+        p = str(tmp_path / "fz.mid")
+        midi.dump(p)
+        a, b = both(p)
+        np.testing.assert_array_equal(a, b, err_msg=f"fuzz iter {it}")
