@@ -40,6 +40,9 @@ class CPTransformer(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     mesh: Any = None
+    decode_impl: str = "auto"  # "auto" | "fused" | "xla": the same
+    #                            whole-stack Pallas decode-step kernel
+    #                            MusicTransformer uses (auto on TPU)
 
     @property
     def num_heads(self) -> int:
@@ -85,22 +88,47 @@ class CPTransformer(nn.Module):
 
     # -- incremental decoding ----------------------------------------------
 
+    def _decode_fused(self) -> bool:
+        impl = self.decode_impl
+        if impl == "auto":
+            if jax.default_backend() != "tpu":
+                return False
+            from ..ops.pallas_decode import decode_vmem_bytes
+            est = decode_vmem_bytes(self.num_layers, self.d_model,
+                                    sum(self.field_dims), self.max_seq,
+                                    64)
+            return est < 10 * 1024 * 1024
+        return impl == "fused"
+
     def init_cache(self, batch: int, cache_len: int) -> Cache:
-        dh = self.d_model // self.num_heads
-        shape = (self.num_layers, batch, self.num_heads, cache_len, dh)
+        if self._decode_fused():
+            # fused layout [L, B, S, d] (heads merged — see
+            # ops/pallas_decode.py on Mosaic's 128-aligned DMA slices)
+            shape = (self.num_layers, batch, cache_len, self.d_model)
+        else:
+            dh = self.d_model // self.num_heads
+            shape = (self.num_layers, batch, self.num_heads, cache_len,
+                     dh)
         return {"k": jnp.zeros(shape, self.dtype),
                 "v": jnp.zeros(shape, self.dtype)}
 
     def decode_step(self, row: jnp.ndarray, cache: Cache, t: jnp.ndarray):
         """row: [B, 8] int; t: absolute position. Returns (list of
         per-field logits [B, fd], new cache)."""
+        from .music_transformer import fused_layer_stack_step
+
         h = self._embed(row)
         pos = jax.lax.dynamic_slice_in_dim(
             jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
         h = h + pos[0]
         k_all, v_all = cache["k"], cache["v"]
-        for i, layer in enumerate(self.layers):
-            h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
+        if self._decode_fused():
+            h, k_all, v_all = fused_layer_stack_step(
+                self.layers, h, t, k_all, v_all, self.num_heads,
+                self.dtype)
+        else:
+            for i, layer in enumerate(self.layers):
+                h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
         logits = [head(h).astype(jnp.float32) for head in self.heads]
         return logits, {"k": k_all, "v": v_all}
 

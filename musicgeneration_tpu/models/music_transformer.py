@@ -298,24 +298,9 @@ class MusicTransformer(nn.Module):
         h = h + pos
         k_all, v_all = cache["k"], cache["v"]
         if self._decode_fused():
-            from ..ops.pallas_decode import fused_decode_step
-            interpret = jax.default_backend() != "tpu"
-            # stacked [L, ...] weights; loop-invariant, so XLA hoists
-            # the stacking out of the decode scan. Cast to the model
-            # dtype: the XLA path's Dense computes in self.dtype anyway,
-            # and bf16 weights halve the kernel's VMEM so batch 32/64
-            # decode fits the 16 MB scoped-vmem budget
-            w_all = {
-                k: jnp.stack([_layer_decode_weights(layer)[k]
-                              for layer in self.layers]).astype(self.dtype)
-                for k in _layer_decode_weights(self.layers[0])
-            }
-            e_all = jnp.stack(
-                [layer.rga.e for layer in self.layers]).astype(
-                jnp.float32)
-            h, k_all, v_all = fused_decode_step(
-                h, t, e_all, w_all, k_all, v_all, self.num_heads,
-                interpret=interpret)
+            h, k_all, v_all = fused_layer_stack_step(
+                self.layers, h, t, k_all, v_all, self.num_heads,
+                self.dtype)
         else:
             for i, layer in enumerate(self.layers):
                 h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
@@ -369,6 +354,27 @@ class MusicTransformer(nn.Module):
                 h, last_idx, axis=1, keepdims=False)
         logits = self.fc(h_last).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
+
+
+def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
+                           dtype):
+    """Run one fused decode step over a stack of EncoderLayers
+    (ops/pallas_decode.py) — shared by MusicTransformer and
+    CPTransformer. Stacked weights are loop-invariant, so XLA hoists
+    the stacking out of the decode scan; they ride in the model dtype
+    (what the XLA path's Dense computes in; bf16 halves their VMEM so
+    batch-32/64 decode fits the 16 MB scoped-vmem budget)."""
+    from ..ops.pallas_decode import fused_decode_step
+
+    w_all = {
+        k: jnp.stack([_layer_decode_weights(layer)[k]
+                      for layer in layers]).astype(dtype)
+        for k in _layer_decode_weights(layers[0])
+    }
+    e_all = jnp.stack([layer.rga.e for layer in layers]).astype(
+        jnp.float32)
+    return fused_decode_step(h, t, e_all, w_all, k_all, v_all, num_heads,
+                             interpret=jax.default_backend() != "tpu")
 
 
 def _layer_decode_weights(layer) -> Dict[str, jnp.ndarray]:

@@ -101,3 +101,33 @@ def test_fused_block_k_odd_cache_length():
                                 jnp.int32(t), method=m_f.decode_step)
         np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_cp_decode_step_matches_xla_path():
+    """CPTransformer under the same fused whole-stack kernel: per-field
+    logits equality vs the XLA layer.decode path from a fresh cache."""
+    from musicgeneration_tpu.models import CPTransformer
+
+    kw = dict(num_layers=2, d_model=128, max_seq=32)
+    m_x = CPTransformer(decode_impl="xla", **kw)
+    m_f = CPTransformer(decode_impl="fused", **kw)
+    b = 2
+    rows0 = jnp.zeros((b, 4, 8), jnp.int32)
+    params = m_x.init({"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1)}, rows0)["params"]
+    fdims = list(m_x.field_dims)
+    cache_x = m_x.apply({"params": params}, b, 24, method=m_x.init_cache)
+    cache_f = m_f.apply({"params": params}, b, 24, method=m_f.init_cache)
+    rng = np.random.RandomState(0)
+    for t in range(6):
+        row = jnp.asarray(
+            np.stack([rng.randint(0, fd, b) for fd in fdims], axis=1),
+            jnp.int32)
+        lx, cache_x = m_x.apply({"params": params}, row, cache_x,
+                                jnp.int32(t), method=m_x.decode_step)
+        lf, cache_f = m_f.apply({"params": params}, row, cache_f,
+                                jnp.int32(t), method=m_f.decode_step)
+        for i, (a, c) in enumerate(zip(lx, lf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=2e-4,
+                                       err_msg=f"t={t} head={i}")
