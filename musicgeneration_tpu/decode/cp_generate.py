@@ -11,6 +11,7 @@ decode/engine.py for flat-token models.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -47,50 +48,56 @@ def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
 
     The prompt is ingested with the scan prefill; each generated step
     samples all 8 heads (family first in masking priority) and feeds the
-    masked row back through the KV-cached decode_step.
-    """
+    masked row back through the KV-cached decode_step. The jit is
+    module-level with static (model, steps, ...) so repeat calls with
+    the same shapes reuse one compilation (a per-call closure would
+    recompile every time)."""
     b, p, _ = prompt_rows.shape
     max_len = max_len or (p + steps)
     if p + steps > max_len:
         raise ValueError("prompt + steps exceeds max_len")
+    return np.asarray(_run(model, steps, max_len, float(temperature),
+                           bool(greedy), params, prompt_rows, rng))
 
-    @jax.jit
-    def run(params, prompt_rows, rng):
-        cache = model.apply({"params": params}, b, max_len,
-                            method=model.init_cache)
 
-        def prefill_body(carry, row):
-            cache, t = carry
-            logits, cache = model.apply({"params": params}, row, cache, t,
-                                        method=model.decode_step)
-            return (cache, t + 1), logits
+@functools.partial(jax.jit, static_argnames=(
+    "model", "steps", "max_len", "temperature", "greedy"))
+def _run(model, steps, max_len, temperature, greedy,
+         params, prompt_rows, rng):
+    b = prompt_rows.shape[0]
+    cache = model.apply({"params": params}, b, max_len,
+                        method=model.init_cache)
 
-        (cache, t), logits_seq = jax.lax.scan(
-            prefill_body, (cache, jnp.int32(0)),
-            prompt_rows.transpose(1, 0, 2))
-        last = [lg[-1] for lg in logits_seq]  # list of [B, fd]
+    def prefill_body(carry, row):
+        cache, t = carry
+        logits, cache = model.apply({"params": params}, row, cache, t,
+                                    method=model.decode_step)
+        return (cache, t + 1), logits
 
-        def sample_row(rng_i, logits):
-            keys = jax.random.split(rng_i, len(logits))
-            cols = []
-            for k, lg in zip(keys, logits):
-                if greedy:
-                    cols.append(jnp.argmax(lg, axis=-1).astype(jnp.int32))
-                else:
-                    cols.append(jax.random.categorical(
-                        k, lg / max(temperature, 1e-6),
-                        axis=-1).astype(jnp.int32))
-            return _mask_row(jnp.stack(cols, axis=-1))
+    (cache, t), logits_seq = jax.lax.scan(
+        prefill_body, (cache, jnp.int32(0)),
+        prompt_rows.transpose(1, 0, 2))
+    last = [lg[-1] for lg in logits_seq]  # list of [B, fd]
 
-        def body(carry, rng_i):
-            cache, t, logits = carry
-            row = sample_row(rng_i, logits)
-            new_logits, cache = model.apply({"params": params}, row, cache,
-                                            t, method=model.decode_step)
-            return (cache, t + 1, new_logits), row
+    def sample_row(rng_i, logits):
+        keys = jax.random.split(rng_i, len(logits))
+        cols = []
+        for k, lg in zip(keys, logits):
+            if greedy:
+                cols.append(jnp.argmax(lg, axis=-1).astype(jnp.int32))
+            else:
+                cols.append(jax.random.categorical(
+                    k, lg / max(temperature, 1e-6),
+                    axis=-1).astype(jnp.int32))
+        return _mask_row(jnp.stack(cols, axis=-1))
 
-        rngs = jax.random.split(rng, steps)
-        _, rows = jax.lax.scan(body, (cache, t, last), rngs)
-        return rows.transpose(1, 0, 2)  # [B, steps, 8]
+    def body(carry, rng_i):
+        cache, t, logits = carry
+        row = sample_row(rng_i, logits)
+        new_logits, cache = model.apply({"params": params}, row, cache,
+                                        t, method=model.decode_step)
+        return (cache, t + 1, new_logits), row
 
-    return np.asarray(run(params, prompt_rows, rng))
+    rngs = jax.random.split(rng, steps)
+    _, rows = jax.lax.scan(body, (cache, t, last), rngs)
+    return rows.transpose(1, 0, 2)  # [B, steps, 8]
