@@ -64,20 +64,12 @@ def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
     "model", "steps", "max_len", "temperature", "greedy"))
 def _run(model, steps, max_len, temperature, greedy,
          params, prompt_rows, rng):
-    b = prompt_rows.shape[0]
-    cache = model.apply({"params": params}, b, max_len,
-                        method=model.init_cache)
-
-    def prefill_body(carry, row):
-        cache, t = carry
-        logits, cache = model.apply({"params": params}, row, cache, t,
-                                    method=model.decode_step)
-        return (cache, t + 1), logits
-
-    (cache, t), logits_seq = jax.lax.scan(
-        prefill_body, (cache, jnp.int32(0)),
-        prompt_rows.transpose(1, 0, 2))
-    last = [lg[-1] for lg in logits_seq]  # list of [B, fd]
+    # one-pass prompt ingestion: a single parallel forward fills the
+    # cache (CPTransformer.prefill) — O(1) forwards for a P-row prompt
+    # instead of P sequential decode steps
+    last, cache = model.apply({"params": params}, prompt_rows, max_len,
+                              method=model.prefill)
+    t = jnp.int32(prompt_rows.shape[1])
 
     def sample_row(rng_i, logits):
         keys = jax.random.split(rng_i, len(logits))

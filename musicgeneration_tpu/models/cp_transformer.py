@@ -112,6 +112,42 @@ class CPTransformer(nn.Module):
         return {"k": jnp.zeros(shape, self.dtype),
                 "v": jnp.zeros(shape, self.dtype)}
 
+    def prefill(self, rows: jnp.ndarray, cache_len: int):
+        """One-pass prompt ingestion (same idea as MusicTransformer
+        .prefill): a single parallel forward fills the KV cache instead
+        of P sequential decode steps. rows: [B, P, 8] -> (list of
+        last-position per-field logits [B, fd], cache)."""
+        b, p, _ = rows.shape
+        h = self._embed(rows)
+        h = h + jnp.asarray(self.pos_table[:p], self.dtype)[None]
+        tt = jnp.arange(p)
+        mask = (tt[None, :] > tt[:, None])[None, None].astype(jnp.float32)
+        fused = self._decode_fused()
+        dh = self.d_model // self.num_heads
+        if fused:
+            shape = (self.num_layers, b, cache_len, self.d_model)
+        else:
+            shape = (self.num_layers, b, self.num_heads, cache_len, dh)
+        k_all = jnp.zeros(shape, self.dtype)
+        v_all = jnp.zeros(shape, self.dtype)
+        for i, layer in enumerate(self.layers):
+            h, k_i, v_i = layer.forward_kv(h, mask)
+            if fused:
+                k_i = k_i.transpose(0, 2, 1, 3).reshape(b, p, self.d_model)
+                v_i = v_i.transpose(0, 2, 1, 3).reshape(b, p, self.d_model)
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, k_i[None].astype(self.dtype), (i, 0, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, v_i[None].astype(self.dtype), (i, 0, 0, 0))
+            else:
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, k_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, v_i[None].astype(self.dtype), (i, 0, 0, 0, 0))
+        h_last = h[:, -1]
+        logits = [head(h_last).astype(jnp.float32) for head in self.heads]
+        return logits, {"k": k_all, "v": v_all}
+
     def decode_step(self, row: jnp.ndarray, cache: Cache, t: jnp.ndarray):
         """row: [B, 8] int; t: absolute position. Returns (list of
         per-field logits [B, fd], new cache)."""

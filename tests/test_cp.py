@@ -234,3 +234,44 @@ def test_cp_head_loss_weighting():
         build_session(
             TrainCLIConfig(model="cp_transformer",
                            cp_head_weights=(1, 2)), "cp", dict(kwargs))
+
+
+def test_cp_prefill_matches_sequential_ingestion():
+    """One-pass prefill must produce the same last-position logits and
+    the same downstream decode_step logits as feeding the prompt row by
+    row through decode_step."""
+    model = CPTransformer(num_layers=2, d_model=128, max_seq=32)
+    b, p = 2, 6
+    rng = np.random.RandomState(0)
+    fdims = list(model.field_dims)
+    rows = jnp.asarray(
+        np.stack([rng.randint(0, fd, (b, p)) for fd in fdims], axis=-1),
+        jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        rows)["params"]
+
+    cache_seq = model.apply({"params": params}, b, 16,
+                            method=model.init_cache)
+    logits_seq = None
+    for t in range(p):
+        logits_seq, cache_seq = model.apply(
+            {"params": params}, rows[:, t], cache_seq, jnp.int32(t),
+            method=model.decode_step)
+
+    logits_pre, cache_pre = model.apply({"params": params}, rows, 16,
+                                        method=model.prefill)
+    for i, (a, c) in enumerate(zip(logits_seq, logits_pre)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-4, err_msg=f"head {i}")
+    # next decode step from both caches agrees too
+    nxt = jnp.asarray(
+        np.stack([rng.randint(0, fd, b) for fd in fdims], axis=1),
+        jnp.int32)
+    l1, _ = model.apply({"params": params}, nxt, cache_seq,
+                        jnp.int32(p), method=model.decode_step)
+    l2, _ = model.apply({"params": params}, nxt, cache_pre,
+                        jnp.int32(p), method=model.decode_step)
+    for i, (a, c) in enumerate(zip(l1, l2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-4, err_msg=f"next head {i}")
