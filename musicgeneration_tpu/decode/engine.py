@@ -34,6 +34,14 @@ class DecodeParams:
     max_len: int                  # cache length (prompt + generated)
     steps: int                    # tokens to generate
     sampling: SamplingParams = SamplingParams()
+    # opt-in: run generation as chunked whole-loop Pallas megakernels
+    # (ops/pallas_decode_loop.py). MEASURED AT PARITY with the per-step
+    # fused kernel at the flagship config (47.4k vs 49.7k tok/s B8 —
+    # the per-step weight copies were already overlapped by XLA, and
+    # the in-VMEM chunk attention block cancels the launch savings), so
+    # the default stays off; kept for larger-d_model experiments where
+    # per-step weight traffic grows quadratically.
+    use_loop_kernel: bool = False
 
 
 def expand_controls(controls: jnp.ndarray, steps: int) -> jnp.ndarray:
@@ -147,6 +155,24 @@ def generate(
             model, params, prompt, cache, jnp.int32(0),
             controls=None if controls is None else ctrl_prompt,
             prompt_len=prompt_len)
+
+    sp = dp.sampling
+    if (dp.use_loop_kernel and controls is None and cache0 is None
+            and hasattr(model, "decode_loop")
+            and getattr(model, "_decode_fused", lambda: False)()
+            and sp.top_k == 0 and sp.top_p >= 1.0
+            # the on-core PRNG has no interpret-mode lowering: off-TPU
+            # (tests force decode_impl="fused") only greedy is eligible
+            and (sp.greedy or jax.default_backend() == "tpu")):
+        # whole-generation megakernel (ops/pallas_decode_loop.py): all
+        # `steps` tokens in one kernel call, weights VMEM-resident.
+        # Temperature sampling uses the on-core PRNG (same categorical
+        # distribution as jax.random.categorical, different stream);
+        # greedy is token-identical to the scan path.
+        tokens, _ = model.apply(
+            {"params": params}, last_logits, t, rng, cache, dp.steps,
+            sp.temperature, sp.greedy, method=model.decode_loop)
+        return tokens
 
     def body(carry, inp):
         cache, t, logits = carry

@@ -307,6 +307,51 @@ class MusicTransformer(nn.Module):
         logits = self.fc(h).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 
+    def decode_loop(self, last_logits: jnp.ndarray, t: jnp.ndarray,
+                    rng, cache: Cache, steps: int,
+                    temperature: float = 1.0, greedy: bool = False,
+                    chunk: int = 32):
+        """Generate `steps` tokens in ceil(steps/chunk) Pallas
+        megakernel launches (ops/pallas_decode_loop.py): each launch
+        runs `chunk` whole sampling steps on-core with weights/tables
+        VMEM-resident — per-token launch and weight-copy overhead drops
+        by the chunk factor. Only plain temperature/greedy sampling;
+        the decode engine auto-selects it when eligible.
+        Returns (tokens [B, steps] int32, cache)."""
+        from ..ops.pallas_decode_loop import fused_decode_chunk
+
+        w_all, e_all = _stacked_decode_weights(self.layers, self.dtype)
+        embed = self.embedding.embedding.astype(self.dtype)
+        pos = jnp.asarray(self.pos_table, self.dtype)
+        fc_w = self.fc.variables["params"]["kernel"].astype(self.dtype)
+        fc_b = self.fc.variables["params"]["bias"]
+        interpret = jax.default_backend() != "tpu"
+        k_all, v_all = cache["k"], cache["v"]
+        t = jnp.asarray(t, jnp.int32)
+        logits = last_logits
+        outs = []
+        done = 0
+        while done < steps:
+            c = min(chunk, steps - done)
+            rng, sub = jax.random.split(rng)
+            seed = jax.random.randint(sub, (), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            toks, ck, cv, logits = fused_decode_chunk(
+                logits, t, seed, embed, pos, e_all, w_all, fc_w, fc_b,
+                k_all, v_all, self.num_heads, c,
+                temperature=temperature, greedy=greedy,
+                interpret=interpret)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, ck.astype(k_all.dtype), (0, 0, t, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, cv.astype(v_all.dtype), (0, 0, t, 0))
+            t = t + c
+            done += c
+            outs.append(toks)
+        tokens = outs[0] if len(outs) == 1 else jnp.concatenate(outs, 1)
+        return tokens, {"k": k_all, "v": v_all}
+
     def prefill(self, x: jnp.ndarray, cache_len: int, last_idx=None):
         """One-pass prompt ingestion: a single (pallas-accelerated)
         parallel forward fills the KV cache — O(1) forwards for a
@@ -356,16 +401,12 @@ class MusicTransformer(nn.Module):
         return logits, {"k": k_all, "v": v_all}
 
 
-def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
-                           dtype):
-    """Run one fused decode step over a stack of EncoderLayers
-    (ops/pallas_decode.py) — shared by MusicTransformer and
-    CPTransformer. Stacked weights are loop-invariant, so XLA hoists
-    the stacking out of the decode scan; they ride in the model dtype
-    (what the XLA path's Dense computes in; bf16 halves their VMEM so
-    batch-32/64 decode fits the 16 MB scoped-vmem budget)."""
-    from ..ops.pallas_decode import fused_decode_step
-
+def _stacked_decode_weights(layers, dtype):
+    """Stacked [L, ...] weight dict + E tables for the fused decode
+    kernels. Loop-invariant, so XLA hoists the stacking out of decode
+    scans; weights ride in the model dtype (what the XLA path's Dense
+    computes in; bf16 halves their VMEM so batch-32/64 decode fits the
+    16 MB scoped-vmem budget)."""
     w_all = {
         k: jnp.stack([_layer_decode_weights(layer)[k]
                       for layer in layers]).astype(dtype)
@@ -373,6 +414,17 @@ def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
     }
     e_all = jnp.stack([layer.rga.e for layer in layers]).astype(
         jnp.float32)
+    return w_all, e_all
+
+
+def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
+                           dtype):
+    """Run one fused decode step over a stack of EncoderLayers
+    (ops/pallas_decode.py) — shared by MusicTransformer and
+    CPTransformer."""
+    from ..ops.pallas_decode import fused_decode_step
+
+    w_all, e_all = _stacked_decode_weights(layers, dtype)
     return fused_decode_step(h, t, e_all, w_all, k_all, v_all, num_heads,
                              interpret=jax.default_backend() != "tpu")
 

@@ -54,20 +54,31 @@ WEIGHT_KEYS = ("wq", "bq", "wk", "bk", "wv", "bv", "wfc", "bfc",
                "ffn2_w", "ffn2_b", "ln2_scale", "ln2_bias")
 
 
-def _kernel(x_ref, t_ref, e_ref,
-            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-            wfc_ref, bfc_ref,
-            ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            ln2s_ref, ln2b_ref,
-            kc_ref, vc_ref,
-            out_ref, knew_ref, vnew_ref,
-            kbuf, vbuf, sems, *,
-            num_layers: int, num_heads: int, block_k: int, max_seq: int,
-            eps: float):
-    b, d = x_ref.shape
+def _layer_step(x, li, t, n_live, e_ref,
+                wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                wfc_ref, bfc_ref,
+                ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                ln2s_ref, ln2b_ref,
+                kc_ref, vc_ref, kbuf, vbuf, sems, *,
+                num_heads: int, block_k: int, max_seq: int, eps: float,
+                io_dtype, hbm_limit=None,
+                chunk=None):
+    """One EncoderLayer decode step inside a kernel: qkv projections,
+    live-prefix KV streaming with the analytic current-token term,
+    output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
+    shared by the per-step kernel (_kernel) and the whole-generation
+    chunk kernel (pallas_decode_loop).
+
+    `max_seq` is the E-table length of e_ref minus its slack rows: the
+    relative row for position s at time t is e_ref[li, max_seq-1-t+s].
+    hbm_limit: mask HBM rows s >= hbm_limit (defaults to t — the chunk
+    kernel passes t0 because rows [t0, t) live in VMEM instead).
+    chunk: optional (chunk_k_ref, chunk_v_ref, i, t0) — VMEM-resident
+    rows for positions [t0, t0+i), appended after the HBM stream."""
+    if hbm_limit is None:
+        hbm_limit = t
+    b, d = x.shape
     dh = d // num_heads
-    t = t_ref[0]
-    n_live = (t + block_k - 1) // block_k
     scale = 1.0 / math.sqrt(dh)
 
     def layer_norm(y, s, bias):
@@ -75,24 +86,21 @@ def _kernel(x_ref, t_ref, e_ref,
         var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
         return (y - mu) * jax.lax.rsqrt(var + eps) * s + bias
 
-    x = x_ref[...].astype(jnp.float32)                    # [B, d]
-    for li in range(num_layers):
+    if True:  # body kept at the original indentation for a clean diff
         def proj(w, bias):
             y = jax.lax.dot_general(
                 x, w.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + bias
             # the XLA path's Dense emits the model dtype here
-            return y.astype(out_ref.dtype).astype(jnp.float32)
+            return y.astype(io_dtype).astype(jnp.float32)
 
         q = proj(wq_ref[li], bq_ref[li])
         k_new = proj(wk_ref[li], bk_ref[li])
         v_new = proj(wv_ref[li], bv_ref[li])
-        knew_ref[li] = k_new.astype(knew_ref.dtype)
-        vnew_ref[li] = v_new.astype(vnew_ref.dtype)
         # the attention below must see the same quantization the cache
         # stores (bf16 round-trip)
-        k_cur = k_new.astype(knew_ref.dtype).astype(jnp.float32)
-        v_cur = v_new.astype(vnew_ref.dtype).astype(jnp.float32)
+        k_cur = k_new.astype(kbuf.dtype).astype(jnp.float32)
+        v_cur = v_new.astype(vbuf.dtype).astype(jnp.float32)
         q_heads = [q[:, h * dh:(h + 1) * dh] for h in range(num_heads)]
 
         # double-buffered KV streaming over the live prefix [0, t)
@@ -140,7 +148,7 @@ def _kernel(x_ref, t_ref, e_ref,
                 logits = jnp.sum(qh * k_blk, axis=-1)     # [B, BK]
                 bias = jnp.sum(qh * e_blk[None], axis=-1)
                 logits = (logits + bias) * scale
-                logits = jnp.where(s_ids >= t, NEG_INF, logits)
+                logits = jnp.where(s_ids >= hbm_limit, NEG_INF, logits)
                 m_new = jnp.maximum(
                     ms[h], jnp.max(logits, axis=-1, keepdims=True))
                 alpha = jnp.exp(ms[h] - m_new)
@@ -165,6 +173,43 @@ def _kernel(x_ref, t_ref, e_ref,
                    for _ in range(num_heads))
         ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
 
+        if chunk is not None:
+            # VMEM-resident rows for positions [t0, t0+i) — the current
+            # launch's freshly generated tokens (pallas_decode_loop)
+            ck_ref, cv_ref, chunk_i, chunk_t0 = chunk
+            c_len = ck_ref.shape[2]
+            ck = ck_ref[li].astype(jnp.float32)           # [B, C, d]
+            cv = cv_ref[li].astype(jnp.float32)
+            j_ids = jax.lax.broadcasted_iota(jnp.int32, (1, c_len), 1)
+            # E rows for s = t0 + j: base max_seq-1-t+t0 (slack-padded)
+            e_blk = e_ref[li, pl.ds(max_seq - 1 - t + chunk_t0, c_len),
+                          :].astype(jnp.float32)
+            new_ms, new_ls, new_accs = [], [], []
+            for h in range(num_heads):
+                qh = q_heads[h][:, None, :]
+                k_blk = ck[:, :, h * dh:(h + 1) * dh]
+                logits = jnp.sum(qh * k_blk, axis=-1)     # [B, C]
+                bias = jnp.sum(qh * e_blk[None], axis=-1)
+                logits = (logits + bias) * scale
+                logits = jnp.where(j_ids >= chunk_i, NEG_INF, logits)
+                m_new = jnp.maximum(
+                    ms[h], jnp.max(logits, axis=-1, keepdims=True))
+                alpha = jnp.exp(ms[h] - m_new)
+                p = jnp.exp(logits - m_new)
+                l_new = (ls[h] * alpha
+                         + jnp.sum(p, axis=-1, keepdims=True))
+                v_blk = cv[:, :, h * dh:(h + 1) * dh]
+                # quantize to the CACHE dtype (the chunk buffers ride
+                # f32 — Mosaic crashes on dynamic sublane access to
+                # bf16 — but hold bf16-rounded values)
+                p_c = p.astype(kbuf.dtype).astype(jnp.float32)
+                acc_new = (accs[h] * alpha
+                           + jnp.sum(p_c[..., None] * v_blk, axis=1))
+                new_ms.append(m_new)
+                new_ls.append(l_new)
+                new_accs.append(acc_new)
+            ms, ls, accs = tuple(new_ms), tuple(new_ls), tuple(new_accs)
+
         # current token (s == t): rel index max_seq-1, K/V from this step
         e_last = e_ref[li, max_seq - 1, :].astype(jnp.float32)
         heads_out = []
@@ -183,29 +228,56 @@ def _kernel(x_ref, t_ref, e_ref,
             acc = accs[h] * alpha + p_c * vh
             heads_out.append(acc / jnp.maximum(l_new, 1e-30))
         attn = jnp.concatenate(heads_out, axis=-1)        # [B, d]
-        attn = attn.astype(out_ref.dtype).astype(jnp.float32)
+        attn = attn.astype(io_dtype).astype(jnp.float32)
 
         attn = jax.lax.dot_general(
             attn, wfc_ref[li].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bfc_ref[li]
-        attn = attn.astype(out_ref.dtype).astype(jnp.float32)
+        attn = attn.astype(io_dtype).astype(jnp.float32)
 
         out1 = layer_norm(attn + x, ln1s_ref[li], ln1b_ref[li])
-        out1 = out1.astype(out_ref.dtype).astype(jnp.float32)
+        out1 = out1.astype(io_dtype).astype(jnp.float32)
         hh = jax.lax.dot_general(
             out1, w1_ref[li].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + b1_ref[li]
-        hh = jnp.maximum(hh.astype(out_ref.dtype).astype(jnp.float32),
+        hh = jnp.maximum(hh.astype(io_dtype).astype(jnp.float32),
                          0.0)
         ffn = jax.lax.dot_general(
             hh, w2_ref[li].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + b2_ref[li]
-        ffn = ffn.astype(out_ref.dtype).astype(jnp.float32)
+        ffn = ffn.astype(io_dtype).astype(jnp.float32)
         x = layer_norm(out1 + ffn, ln2s_ref[li], ln2b_ref[li])
-        x = x.astype(out_ref.dtype).astype(jnp.float32)
+        x = x.astype(io_dtype).astype(jnp.float32)
+    return x, k_new, v_new
+
+
+def _kernel(x_ref, t_ref, e_ref,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+            wfc_ref, bfc_ref,
+            ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            ln2s_ref, ln2b_ref,
+            kc_ref, vc_ref,
+            out_ref, knew_ref, vnew_ref,
+            kbuf, vbuf, sems, *,
+            num_layers: int, num_heads: int, block_k: int, max_seq: int,
+            eps: float):
+    t = t_ref[0]
+    n_live = (t + block_k - 1) // block_k
+    x = x_ref[...].astype(jnp.float32)                    # [B, d]
+    for li in range(num_layers):
+        x, k_new, v_new = _layer_step(
+            x, li, t, n_live, e_ref,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+            wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+            w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+            kc_ref, vc_ref, kbuf, vbuf, sems,
+            num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+            eps=eps, io_dtype=out_ref.dtype)
+        knew_ref[li] = k_new.astype(knew_ref.dtype)
+        vnew_ref[li] = v_new.astype(vnew_ref.dtype)
     out_ref[...] = x.astype(out_ref.dtype)
 
 

@@ -1,0 +1,216 @@
+"""Chunked whole-generation megakernel: C decode steps per Pallas call.
+
+The per-step fused kernel (ops/pallas_decode.py) pays per-token costs
+the step boundary forces: a kernel launch, re-copying all stacked
+weights + tables HBM->VMEM (~5 MB every token), and XLA glue ops
+between launches. This kernel amortizes all of that over a CHUNK of
+C tokens: weights, relative tables, positional rows, the embedding
+matrix and the output head stay VMEM-resident while
+
+    sample (Gumbel argmax via the on-core PRNG, or greedy) ->
+    one-hot embed matmul + positional row ->
+    L x _layer_step: HBM-prefix KV streaming for rows [0, t0) PLUS a
+        VMEM block for the chunk's own rows [t0, t0+i)
+        (shared code with the per-step kernel) ->
+    append this step's K/V rows to the VMEM chunk ->
+    output-head matmul -> carry logits
+
+runs in a fori_loop over the chunk. The chunk's K/V rows RETURN as
+VMEM outputs and the (jitted) caller inserts them into the HBM cache
+with one dynamic_update_slice per chunk — in-kernel VMEM->HBM row
+writes are not an option: ANY async copy with a strided HBM
+destination crashes this environment's Mosaic compiler (probed:
+static or dynamic offset, aliased or not — helper subprocess exit 1).
+
+Sampling parity: greedy is exactly argmax (token-identical to the scan
+path — tested); temperature sampling is the Gumbel-max trick — the
+same categorical DISTRIBUTION as jax.random.categorical but a
+different random stream, so the engine only auto-selects this kernel
+for plain temperature/greedy sampling (and only on TPU: the on-core
+PRNG has no interpret lowering).
+
+VMEM at the flagship config (6L/256d bf16, S=1024, C=64): weights
+~2 MB + E (sliced to S + slack rows, f32) ~2 MB + pos 1 MB + embed/
+head 0.4 MB + chunk K/V outputs 1.6 MB + KV stream buffers 2 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_decode import WEIGHT_KEYS, _layer_step
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
+                  e_ref,
+                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                  wfc_ref, bfc_ref,
+                  ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  ln2s_ref, ln2b_ref,
+                  fcw_ref, fcb_ref,
+                  kc_ref, vc_ref,
+                  tokens_ref, ck_ref, cv_ref, logits_out_ref,
+                  kbuf, vbuf, sems, *,
+                  chunk: int, num_layers: int, num_heads: int,
+                  block_k: int, e_len: int, eps: float, sqrt_d: float,
+                  inv_temp: float, greedy: bool, io_dtype):
+    b, vpad = logits0_ref.shape
+    d = embed_ref.shape[1]
+    t0 = t0_ref[0]
+    n_live = (t0 + block_k - 1) // block_k  # HBM prefix only
+    if not greedy:
+        pltpu.prng_seed(seed_ref[0])
+    # the chunk buffers are read (masked) before every row is written —
+    # uninitialized garbage would make 0 * inf = NaN in the PV sums
+    ck_ref[...] = jnp.zeros(ck_ref.shape, ck_ref.dtype)
+    cv_ref[...] = jnp.zeros(cv_ref.shape, cv_ref.dtype)
+
+    def step(i, logits):
+        # ---- sample ----
+        if greedy:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            bits = pltpu.bitcast(pltpu.prng_random_bits((b, vpad)),
+                                 jnp.uint32)
+            # Mosaic can't cast uint32->f32; the 24-bit value fits int32
+            bits24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            u = jnp.maximum(bits24.astype(jnp.float32)
+                            * (1.0 / float(1 << 24)), 1e-10)
+            g = -jnp.log(-jnp.log(u))
+            tok = jnp.argmax(logits * inv_temp + g,
+                             axis=-1).astype(jnp.int32)
+        tokens_ref[pl.ds(i, 1), :] = tok[None, :]
+
+        # ---- embed: one-hot matmul (no scalar gathers) + pos row ----
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (b, vpad), 1)
+              == tok[:, None])
+        x = jax.lax.dot_general(
+            oh.astype(jnp.float32), embed_ref[...].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # mirror the XLA chain: embed row (dtype) * sqrt(d) + pos (dtype)
+        x = (x.astype(io_dtype).astype(jnp.float32) * sqrt_d).astype(
+            io_dtype).astype(jnp.float32)
+        t = t0 + i
+        # pos rides f32 (dynamic sublane reads of bf16 crash Mosaic);
+        # quantize the row to the model dtype like the XLA path's table
+        pos_row = pos_ref[pl.ds(t, 1), :].astype(io_dtype)
+        x = ((x.astype(io_dtype) + pos_row).astype(jnp.float32))
+
+        for li in range(num_layers):
+            x, k_new, v_new = _layer_step(
+                x, li, t, n_live, e_ref,
+                wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+                kc_ref, vc_ref, kbuf, vbuf, sems,
+                num_heads=num_heads, block_k=block_k, max_seq=e_len,
+                eps=eps, io_dtype=io_dtype, hbm_limit=t0,
+                chunk=(ck_ref, cv_ref, i, t0))
+            # append this step's rows to the VMEM chunk for later steps;
+            # buffers ride f32 (dynamic sublane stores of bf16 crash
+            # Mosaic) but hold CACHE-dtype-rounded values for parity
+            ck_ref[li, :, pl.ds(i, 1), :] = (
+                k_new.astype(kbuf.dtype).astype(ck_ref.dtype)[:, None, :])
+            cv_ref[li, :, pl.ds(i, 1), :] = (
+                v_new.astype(vbuf.dtype).astype(cv_ref.dtype)[:, None, :])
+
+        new_logits = jax.lax.dot_general(
+            x.astype(io_dtype).astype(jnp.float32),
+            fcw_ref[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + fcb_ref[0]
+        return new_logits.astype(io_dtype).astype(jnp.float32)
+
+    logits_out_ref[...] = jax.lax.fori_loop(0, chunk, step,
+                                            logits0_ref[...])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "chunk", "temperature", "greedy",
+                     "block_k", "interpret"))
+def fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all, weights,
+                       fc_w, fc_b, k_cache, v_cache, num_heads: int,
+                       chunk: int, temperature: float = 1.0,
+                       greedy: bool = False, block_k: int = 128,
+                       interpret: bool = False):
+    """Generate `chunk` tokens in one kernel call.
+
+    logits0: [B, V] f32 (last-position logits); t0: scalar int32 first
+    write position (the HBM caches hold rows [0, t0)); seed: scalar
+    int32 PRNG seed; embed: [V, d] (model dtype); pos_tab: [>=S, d];
+    e_all: [L, max_seq, dh] f32; weights: stacked dict (WEIGHT_KEYS);
+    fc_w/fc_b: output head; caches [L, B, S, d] (read-only here).
+    Returns (tokens [B, chunk] int32, chunk_k, chunk_v [L, B, chunk, d],
+    final logits [B, V]) — the caller inserts the chunk rows at t0.
+    """
+    b, v = logits0.shape
+    num_layers, _, s, d = k_cache.shape
+    max_seq = e_all.shape[1]
+    if s % block_k:
+        block_k = s
+    vpad = _round_up(v, 128)
+    logits0 = jnp.pad(logits0.astype(jnp.float32),
+                      ((0, 0), (0, vpad - v)), constant_values=-1e30)
+    embed = jnp.pad(embed, ((0, vpad - v), (0, 0)))
+    fc_w = jnp.pad(fc_w, ((0, 0), (0, vpad - v)))
+    fc_b = jnp.pad(fc_b.astype(jnp.float32).reshape(1, -1),
+                   ((0, 0), (0, vpad - v)), constant_values=-1e30)
+    # E sliced to the last S rows (indices below max_seq - S are never
+    # touched for t < S) + masked slack for the block/chunk overreach
+    e_len = s
+    e_sliced = e_all[:, max_seq - s:, :] if max_seq > s else e_all
+    e_pad = jnp.pad(e_sliced.astype(jnp.float32),
+                    ((0, 0), (0, block_k + chunk), (0, 0)))
+    # f32 for the dynamic per-step row read (see dtype note above)
+    pos_tab = pos_tab[:s].astype(jnp.float32)
+    t0 = jnp.asarray(t0, jnp.int32).reshape(1)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _chunk_kernel, chunk=chunk, num_layers=num_layers,
+        num_heads=num_heads, block_k=block_k, e_len=e_len, eps=1e-6,
+        sqrt_d=float(math.sqrt(d)),
+        inv_temp=1.0 / max(float(temperature), 1e-6),
+        greedy=bool(greedy), io_dtype=k_cache.dtype)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    tokens, chunk_k, chunk_v, logits = pl.pallas_call(
+        kernel,
+        in_specs=[
+            smem, smem,                                    # t0, seed
+            vmem(), vmem(), vmem(), vmem(),                # logits0,
+            #                                 embed, pos, e_pad
+            *([vmem()] * 16),                              # weights
+            vmem(), vmem(),                                # fc_w, fc_b
+            hbm, hbm,                                      # caches (ro)
+        ],
+        out_specs=(vmem(), vmem(), vmem(), vmem()),
+        out_shape=(
+            jax.ShapeDtypeStruct((chunk, b), jnp.int32),
+            # f32 carriers for cache-dtype-rounded values (bf16 dynamic
+            # sublane stores crash Mosaic)
+            jax.ShapeDtypeStruct((num_layers, b, chunk, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_layers, b, chunk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, vpad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
+            pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(t0, seed, logits0, embed, pos_tab, e_pad,
+      *[weights[k] for k in WEIGHT_KEYS], fc_w, fc_b, k_cache, v_cache)
+    return tokens.T, chunk_k, chunk_v, logits[:, :v]
