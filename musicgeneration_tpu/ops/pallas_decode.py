@@ -62,7 +62,7 @@ def _layer_step(x, li, t, n_live, e_ref,
                 kc_ref, vc_ref, kbuf, vbuf, sems, *,
                 num_heads: int, block_k: int, max_seq: int, eps: float,
                 io_dtype, hbm_limit=None,
-                chunk=None):
+                chunk=None, warmup: bool = True, prefetch_li=None):
     """One EncoderLayer decode step inside a kernel: qkv projections,
     live-prefix KV streaming with the analytic current-token term,
     output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
@@ -104,17 +104,21 @@ def _layer_step(x, li, t, n_live, e_ref,
         q_heads = [q[:, h * dh:(h + 1) * dh] for h in range(num_heads)]
 
         # double-buffered KV streaming over the live prefix [0, t)
-        def _start(j, slot):
+        def _start(j, slot, which=li):
             pltpu.make_async_copy(
-                kc_ref.at[li, :, pl.ds(j * block_k, block_k), :],
+                kc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
                 kbuf.at[slot], sems.at[slot]).start()
             pltpu.make_async_copy(
-                vc_ref.at[li, :, pl.ds(j * block_k, block_k), :],
+                vc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
                 vbuf.at[slot], sems.at[2 + slot]).start()
 
-        @pl.when(n_live > 0)
-        def _warmup():
-            _start(0, 0)
+        if warmup:
+            # cross-layer pipelining (warmup=False): the CALLER started
+            # this layer's block 0 earlier, hiding the DMA latency
+            # behind the previous layer's tail compute / the embedding
+            @pl.when(n_live > 0)
+            def _warmup():
+                _start(0, 0)
 
         def body(j, carry):
             ms, ls, accs = carry
@@ -172,6 +176,14 @@ def _layer_step(x, li, t, n_live, e_ref,
         a0 = tuple(jnp.zeros((b, dh), jnp.float32)
                    for _ in range(num_heads))
         ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+
+        if prefetch_li is not None:
+            # start the NEXT layer's block 0 now: both stream buffers
+            # are consumed, and the DMA overlaps this layer's tail
+            # (current-token term, output projection, LN, FFN)
+            @pl.when(n_live > 0)
+            def _prefetch_next_layer():
+                _start(0, 0, which=prefetch_li)
 
         if chunk is not None:
             # VMEM-resident rows for positions [t0, t0+i) — the current
@@ -254,6 +266,17 @@ def _layer_step(x, li, t, n_live, e_ref,
     return x, k_new, v_new
 
 
+def start_block0(kc_ref, vc_ref, li, kbuf, vbuf, sems, block_k):
+    """Kick off layer li's first KV block DMA — used by the kernels'
+    entry/step preambles so the copy overlaps non-stream compute."""
+    pltpu.make_async_copy(
+        kc_ref.at[li, :, pl.ds(0, block_k), :], kbuf.at[0],
+        sems.at[0]).start()
+    pltpu.make_async_copy(
+        vc_ref.at[li, :, pl.ds(0, block_k), :], vbuf.at[0],
+        sems.at[2]).start()
+
+
 def _kernel(x_ref, t_ref, e_ref,
             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             wfc_ref, bfc_ref,
@@ -266,6 +289,15 @@ def _kernel(x_ref, t_ref, e_ref,
             eps: float):
     t = t_ref[0]
     n_live = (t + block_k - 1) // block_k
+
+    # cross-layer DMA pipelining: layer 0's first block starts NOW and
+    # each layer prefetches its successor's first block before its tail
+    # compute — the block-0 wait latency hides behind real work instead
+    # of serializing 6x per step
+    @pl.when(n_live > 0)
+    def _entry():
+        start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k)
+
     x = x_ref[...].astype(jnp.float32)                    # [B, d]
     for li in range(num_layers):
         x, k_new, v_new = _layer_step(
@@ -275,7 +307,8 @@ def _kernel(x_ref, t_ref, e_ref,
             w2_ref, b2_ref, ln2s_ref, ln2b_ref,
             kc_ref, vc_ref, kbuf, vbuf, sems,
             num_heads=num_heads, block_k=block_k, max_seq=max_seq,
-            eps=eps, io_dtype=out_ref.dtype)
+            eps=eps, io_dtype=out_ref.dtype, warmup=False,
+            prefetch_li=li + 1 if li + 1 < num_layers else None)
         knew_ref[li] = k_new.astype(knew_ref.dtype)
         vnew_ref[li] = v_new.astype(vnew_ref.dtype)
     out_ref[...] = x.astype(out_ref.dtype)

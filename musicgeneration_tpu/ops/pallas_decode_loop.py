@@ -75,7 +75,14 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
     ck_ref[...] = jnp.zeros(ck_ref.shape, ck_ref.dtype)
     cv_ref[...] = jnp.zeros(cv_ref.shape, cv_ref.dtype)
 
+    from .pallas_decode import start_block0
+
     def step(i, logits):
+        # layer 0's first KV block streams in while we sample and embed
+        @pl.when(n_live > 0)
+        def _entry():
+            start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k)
+
         # ---- sample ----
         if greedy:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -116,7 +123,8 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
                 kc_ref, vc_ref, kbuf, vbuf, sems,
                 num_heads=num_heads, block_k=block_k, max_seq=e_len,
                 eps=eps, io_dtype=io_dtype, hbm_limit=t0,
-                chunk=(ck_ref, cv_ref, i, t0))
+                chunk=(ck_ref, cv_ref, i, t0), warmup=False,
+                prefetch_li=li + 1 if li + 1 < num_layers else None)
             # append this step's rows to the VMEM chunk for later steps;
             # buffers ride f32 (dynamic sublane stores of bf16 crash
             # Mosaic) but hold CACHE-dtype-rounded values for parity
