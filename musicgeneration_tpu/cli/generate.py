@@ -250,9 +250,12 @@ def main(argv=None) -> int:
             controls, (controls.shape[0], nb, controls.shape[2]))
     # top_p=0 would mean "keep only the argmax" in sample_logits; treat it
     # as off (the flag's documented default) so sampling stays categorical
+    # temperature 0 = greedy, consistently with the CP/PoPMAG branches
+    # (dividing by the 1e-6 floor would be a numerically extreme argmax)
     sampling = SamplingParams(temperature=args.temperature,
                               top_k=args.topk,
-                              top_p=args.topp if args.topp > 0 else 1.0)
+                              top_p=args.topp if args.topp > 0 else 1.0,
+                              greedy=(args.temperature == 0.0))
     if args.beam > 1:
         if cfg.model not in ("event_rnn", "performance_rnn"):
             raise SystemExit("--beam is for the RNN LMs "

@@ -326,3 +326,33 @@ def test_train_segment_mode(tok_dir, tmp_path):
     _train(tok_dir, tmp_path, "event_rnn",
            ["model.hidden_dim=16", "model.num_layers=1",
             "train_mode=segment", "seq_len=48"])
+
+
+def test_generate_temperature_zero_is_greedy(tmp_path):
+    """--temperature 0 must decode greedily (deterministic across
+    seeds), matching the CP/PoPMAG branches' convention."""
+    import json
+
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    from musicgeneration_tpu.cli.train import main as train_main
+
+    midi_dir = tmp_path / "m"
+    midi_dir.mkdir()
+    for i in range(2):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i, n_notes=60)
+    tok = str(tmp_path / "tok")
+    assert tokenize_main([str(midi_dir), tok, "--scheme", "midilike",
+                          "--workers", "1"]) == 0
+    ckpt = str(tmp_path / "ckpt")
+    assert train_main([tok, "model=music_transformer", "steps=2",
+                       "batch_size=2", "seq_len=32", "ckpt_every=2",
+                       f"ckpt_dir={ckpt}", "model.num_layers=1",
+                       "model.d_model=64"]) == 0
+    outs = []
+    for seed in (0, 1):
+        out = str(tmp_path / f"g{seed}.mid")
+        assert gen_main([ckpt, out, "--steps", "24", "--temperature",
+                         "0", "--seed", str(seed)]) == 0
+        outs.append(open(out, "rb").read())
+    assert outs[0] == outs[1]  # greedy: seed must not matter
