@@ -134,7 +134,11 @@ def tokenize_corpus(
     input_dir: str,
     output_dir: str,
     scheme: str = "midilike",
-    num_workers: int = 8,
+    num_workers: int = 0,  # <=0: auto-size to the CPU count (a pool
+    #                        wider than the host thrashes: measured 33
+    #                        files/s with 8 spawned workers on 1 CPU vs
+    #                        987 serial — each spawn re-imports jax via
+    #                        this environment's sitecustomize)
     shard_size: int = 1024,
     paths: Optional[Sequence[str]] = None,
 ) -> CorpusStats:
