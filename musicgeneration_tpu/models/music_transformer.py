@@ -263,10 +263,18 @@ class MusicTransformer(nn.Module):
         if impl == "auto":
             if jax.default_backend() != "tpu":
                 return False
-            from ..ops.pallas_decode import decode_vmem_bytes
+            from ..ops.pallas_decode import (
+                decode_grid_vmem_bytes,
+                decode_vmem_bytes,
+            )
             est = decode_vmem_bytes(self.num_layers, self.d_model,
                                     self.vocab_size, self.max_seq, 64)
-            return est < 10 * 1024 * 1024  # stacked weights must fit VMEM
+            if est < 10 * 1024 * 1024:  # stacked weights fit VMEM
+                return True
+            # layer-grid variant streams per-layer weight blocks
+            # (d_model=512 fits; 1024 falls back to the XLA path)
+            return decode_grid_vmem_bytes(
+                self.d_model, self.max_seq, 64) < 13 * 1024 * 1024
         return impl == "fused"
 
     def init_cache(self, batch: int, cache_len: int) -> Cache:

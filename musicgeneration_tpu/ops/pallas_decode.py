@@ -62,7 +62,8 @@ def _layer_step(x, li, t, n_live, e_ref,
                 kc_ref, vc_ref, kbuf, vbuf, sems, *,
                 num_heads: int, block_k: int, max_seq: int, eps: float,
                 io_dtype, hbm_limit=None,
-                chunk=None, warmup: bool = True, prefetch_li=None):
+                chunk=None, warmup: bool = True, prefetch_li=None,
+                bias_li=None, cache_li=None):
     """One EncoderLayer decode step inside a kernel: qkv projections,
     live-prefix KV streaming with the analytic current-token term,
     output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
@@ -74,9 +75,18 @@ def _layer_step(x, li, t, n_live, e_ref,
     hbm_limit: mask HBM rows s >= hbm_limit (defaults to t — the chunk
     kernel passes t0 because rows [t0, t) live in VMEM instead).
     chunk: optional (chunk_k_ref, chunk_v_ref, i, t0) — VMEM-resident
-    rows for positions [t0, t0+i), appended after the HBM stream."""
+    rows for positions [t0, t0+i), appended after the HBM stream.
+    bias_li / cache_li: independent layer indices for the bias/LN
+    tables and the KV caches — the layer-GRID kernel blocks the big
+    weight matrices per layer (li=0 within the block) while biases
+    ride full (f32, indexed by program_id) and caches stay whole in
+    HBM. Default to `li` (the resident kernels)."""
     if hbm_limit is None:
         hbm_limit = t
+    if bias_li is None:
+        bias_li = li
+    if cache_li is None:
+        cache_li = li
     b, d = x.shape
     dh = d // num_heads
     scale = 1.0 / math.sqrt(dh)
@@ -94,9 +104,9 @@ def _layer_step(x, li, t, n_live, e_ref,
             # the XLA path's Dense emits the model dtype here
             return y.astype(io_dtype).astype(jnp.float32)
 
-        q = proj(wq_ref[li], bq_ref[li])
-        k_new = proj(wk_ref[li], bk_ref[li])
-        v_new = proj(wv_ref[li], bv_ref[li])
+        q = proj(wq_ref[li], bq_ref[bias_li])
+        k_new = proj(wk_ref[li], bk_ref[bias_li])
+        v_new = proj(wv_ref[li], bv_ref[bias_li])
         # the attention below must see the same quantization the cache
         # stores (bf16 round-trip)
         k_cur = k_new.astype(kbuf.dtype).astype(jnp.float32)
@@ -104,7 +114,9 @@ def _layer_step(x, li, t, n_live, e_ref,
         q_heads = [q[:, h * dh:(h + 1) * dh] for h in range(num_heads)]
 
         # double-buffered KV streaming over the live prefix [0, t)
-        def _start(j, slot, which=li):
+        def _start(j, slot, which=None):
+            if which is None:
+                which = cache_li
             pltpu.make_async_copy(
                 kc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
                 kbuf.at[slot], sems.at[slot]).start()
@@ -138,10 +150,10 @@ def _layer_step(x, li, t, n_live, e_ref,
             s_ids = s0 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_k), 1)
             pltpu.make_async_copy(
-                kc_ref.at[li, :, pl.ds(s0, block_k), :],
+                kc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
                 kbuf.at[slot], sems.at[slot]).wait()
             pltpu.make_async_copy(
-                vc_ref.at[li, :, pl.ds(s0, block_k), :],
+                vc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
                 vbuf.at[slot], sems.at[2 + slot]).wait()
             k_all_blk = kbuf[slot].astype(jnp.float32)    # [B, BK, d]
             v_all_blk = vbuf[slot].astype(jnp.float32)
@@ -245,23 +257,23 @@ def _layer_step(x, li, t, n_live, e_ref,
         attn = jax.lax.dot_general(
             attn, wfc_ref[li].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bfc_ref[li]
+            preferred_element_type=jnp.float32) + bfc_ref[bias_li]
         attn = attn.astype(io_dtype).astype(jnp.float32)
 
-        out1 = layer_norm(attn + x, ln1s_ref[li], ln1b_ref[li])
+        out1 = layer_norm(attn + x, ln1s_ref[bias_li], ln1b_ref[bias_li])
         out1 = out1.astype(io_dtype).astype(jnp.float32)
         hh = jax.lax.dot_general(
             out1, w1_ref[li].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b1_ref[li]
+            preferred_element_type=jnp.float32) + b1_ref[bias_li]
         hh = jnp.maximum(hh.astype(io_dtype).astype(jnp.float32),
                          0.0)
         ffn = jax.lax.dot_general(
             hh, w2_ref[li].astype(jnp.float32),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b2_ref[li]
+            preferred_element_type=jnp.float32) + b2_ref[bias_li]
         ffn = ffn.astype(io_dtype).astype(jnp.float32)
-        x = layer_norm(out1 + ffn, ln2s_ref[li], ln2b_ref[li])
+        x = layer_norm(out1 + ffn, ln2s_ref[bias_li], ln2b_ref[bias_li])
         x = x.astype(io_dtype).astype(jnp.float32)
     return x, k_new, v_new
 
@@ -314,6 +326,41 @@ def _kernel(x_ref, t_ref, e_ref,
     out_ref[...] = x.astype(out_ref.dtype)
 
 
+def _kernel_grid(x_ref, t_ref, e_ref,
+                 wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                 wfc_ref, bfc_ref,
+                 ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 ln2s_ref, ln2b_ref,
+                 kc_ref, vc_ref,
+                 out_ref, knew_ref, vnew_ref,
+                 xcar, kbuf, vbuf, sems, *,
+                 num_layers: int, num_heads: int, block_k: int,
+                 max_seq: int, eps: float):
+    """Layer-GRID decode step for models whose stacked weights exceed
+    VMEM residency (d_model >= 512): grid=(L,), Mosaic auto-pipelines
+    each layer's weight/E blocks HBM->VMEM while the previous layer
+    computes; the activation carries across grid steps in a VMEM
+    scratch. Biases/LN ride full as f32 (dynamic sublane reads crash on
+    bf16) and the caches stay whole in HBM."""
+    li = pl.program_id(0)
+    t = t_ref[0]
+    n_live = (t + block_k - 1) // block_k
+    # xcar is uninitialized at li == 0; where() is an elementwise select
+    x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
+    x, k_new, v_new = _layer_step(
+        x, 0, t, n_live, e_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+        wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+        kc_ref, vc_ref, kbuf, vbuf, sems,
+        num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+        eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li)
+    knew_ref[0] = k_new.astype(knew_ref.dtype)
+    vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+    xcar[...] = x
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
 def decode_vmem_bytes(num_layers: int, d: int, vocab: int,
                       max_seq: int, dh: int, block_k: int = 128,
                       batch: int = 8, bytes_per: int = 2) -> int:
@@ -325,12 +372,25 @@ def decode_vmem_bytes(num_layers: int, d: int, vocab: int,
     return w + e + bufs
 
 
+def decode_grid_vmem_bytes(d: int, max_seq: int, dh: int,
+                           block_k: int = 128, batch: int = 8,
+                           bytes_per: int = 2) -> int:
+    """VMEM footprint of the layer-GRID variant (per-layer weight/E
+    blocks, double-buffered by the pipeline) — models whose resident
+    estimate overflows use this gate instead (d_model=512 fits; 1024
+    does not and falls back to XLA)."""
+    w = 2 * (4 * d * d + 2 * d * (d // 2)) * bytes_per
+    e = 2 * (max_seq + block_k) * dh * 4
+    bufs = 2 * 2 * batch * block_k * d * bytes_per
+    return w + e + bufs
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "block_k", "interpret"))
+    static_argnames=("num_heads", "block_k", "interpret", "grid"))
 def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                       num_heads: int, block_k: int = 128,
-                      interpret: bool = False):
+                      interpret: bool = False, grid=None):
     """All-layers decode step, fully fused into one kernel.
 
     x: [B, d] (already embedded + positioned); t: scalar int32 position;
@@ -362,35 +422,101 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                     ((0, 0), (0, block_k), (0, 0)))
     t_arr = jnp.asarray(t, jnp.int32).reshape(1)
 
-    kernel = functools.partial(
-        _kernel, num_layers=num_layers, num_heads=num_heads,
-        block_k=block_k, max_seq=max_seq, eps=1e-6)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     # caches must stay in HBM: ANY lets the compiler pull them into VMEM
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
-    out, k_news, v_news = pl.pallas_call(
-        kernel,
-        in_specs=[
-            vmem(),                                         # x
+    w_bytes = sum(weights[k].size * weights[k].dtype.itemsize
+                  for k in ("wq", "wk", "wv", "wfc", "ffn1_w", "ffn2_w"))
+    if grid is None:
+        grid = w_bytes > 9 * 1024 * 1024
+    if not grid:
+        kernel = functools.partial(
+            _kernel, num_layers=num_layers, num_heads=num_heads,
+            block_k=block_k, max_seq=max_seq, eps=1e-6)
+        out, k_news, v_news = pl.pallas_call(
+            kernel,
+            in_specs=[
+                vmem(),                                     # x
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # t
+                vmem(),                                     # e_pad
+                *([vmem()] * 16),                           # weights
+                hbm, hbm,                                   # caches
+            ],
+            out_specs=(vmem(), vmem(), vmem()),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, d), x.dtype),
+                jax.ShapeDtypeStruct((num_layers, b, d), k_cache.dtype),
+                jax.ShapeDtypeStruct((num_layers, b, d), v_cache.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
+                pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(x, t_arr, e_pad, *[weights[k] for k in WEIGHT_KEYS],
+          k_cache, v_cache)
+    else:
+        # stacked weights exceed VMEM residency (d_model >= 512): grid
+        # over layers — Mosaic pipelines each layer's weight/E blocks
+        # while the previous layer computes (_kernel_grid)
+        kernel = functools.partial(
+            _kernel_grid, num_layers=num_layers, num_heads=num_heads,
+            block_k=block_k, max_seq=max_seq, eps=1e-6)
+        dh = d // num_heads
+        e_rows = e_pad.shape[1]
+
+        def wspec(*shape):
+            return pl.BlockSpec((1,) + shape,
+                                lambda l: (l,) + (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        # biases/LN ride FULL as f32: a (1, d) block violates Mosaic's
+        # 8-sublane rule and dynamic sublane reads crash on bf16
+        f32b = {k: weights[k].astype(jnp.float32)
+                for k in WEIGHT_KEYS
+                if weights[k].ndim == 2}
+        in_specs = [
+            pl.BlockSpec((b, d), lambda l: (0, 0),
+                         memory_space=pltpu.VMEM),          # x
             pl.BlockSpec(memory_space=pltpu.SMEM),          # t
-            vmem(),                                         # e_pad
-            *([vmem()] * 16),                               # weights
-            hbm, hbm,                                       # caches
-        ],
-        out_specs=(vmem(), vmem(), vmem()),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, d), x.dtype),
-            jax.ShapeDtypeStruct((num_layers, b, d), k_cache.dtype),
-            jax.ShapeDtypeStruct((num_layers, b, d), v_cache.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
-            pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-        interpret=interpret,
-    )(x, t_arr, e_pad, *[weights[k] for k in WEIGHT_KEYS],
-      k_cache, v_cache)
+            wspec(e_rows, dh),                              # e_pad
+        ]
+        w_args = []
+        for k in WEIGHT_KEYS:
+            w = weights[k]
+            if w.ndim == 3:
+                in_specs.append(wspec(w.shape[1], w.shape[2]))
+                w_args.append(w)
+            else:
+                in_specs.append(vmem())
+                w_args.append(f32b[k])
+        in_specs += [hbm, hbm]
+        out, k_news, v_news = pl.pallas_call(
+            kernel,
+            grid=(num_layers,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((b, d), lambda l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, d), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, d), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, d), x.dtype),
+                jax.ShapeDtypeStruct((num_layers, b, d), k_cache.dtype),
+                jax.ShapeDtypeStruct((num_layers, b, d), v_cache.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((b, d), jnp.float32),
+                pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
+                pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            interpret=interpret,
+        )(x, t_arr, e_pad, *w_args, k_cache, v_cache)
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, k_news.reshape(num_layers, b, 1, d), (0, 0, t, 0))
     v_cache = jax.lax.dynamic_update_slice(

@@ -198,3 +198,36 @@ def test_decode_loop_multi_launch_matches():
 
     np.testing.assert_array_equal(toks_scan,
                                   np.asarray(run_loop(params, prompt)))
+
+
+def test_grid_kernel_matches_resident():
+    """The layer-GRID variant (per-layer weight blocks for d_model>=512
+    where resident weights overflow VMEM) must match the resident
+    kernel bit-for-bit on the same inputs."""
+    from musicgeneration_tpu.models.music_transformer import (
+        _stacked_decode_weights,
+    )
+    from musicgeneration_tpu.ops.pallas_decode import fused_decode_step
+
+    m = MusicTransformer(decode_impl="fused", vocab_size=VOCAB,
+                         num_layers=2, d_model=128, max_seq=64)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8), jnp.int32))["params"]
+    bound = m.bind({"params": params})
+    w_all, e_all = _stacked_decode_weights(bound.layers, m.dtype)
+    cache = bound.init_cache(2, 40)
+    k_all, v_all = cache["k"], cache["v"]
+    rng = np.random.RandomState(0)
+    for t in range(6):
+        x = jnp.asarray(rng.randn(2, 128) * 0.3, jnp.float32)
+        o1, k1, v1 = fused_decode_step(x, jnp.int32(t), e_all, w_all,
+                                       k_all, v_all, m.num_heads,
+                                       interpret=True, grid=False)
+        o2, k2, v2 = fused_decode_step(x, jnp.int32(t), e_all, w_all,
+                                       k_all, v_all, m.num_heads,
+                                       interpret=True, grid=True)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2),
+                                      err_msg=f"t={t}")
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        k_all, v_all = k1, v1
