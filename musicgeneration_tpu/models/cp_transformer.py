@@ -93,11 +93,17 @@ class CPTransformer(nn.Module):
         if impl == "auto":
             if jax.default_backend() != "tpu":
                 return False
-            from ..ops.pallas_decode import decode_vmem_bytes
+            from ..ops.pallas_decode import (
+                decode_grid_vmem_bytes,
+                decode_vmem_bytes,
+            )
             est = decode_vmem_bytes(self.num_layers, self.d_model,
                                     sum(self.field_dims), self.max_seq,
                                     64)
-            return est < 10 * 1024 * 1024
+            if est < 10 * 1024 * 1024:
+                return True
+            return decode_grid_vmem_bytes(
+                self.d_model, self.max_seq, 64) < 13 * 1024 * 1024
         return impl == "fused"
 
     def init_cache(self, batch: int, cache_len: int) -> Cache:
