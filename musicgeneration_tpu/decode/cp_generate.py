@@ -56,14 +56,17 @@ def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
     max_len = max_len or (p + steps)
     if p + steps > max_len:
         raise ValueError("prompt + steps exceeds max_len")
-    return np.asarray(_run(model, steps, max_len, float(temperature),
-                           bool(greedy), params, prompt_rows, rng))
+    # temperature is a TRACED operand: new --temperature values must not
+    # trigger a full decode-scan recompile (minutes on this backend)
+    return np.asarray(_run(model, steps, max_len, bool(greedy), params,
+                           prompt_rows, rng,
+                           jnp.float32(max(temperature, 1e-6))))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "model", "steps", "max_len", "temperature", "greedy"))
-def _run(model, steps, max_len, temperature, greedy,
-         params, prompt_rows, rng):
+    "model", "steps", "max_len", "greedy"))
+def _run(model, steps, max_len, greedy,
+         params, prompt_rows, rng, temperature):
     # one-pass prompt ingestion: a single parallel forward fills the
     # cache (CPTransformer.prefill) — O(1) forwards for a P-row prompt
     # instead of P sequential decode steps
@@ -79,7 +82,7 @@ def _run(model, steps, max_len, temperature, greedy,
                 cols.append(jnp.argmax(lg, axis=-1).astype(jnp.int32))
             else:
                 cols.append(jax.random.categorical(
-                    k, lg / max(temperature, 1e-6),
+                    k, lg / temperature,
                     axis=-1).astype(jnp.int32))
         return _mask_row(jnp.stack(cols, axis=-1))
 

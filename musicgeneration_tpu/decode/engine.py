@@ -41,6 +41,11 @@ class DecodeParams:
     # the in-VMEM chunk attention block cancels the launch savings), so
     # the default stays off; kept for larger-d_model experiments where
     # per-step weight traffic grows quadratically.
+    # REPRODUCIBILITY: greedy decoding is token-identical to the scan
+    # path, but SAMPLED runs are NOT — the loop kernel draws from the
+    # on-core TPU PRNG seeded per chunk (fold_in of the caller's key),
+    # a different stream than jax.random.categorical, so the same rng
+    # key yields different (identically distributed) tokens.
     use_loop_kernel: bool = False
 
 

@@ -339,12 +339,19 @@ class MusicTransformer(nn.Module):
         logits = last_logits
         outs = []
         done = 0
+        chunk_idx = 0
         while done < steps:
             c = min(chunk, steps - done)
-            rng, sub = jax.random.split(rng)
+            # per-chunk seed for the on-core PRNG: fold_in gives a
+            # deterministic, collision-free map from the caller's key
+            # (chunk i always sees the same seed for a given rng) —
+            # still a DIFFERENT stream than the scan path's
+            # jax.random.categorical (see DecodeParams.use_loop_kernel)
+            sub = jax.random.fold_in(rng, chunk_idx)
             seed = jax.random.randint(sub, (), 0,
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
+            chunk_idx += 1
             toks, ck, cv, logits = fused_decode_chunk(
                 logits, t, seed, embed, pos, e_all, w_all, fc_w, fc_b,
                 k_all, v_all, self.num_heads, c,

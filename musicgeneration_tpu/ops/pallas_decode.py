@@ -404,15 +404,16 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     num_layers = k_cache.shape[0]
     s = k_cache.shape[2]
     max_seq = e_all.shape[1]
+    # weights + E are the fixed part of the scoped-VMEM budget (used by
+    # both the block_k shrink loop and the resident/grid auto gate)
+    fixed = (sum(w.size * w.dtype.itemsize for w in weights.values())
+             + (max_seq + block_k) * e_all.shape[-1] * 4 * num_layers
+             + 3 * b * d * 4)
     if s % block_k:
         block_k = s  # degrade to one block for odd cache lengths
     else:
         # the double-buffered KV scratch scales with B*block_k; shrink
         # the block so batch-32/64 decode fits the 16 MB scoped VMEM
-        # (weights + E are the fixed part of the budget)
-        fixed = (sum(w.size * w.dtype.itemsize for w in weights.values())
-                 + (max_seq + block_k) * e_all.shape[-1] * 4 * num_layers
-                 + 3 * b * d * 4)
         bytes_kv = k_cache.dtype.itemsize
         while (block_k > 32 and s % (block_k // 2) == 0 and
                fixed + 4 * b * block_k * d * bytes_kv > 14 * 1024 * 1024):
@@ -425,10 +426,17 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     # caches must stay in HBM: ANY lets the compiler pull them into VMEM
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
-    w_bytes = sum(weights[k].size * weights[k].dtype.itemsize
-                  for k in ("wq", "wk", "wv", "wfc", "ffn1_w", "ffn2_w"))
     if grid is None:
-        grid = w_bytes > 9 * 1024 * 1024
+        # RESIDENT kernel keeps ALL stacked weights + E tables + the KV
+        # double-buffers in scoped VMEM; pick the layer-grid variant off
+        # the FULL resident estimate (weights + E + buffers, same terms
+        # as the model gate's decode_vmem_bytes) so a small-d_model /
+        # long-max_seq config whose E term overflows doesn't slip into
+        # the resident kernel and fail Mosaic compile. 14 MB matches the
+        # block_k shrink loop's budget: grid only when shrinking could
+        # not make the resident footprint fit.
+        resident = fixed + 4 * b * block_k * d * k_cache.dtype.itemsize
+        grid = resident > 14 * 1024 * 1024
     if not grid:
         kernel = functools.partial(
             _kernel, num_layers=num_layers, num_heads=num_heads,

@@ -339,8 +339,10 @@ class ControlSeq:
         end = np.searchsorted(times, times + window, side="right")
         # exact loop semantics: first j with times[j] - times[i] > window
         # (searchsorted compares times[j] > times[i]+window, which can
-        # differ by 1 ulp — fix up with the diff form)
-        for _ in range(2):
+        # differ by 1 ulp — fix up with the diff form, iterated to a
+        # FIXED POINT: each pass moves an end by at most one slot, and a
+        # long cumsum chain of tiny shifts can drift more than that)
+        for _ in range(64):
             over = (end > np.arange(n)) & (times[np.minimum(end, n) - 1]
                                            - times > window)
             end = np.where(over, end - 1, end)
@@ -348,6 +350,14 @@ class ControlSeq:
                                  - times <= window)
             under &= end < n
             end = np.where(under, end + 1, end)
+            if not (over.any() or under.any()):
+                break
+        else:
+            # non-converged repair: fall back to the object-path oracle
+            # instead of emitting silently-diverged window ends
+            return ControlSeq.from_event_seq(
+                EventSeq.from_array(np.asarray(ids))
+            ).to_compressed_array()
 
         on_mask = (ids >= on.start) & (ids < on.stop)
         base = EventSeq.pitch_range.start

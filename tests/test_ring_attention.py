@@ -166,6 +166,7 @@ def test_model_ring_train_step_loss_matches_single_device():
 # emulates the remote DMAs on the virtual-device mesh
 # --------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_ring_pallas_matches_xla_ring():
     from musicgeneration_tpu.parallel.ring_attention_pallas import (
         ring_relative_attention_pallas,
@@ -186,6 +187,7 @@ def test_ring_pallas_matches_xla_ring():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_pallas_gradients_via_xla_backward():
     """custom_vjp: forward = RDMA kernel, backward = the exact XLA ring."""
     from musicgeneration_tpu.parallel.ring_attention_pallas import (
@@ -205,6 +207,7 @@ def test_ring_pallas_gradients_via_xla_backward():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_ring_pallas_multiaxis_mesh_fallback():
     """dp>1 meshes: the interpret emulator only handles one named axis,
     so the wrapper transparently takes the XLA ring (same math)."""
@@ -220,6 +223,7 @@ def test_ring_pallas_multiaxis_mesh_fallback():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_ring_pallas_forward():
     from musicgeneration_tpu.models import MusicTransformer
 
