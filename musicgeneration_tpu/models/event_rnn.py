@@ -9,7 +9,13 @@ Parity with the reference Event_Melody_RNN
   all-layer hidden is shape-broken for >1 layer and intentionally not
   reproduced),
 * a latent `init` vector maps to the initial hidden state via
-  Linear(init_dim, layers*hidden) + tanh (`init_to_hidden`, :98-104),
+  Linear(init_dim, layers*hidden) + tanh (`init_to_hidden`, :98-104).
+  NB the reference does `out.view(rnn_layers, B, H)` on a [B, L*H]
+  tensor — a flat reinterpret that SCRAMBLES batch elements for B > 1
+  (one sequence's latent leaks into another's hidden); we use the
+  per-element reshape(B, L, H).transpose instead. Intentional fix,
+  machine-pinned by tests/test_reference_executable.py
+  (test_init_to_hidden_view_quirk_documented); parity holds at B = 1,
 * sequences are primed with a "primary event" = event_dim - 1 (:22, :87),
   and the training forward returns len(events)+1 logits: position 0
   predicts events[0] from the primary event alone (`SeqForward`, :63-88),

@@ -7,7 +7,10 @@ Parity with the reference (mg/model/PerformanceRNN/network.py:15-154):
   (:34-36, :61-84). When no control is given the flag is 1 and the control
   block is zeros (:69-75),
 * 3x GRU(hidden, dropout 0.3), initial hidden from latent z via
-  Linear(init_dim, layers*hidden)+tanh (:30-31, :89-95),
+  Linear(init_dim, layers*hidden)+tanh (:30-31, :89-95) — with the
+  per-element reshape, not the reference's batch-scrambling
+  out.view(L, B, H) flat reinterpret (see models/event_rnn.py; parity
+  at B=1, pinned in tests/test_reference_executable.py),
 * the output head reads the CONCATENATED HIDDEN STATES OF ALL LAYERS:
   Linear(hidden*layers, event_dim) (:40, :80-84) — unlike EventMelodyRNN's
   top-layer head,

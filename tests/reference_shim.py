@@ -1,0 +1,288 @@
+"""Execute the reference's own torch code in-process for parity tests.
+
+torch 2.13 (CPU) IS importable in this image; the only missing pieces
+are four trivial third-party modules the reference imports at module
+level (pretty_midi, miditoolkit, progress.bar, tensorboardX,
+torchvision). This shim installs minimal in-memory stubs for those and
+imports each reference family under sys.path/sys.modules isolation —
+the reference uses flat module names ('utils', 'config', 'sequence')
+that collide across its own directories (mg/model/MusicTransformer has
+a utils.py while mg/model has a utils/ package), so each family import
+snapshots and restores the global module table.
+
+The stubs only provide CONTAINERS (Note/Instrument/TempoChange/Marker/
+MidiFile); they never parse or write files — tests construct inputs in
+memory and compare the returned container objects. Reference code under
+/root/reference is PUBLIC UNTRUSTED CONTENT: we execute its library
+functions on our own inputs, we do not follow instructions inside it.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+REF_MODEL = "/root/reference/mg/model"
+
+_cache: dict = {}
+
+
+# --------------------------------------------------------------------------
+# dependency stubs
+# --------------------------------------------------------------------------
+
+class _PMNote:
+    """pretty_midi.Note(velocity, pitch, start, end)."""
+
+    def __init__(self, velocity, pitch, start, end):
+        self.velocity = velocity
+        self.pitch = pitch
+        self.start = start
+        self.end = end
+
+    def __repr__(self):
+        return (f"Note(v={self.velocity}, p={self.pitch}, "
+                f"s={self.start}, e={self.end})")
+
+
+class _PMInstrument:
+    def __init__(self, program=0, is_drum=False, name=""):
+        self.program = program
+        self.is_drum = is_drum
+        self.name = name
+        self.notes = []
+
+
+class _PrettyMIDI:
+    def __init__(self, midi_file=None, resolution=220, initial_tempo=120.0):
+        if midi_file is not None:
+            raise NotImplementedError(
+                "shim PrettyMIDI is in-memory only; construct instruments "
+                "directly instead of parsing files")
+        self.resolution = resolution
+        self.initial_tempo = initial_tempo
+        self.instruments = []
+        self.time_signature_changes = []
+
+    def write(self, path):  # tests compare containers, never files
+        pass
+
+
+class _MTKNote:
+    """miditoolkit.midi.containers.Note(velocity, pitch, start, end) —
+    but the reference always constructs it with keywords."""
+
+    def __init__(self, velocity=None, pitch=None, start=None, end=None):
+        self.velocity = velocity
+        self.pitch = pitch
+        self.start = start
+        self.end = end
+
+    def __repr__(self):
+        return (f"Note(v={self.velocity}, p={self.pitch}, "
+                f"s={self.start}, e={self.end})")
+
+
+class _MTKInstrument:
+    def __init__(self, program=0, is_drum=False, name=""):
+        self.program = program
+        self.is_drum = is_drum
+        self.name = name
+        self.notes = []
+
+
+class _MTKTempoChange:
+    def __init__(self, tempo, time):
+        self.tempo = tempo
+        self.time = time
+
+
+class _MTKMarker:
+    def __init__(self, text=None, time=None):
+        self.text = text
+        self.time = time
+
+
+class _MTKTimeSignature:
+    def __init__(self, numerator=4, denominator=4, time=0):
+        self.numerator = numerator
+        self.denominator = denominator
+        self.time = time
+
+
+class _MTKMidiFile:
+    def __init__(self, filename=None):
+        if filename is not None:
+            raise NotImplementedError(
+                "shim MidiFile is in-memory only (no parsing)")
+        self.ticks_per_beat = 480
+        self.max_tick = 0
+        self.instruments = []
+        self.tempo_changes = []
+        self.markers = []
+        self.time_signature_changes = []
+        self.key_signature_changes = []
+        self.lyrics = []
+
+    def dump(self, filename=None):  # tests inspect the object
+        pass
+
+
+def _module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def install_stubs():
+    """Idempotently install pretty_midi/miditoolkit/progress/tensorboardX/
+    torchvision stubs into sys.modules (none exist in this image)."""
+    if "pretty_midi" in _cache:
+        return
+    pm = _module("pretty_midi", PrettyMIDI=_PrettyMIDI, Note=_PMNote,
+                 Instrument=_PMInstrument)
+
+    containers = _module(
+        "miditoolkit.midi.containers", Note=_MTKNote,
+        Instrument=_MTKInstrument, TempoChange=_MTKTempoChange,
+        Marker=_MTKMarker, TimeSignature=_MTKTimeSignature)
+    parser = _module("miditoolkit.midi.parser", MidiFile=_MTKMidiFile)
+    midi = _module("miditoolkit.midi", containers=containers, parser=parser)
+
+    def _not_impl(*a, **k):
+        raise NotImplementedError("pianoroll helpers not stubbed")
+
+    pr_parser = _module("miditoolkit.pianoroll.parser",
+                        notes2pianoroll=_not_impl)
+    pr_utils = _module("miditoolkit.pianoroll.utils", tochroma=_not_impl)
+    pianoroll = _module("miditoolkit.pianoroll", parser=pr_parser,
+                        utils=pr_utils)
+    mtk = _module("miditoolkit", midi=midi, pianoroll=pianoroll)
+
+    class _Bar:
+        def __init__(self, *a, **k):
+            pass
+
+        def iter(self, it):
+            return it
+
+        def next(self):
+            pass
+
+        def finish(self):
+            pass
+
+    progress_bar = _module("progress.bar", Bar=_Bar)
+    progress = _module("progress", bar=progress_bar)
+
+    class _SummaryWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            pass
+
+    tbx = _module("tensorboardX", SummaryWriter=_SummaryWriter)
+    tv = _module("torchvision")
+
+    stubs = {
+        "pretty_midi": pm,
+        "miditoolkit": mtk,
+        "miditoolkit.midi": midi,
+        "miditoolkit.midi.containers": containers,
+        "miditoolkit.midi.parser": parser,
+        "miditoolkit.pianoroll": pianoroll,
+        "miditoolkit.pianoroll.parser": pr_parser,
+        "miditoolkit.pianoroll.utils": pr_utils,
+        "progress": progress,
+        "progress.bar": progress_bar,
+        "tensorboardX": tbx,
+        "torchvision": tv,
+    }
+    for name, mod in stubs.items():
+        sys.modules.setdefault(name, mod)
+    _cache["pretty_midi"] = pm
+    _cache["miditoolkit"] = mtk
+
+
+# --------------------------------------------------------------------------
+# isolated family imports
+# --------------------------------------------------------------------------
+
+def _import_isolated(path_dirs, module_names, cache_key):
+    """Import `module_names` with `path_dirs` prepended to sys.path,
+    then strip every module whose file lives under /root/reference back
+    out of sys.modules (flat names like 'utils' collide across reference
+    directories). Returns {name: module}, cached per cache_key."""
+    if cache_key in _cache:
+        return _cache[cache_key]
+    install_stubs()
+    before = set(sys.modules)
+    old_path = list(sys.path)
+    sys.path[:0] = path_dirs
+    try:
+        out = {}
+        for name in module_names:
+            out[name] = importlib.import_module(name)
+    finally:
+        sys.path[:] = old_path
+        for name in set(sys.modules) - before:
+            mod = sys.modules[name]
+            f = getattr(mod, "__file__", "") or ""
+            if f.startswith("/root/reference"):
+                del sys.modules[name]
+    _cache[cache_key] = out
+    return out
+
+
+def load_utils():
+    """mg/model/utils package: sequence (EventSeq/ControlSeq/NoteSeq),
+    REMI, MuMIDI as executing reference modules."""
+    mods = _import_isolated(
+        [REF_MODEL],
+        ["utils.sequence", "utils.REMI", "utils.MuMIDI"],
+        "ref_utils")
+    ns = types.SimpleNamespace(
+        sequence=mods["utils.sequence"],
+        REMI=mods["utils.REMI"],
+        MuMIDI=mods["utils.MuMIDI"],
+        pretty_midi=_cache["pretty_midi"],
+        miditoolkit=_cache["miditoolkit"],
+    )
+    return ns
+
+
+def load_music_transformer():
+    """MusicTransformer family: network, layers, criterion, utils —
+    imported with the MusicTransformer dir first on sys.path, so
+    'utils'/'config'/'sequence' resolve to ITS local copies."""
+    d = REF_MODEL + "/MusicTransformer"
+    mods = _import_isolated(
+        [d], ["layers", "criterion", "network", "utils"],
+        "ref_music_transformer")
+    return types.SimpleNamespace(
+        layers=mods["layers"], criterion=mods["criterion"],
+        network=mods["network"], utils=mods["utils"])
+
+
+def load_event_rnn():
+    mods = _import_isolated(
+        [REF_MODEL], ["Event_MelodyRNN.network"], "ref_event_rnn")
+    return mods["Event_MelodyRNN.network"]
+
+
+def load_performance_rnn():
+    mods = _import_isolated(
+        [REF_MODEL], ["PerformanceRNN.network"], "ref_performance_rnn")
+    return mods["PerformanceRNN.network"]
+
+
+def load_popmag():
+    mods = _import_isolated(
+        [REF_MODEL], ["PoPMAG_RNN.network"], "ref_popmag")
+    return mods["PoPMAG_RNN.network"]

@@ -4,8 +4,11 @@ Unlike tests/test_golden_tokens.py (a self-regression lock pinning this
 framework's own output), every expected array here was derived BY HAND
 from the reference algorithm at the cited lines of
 /root/reference/mg/..., with the step-by-step derivation written out in
-comments. The reference itself cannot execute in this image (torch /
-pretty_midi / miditoolkit absent), so these are the parity anchors.
+comments. The reference's torch code DOES execute in this image (torch
+2.13 CPU is present; pretty_midi/miditoolkit are stubbed) — the
+machine-verified parity anchors live in test_reference_executable.py,
+which runs the reference in-process on fuzzed inputs; these hand-worked
+cases remain as human-auditable documentation of the quirk semantics.
 
 Quirk coverage (SURVEY.md §7 hard-part 1):
 * midilike searchsorted side conventions + greedy time-shift float drops

@@ -1,0 +1,708 @@
+"""Weight-transplant and fuzzed parity against the EXECUTING reference.
+
+torch 2.13 (CPU) is present in this image, so the reference's own
+modules run in-process via tests/reference_shim.py (third-party MIDI
+libs stubbed with in-memory containers). These tests transplant
+parameters between our flax modules and the reference torch modules and
+assert numerical parity of logits/losses, plus fuzzed round-trip
+equality of the tokenizer decode paths — machine-verified, replacing
+hand-derived fixtures as the parity anchor.
+
+Reference files exercised (under /root/reference/mg/model/):
+  MusicTransformer/{network,layers,criterion}.py, utils/sequence.py,
+  utils/REMI.py, utils/MuMIDI.py, Event_MelodyRNN/network.py,
+  PerformanceRNN/network.py, PoPMAG_RNN/network.py.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from . import reference_shim as rs  # noqa: E402
+
+torch.manual_seed(0)
+
+
+def t2j(t):
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def _linear(tmod):
+    """torch Linear -> flax Dense param dict."""
+    return {"kernel": t2j(tmod.weight).T, "bias": t2j(tmod.bias)}
+
+
+# ==========================================================================
+# (i) MusicTransformer vs the reference Encoder/network
+# ==========================================================================
+
+def _ref_mt(vocab=309, d_model=128, layers=2, max_seq=64):
+    mt_mod = rs.load_music_transformer()
+    torch.manual_seed(42)
+    ref = mt_mod.network.MusicTransformer(
+        embedding_dim=d_model, vocab_size=vocab, num_layer=layers,
+        max_seq=max_seq, dropout=0.0)
+    ref.eval()
+    return mt_mod, ref
+
+
+def _transplant_mt(ref, vocab, d_model, layers, max_seq):
+    """torch MusicTransformer state -> our flax param tree."""
+    enc = ref.Decoder
+    params = {
+        "embedding": {"embedding": t2j(enc.embedding.weight)},
+        "fc": _linear(ref.fc),
+    }
+    for i, layer in enumerate(enc.enc_layers):
+        params[f"layer_{i}"] = {
+            "rga": {
+                "Wq": _linear(layer.rga.Wq),
+                "Wk": _linear(layer.rga.Wk),
+                "Wv": _linear(layer.rga.Wv),
+                "fc": _linear(layer.rga.fc),
+                "E": t2j(layer.rga.E),
+            },
+            "ffn_pre": _linear(layer.FFN_pre),
+            "ffn_suf": _linear(layer.FFN_suf),
+            "ln1": {"scale": t2j(layer.layernorm1.weight),
+                    "bias": t2j(layer.layernorm1.bias)},
+            "ln2": {"scale": t2j(layer.layernorm2.weight),
+                    "bias": t2j(layer.layernorm2.bias)},
+        }
+    return params
+
+
+def _our_mt(vocab=309, d_model=128, layers=2, max_seq=64):
+    from musicgeneration_tpu.models import MusicTransformer
+
+    return MusicTransformer(
+        vocab_size=vocab, num_layers=layers, d_model=d_model,
+        max_seq=max_seq, dropout_rate=0.0, attention_impl="xla")
+
+
+def test_music_transformer_logit_parity_full_seq():
+    """network.MusicTransformer.forward (layers.py:207-233 Encoder +
+    network.py:35-40 fc/mask) vs our model, same transplanted weights,
+    input with trailing pad tokens."""
+    vocab, d_model, layers, max_seq = 309, 128, 2, 64
+    mt_mod, ref = _ref_mt(vocab, d_model, layers, max_seq)
+    ours = _our_mt(vocab, d_model, layers, max_seq)
+    params = _transplant_mt(ref, vocab, d_model, layers, max_seq)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 308, size=(2, max_seq))
+    x[0, -5:] = 308  # pad tail (pad_token = vocab - 1 = 308)
+    xt = torch.from_numpy(x).to(torch.long)
+
+    with torch.no_grad():
+        ref_out = ref(xt)
+    ref_logits = ref_out[0].numpy() if isinstance(ref_out, tuple) else \
+        ref_out.numpy()
+
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref_logits, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("l,max_seq", [(16, 64), (48, 64), (64, 64),
+                                       (1, 64), (63, 64)])
+def test_music_transformer_skew_edge_cases(l, max_seq):
+    """Encoder at L < max_seq exercises _get_left_embedding's slice
+    (layers.py:110-114) and the skew pad-reshape (layers.py:116-125) off
+    the square case; compare Decoder+fc directly (the network-level
+    forward only supports L == max_seq because of its mask broadcast)."""
+    vocab, d_model, layers = 309, 128, 2
+    mt_mod, ref = _ref_mt(vocab, d_model, layers, max_seq)
+    ours = _our_mt(vocab, d_model, layers, max_seq)
+    params = _transplant_mt(ref, vocab, d_model, layers, max_seq)
+
+    rng = np.random.default_rng(l)
+    x = rng.integers(0, 308, size=(2, l))
+    xt = torch.from_numpy(x).to(torch.long)
+    _, _, mask = mt_mod.utils.get_masked_with_pad_tensor(
+        l, xt, xt, 308)
+    with torch.no_grad():
+        h, _ = ref.Decoder(xt, mask)
+        ref_logits = ref.fc(h).numpy()
+
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_music_transformer_loss_grad_parity():
+    """End-to-end train-step equivalence: same batch, same weights ->
+    same smoothed loss and same dL/dE gradient (criterion.py:28-67
+    against train/objective.py)."""
+    vocab, d_model, layers, max_seq = 309, 128, 2, 32
+    mt_mod, ref = _ref_mt(vocab, d_model, layers, max_seq)
+    ours = _our_mt(vocab, d_model, layers, max_seq)
+    params = _transplant_mt(ref, vocab, d_model, layers, max_seq)
+    from musicgeneration_tpu.train.objective import smooth_cross_entropy
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 308, size=(2, max_seq))
+    y = rng.integers(0, 308, size=(2, max_seq))
+    y[1, -7:] = 308
+    xt = torch.from_numpy(x).to(torch.long)
+    yt = torch.from_numpy(y).to(torch.long)
+
+    crit = mt_mod.criterion.SmoothCrossEntropyLoss(0.1, vocab,
+                                                   ignore_index=308)
+    ref.train()  # dropout=0.0 so train mode only changes forward's return
+    ref.zero_grad()
+    logits = ref(xt)
+    loss_t = crit(logits.reshape(-1, vocab), yt.reshape(-1))
+    loss_t.backward()
+    ref_ge = ref.Decoder.enc_layers[0].rga.E.grad.numpy()
+
+    def loss_fn(p):
+        lg = ours.apply({"params": p}, jnp.asarray(x))
+        return smooth_cross_entropy(lg, jnp.asarray(y), vocab,
+                                    label_smoothing=0.1, ignore_index=308)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads["layer_0"]["rga"]["E"]),
+                               ref_ge, rtol=2e-4, atol=2e-4)
+
+
+def test_smooth_ce_and_schedule_parity():
+    """SmoothCrossEntropyLoss + CustomSchedule (criterion.py:28-96) vs
+    train/objective.py + train/schedule.py on random data."""
+    mt_mod = rs.load_music_transformer()
+    from musicgeneration_tpu.train.objective import smooth_cross_entropy
+    from musicgeneration_tpu.train.schedule import noam_schedule
+
+    rng = np.random.default_rng(3)
+    for vocab, eps, n_pad in [(309, 0.1, 0), (309, 0.1, 13),
+                              (37, 0.0, 5), (37, 0.3, 0)]:
+        logits = rng.normal(size=(64, vocab)).astype(np.float32)
+        targets = rng.integers(0, vocab - 1, size=(64,))
+        if n_pad:
+            targets[-n_pad:] = vocab - 1
+        crit = mt_mod.criterion.SmoothCrossEntropyLoss(
+            eps, vocab, ignore_index=vocab - 1)
+        ref = float(crit(torch.from_numpy(logits),
+                         torch.from_numpy(targets)))
+        got = float(smooth_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(targets), vocab,
+            label_smoothing=eps, ignore_index=vocab - 1))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    sched_ref = mt_mod.criterion.CustomSchedule(256, warmup_steps=4000)
+    sched = noam_schedule(256, warmup_steps=4000)
+    for step in [1, 10, 100, 3999, 4000, 4001, 100000]:
+        np.testing.assert_allclose(float(sched(step)),
+                                   sched_ref.rate(step), rtol=1e-6)
+
+
+# ==========================================================================
+# (iii) GRU families: Event_MelodyRNN / PerformanceRNN
+# ==========================================================================
+
+def _gru_params(tgru, layers):
+    """torch nn.GRU -> our GRUStack param dict (same r,z,n gate order;
+    torch weights are [3H, in] -> transpose)."""
+    p = {}
+    for k in range(layers):
+        p[f"l{k}_w_ih"] = t2j(getattr(tgru, f"weight_ih_l{k}")).T
+        p[f"l{k}_w_hh"] = t2j(getattr(tgru, f"weight_hh_l{k}")).T
+        p[f"l{k}_b_ih"] = t2j(getattr(tgru, f"bias_ih_l{k}"))
+        p[f"l{k}_b_hh"] = t2j(getattr(tgru, f"bias_hh_l{k}"))
+    return p
+
+
+def test_event_melody_rnn_train_forward_parity():
+    """Event_Melody_RNN.Train -> SeqForward (Event_MelodyRNN/
+    network.py:63-116) vs our EventMelodyRNN.__call__, transplanted."""
+    er = rs.load_event_rnn()
+    from musicgeneration_tpu.models.event_rnn import EventMelodyRNN
+
+    dims = dict(init_dim=8, event_dim=40, hidden_dim=32, rnn_layers=3)
+    torch.manual_seed(1)
+    ref = er.Event_Melody_RNN(dropout=0.0, **dims)
+    ref.eval()
+
+    params = {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "gru": _gru_params(ref.rnn, dims["rnn_layers"]),
+        "output_fc": _linear(ref.output_fc),
+    }
+    ours = EventMelodyRNN(event_dim=40, init_dim=8, hidden_dim=32,
+                          num_layers=3, dropout_rate=0.0)
+
+    # B=1: the reference's init_to_hidden does out.view(L, B, H) on a
+    # [B, L*H] tensor — a flat reinterpret that SCRAMBLES batch elements
+    # for B>1 (see test_init_to_hidden_view_quirk); at B=1 it coincides
+    # with the correct per-element mapping our models use.
+    rng = np.random.default_rng(11)
+    init = rng.normal(size=(1, 8)).astype(np.float32)
+    events = rng.integers(0, 40, size=(17, 1))
+    with torch.no_grad():
+        ref_out = ref.Train(torch.from_numpy(init),
+                            torch.from_numpy(events).to(torch.long))
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(init),
+                                jnp.asarray(events)))
+    np.testing.assert_allclose(got, ref_out.numpy(), rtol=2e-5, atol=2e-5)
+
+
+def test_event_melody_rnn_packed_lengths_parity():
+    """SeqForward's pack_padded_sequence path (network.py:71-77) vs our
+    masked-carry lengths= semantics; compare only valid rows."""
+    er = rs.load_event_rnn()
+    from musicgeneration_tpu.models.event_rnn import EventMelodyRNN
+
+    torch.manual_seed(2)
+    ref = er.Event_Melody_RNN(init_dim=8, event_dim=40, hidden_dim=32,
+                              rnn_layers=2, dropout=0.0)
+    ref.eval()
+    params = {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "gru": _gru_params(ref.rnn, 2),
+        "output_fc": _linear(ref.output_fc),
+    }
+    ours = EventMelodyRNN(event_dim=40, init_dim=8, hidden_dim=32,
+                          num_layers=2, dropout_rate=0.0)
+
+    rng = np.random.default_rng(12)
+    t_len, b = 12, 4
+    lengths = np.array([12, 9, 7, 3])
+    init = rng.normal(size=(b, 8)).astype(np.float32)
+    events = rng.integers(0, 40, size=(t_len, b))
+    with torch.no_grad():
+        # reference packs batch-first lengths over a time-major tensor
+        # (SeqForward passes batch_first=True on [T, B, E] input, so its
+        # "batch" axis is our time axis): feed it transposed, get
+        # [B, T, V] out, transpose back
+        emb = ref.event_embedding(torch.from_numpy(events).to(torch.long))
+        hidden = ref.init_to_hidden(torch.from_numpy(init))
+        one, hidden = ref.gen_forward(
+            ref.get_primary_event(b), hidden)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            emb.permute(1, 0, 2), lengths, batch_first=True,
+            enforce_sorted=False)
+        out, _ = ref.rnn(packed, hidden)
+        out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True)
+        ref_rows = ref.output_fc(out).permute(1, 0, 2).numpy()
+
+    # drive our GRU stack directly (the packed path is a GRUStack
+    # feature); h0 uses the reference's FLAT view(L, B, H) reinterpret
+    # so both sides start identical at B>1 (init_to_hidden view quirk)
+    from musicgeneration_tpu.ops.gru import GRUStack
+    gru = GRUStack(32, 2, 0.0)
+    emb_j = np.asarray(t2j(emb))
+    flat = np.tanh(init @ np.asarray(params["inithid_fc"]["kernel"])
+                   + np.asarray(params["inithid_fc"]["bias"]))
+    h0 = flat.reshape(-1).reshape(2, b, 32)
+    np.testing.assert_allclose(
+        h0, ref.init_to_hidden(torch.from_numpy(init)).detach().numpy(),
+        rtol=1e-5, atol=1e-6)
+    # primary step first (hidden after gen_forward)
+    prim = np.full((1, b), 39)
+    prim_emb = np.asarray(
+        t2j(ref.event_embedding(torch.from_numpy(prim).to(torch.long))))
+    _, h1 = gru.apply({"params": params["gru"]},
+                      jnp.asarray(prim_emb), jnp.asarray(h0))
+    outs, _ = gru.apply({"params": params["gru"]}, jnp.asarray(emb_j),
+                        h1, lengths=jnp.asarray(lengths))
+    got_rows = np.asarray(
+        ours.apply({"params": params}, outs, method=lambda m, o:
+                   m.output_fc(o)))
+    for bi in range(b):
+        L = lengths[bi]
+        np.testing.assert_allclose(got_rows[:L, bi], ref_rows[:L, bi],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_performance_rnn_teacher_forced_parity():
+    """PerformanceRNN.generate with teacher_forcing_ratio=1, greedy=1,
+    output_type='logit' (network.py:106-154) vs our training forward —
+    with and without controls."""
+    pr = rs.load_performance_rnn()
+    from musicgeneration_tpu.models.performance_rnn import PerformanceRNN
+
+    dims = dict(event_dim=40, control_dim=6, init_dim=8, hidden_dim=32,
+                gru_layers=3)
+    torch.manual_seed(3)
+    ref = pr.PerformanceRNN(gru_dropout=0.0, **dims)
+    ref.eval()
+    params = {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "concat_input_fc": _linear(ref.concat_input_fc),
+        "gru": _gru_params(ref.gru, 3),
+        "output_fc": _linear(ref.output_fc),
+    }
+    ours = PerformanceRNN(event_dim=40, control_dim=6, init_dim=8,
+                          hidden_dim=32, num_layers=3, dropout_rate=0.0)
+
+    rng = np.random.default_rng(13)
+    steps, b = 15, 1  # B=1: init_to_hidden view quirk (see above)
+    init = rng.normal(size=(b, 8)).astype(np.float32)
+    events = rng.integers(0, 40, size=(steps, b))
+    controls = rng.random(size=(steps, b, 6)).astype(np.float32)
+
+    for ctrl in (None, controls):
+        np.random.seed(0)  # reference uses np.random for its tf coin
+        with torch.no_grad():
+            ref_out = ref.generate(
+                torch.from_numpy(init), steps,
+                events=torch.from_numpy(events).to(torch.long),
+                controls=(None if ctrl is None
+                          else torch.from_numpy(ctrl)),
+                greedy=1.0, temperature=1.0, teacher_forcing_ratio=1.0,
+                output_type="logit")
+        got = np.asarray(ours.apply(
+            {"params": params}, jnp.asarray(init), jnp.asarray(events),
+            None if ctrl is None else jnp.asarray(ctrl)))
+        np.testing.assert_allclose(got, ref_out.numpy(),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_init_to_hidden_view_quirk_documented():
+    """The reference's init_to_hidden does out.view(rnn_layers, B, H) on
+    a [B, layers*H] tensor (Event_MelodyRNN/network.py:98-104,
+    PerformanceRNN/network.py:89-95): a flat C-order reinterpret that
+    MIXES batch elements for B > 1 (element (l, b) reads from batch row
+    (l*B*H + b*H)//(L*H) of the fc output). Our models deliberately use
+    the per-element reshape(B, L, H).transpose instead — a documented
+    intentional fix, not an accidental deviation. This test machine-pins
+    both facts so the divergence can't drift silently."""
+    er = rs.load_event_rnn()
+    from musicgeneration_tpu.models.event_rnn import EventMelodyRNN
+
+    torch.manual_seed(5)
+    L, H, B = 3, 32, 4
+    ref = er.Event_Melody_RNN(init_dim=8, event_dim=40, hidden_dim=H,
+                              rnn_layers=L, dropout=0.0)
+    ref.eval()
+    params = {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "gru": _gru_params(ref.rnn, L),
+        "output_fc": _linear(ref.output_fc),
+    }
+    ours = EventMelodyRNN(event_dim=40, init_dim=8, hidden_dim=H,
+                          num_layers=L, dropout_rate=0.0)
+    init = np.random.default_rng(6).normal(size=(B, 8)).astype(np.float32)
+    flat = np.tanh(init @ np.asarray(params["inithid_fc"]["kernel"])
+                   + np.asarray(params["inithid_fc"]["bias"]))
+    ref_h = ref.init_to_hidden(torch.from_numpy(init)).detach().numpy()
+    our_h = np.asarray(ours.apply({"params": params}, jnp.asarray(init),
+                                  method=ours.init_to_hidden))
+    # reference = flat reinterpret (batch-scrambling)
+    np.testing.assert_allclose(ref_h, flat.reshape(-1).reshape(L, B, H),
+                               rtol=1e-5, atol=1e-6)
+    # ours = per-element mapping; each batch row depends only on itself
+    np.testing.assert_allclose(
+        our_h, flat.reshape(B, L, H).transpose(1, 0, 2),
+        rtol=1e-5, atol=1e-6)
+    assert not np.allclose(ref_h, our_h), \
+        "quirk disappeared — reference init_to_hidden changed?"
+
+
+# ==========================================================================
+# (iv) PoPMAG compound embedding + Train forward
+# ==========================================================================
+
+def test_popmag_compound_embed_and_train_parity():
+    """PoPMAG_RNN.compression (network.py:141-149) and Train
+    (network.py:323-363: per-bar enc/dec GRUs, carried
+    hidden = enc_hidden + dec_hidden) vs our PoPMAGRNN.__call__.
+
+    The reference softmaxes each head inside final_predict
+    (network.py:303-319) while we emit raw logits (its double-softmax
+    training bug, fixed on our side) — so parity is asserted on our
+    softmax(head logits) vs the reference's head probabilities, over
+    valid (t < bar length) slots and each head's true width."""
+    pg = rs.load_popmag()
+    from musicgeneration_tpu.data import mumidi_packing as mp
+    from musicgeneration_tpu.models.popmag import PoPMAGRNN
+
+    L, H, E, BARD = 2, 16, 16, 188
+    torch.manual_seed(9)
+    ref = pg.PoPMAG_RNN(init_dim=8, event_dim=485, hidden_dim=H,
+                        bar_dim=BARD, embed_dim=E, rnn_layers=L,
+                        dropout=0.0)
+    ref.eval()
+    assert list(ref.out_len) == list(mp.OUT_LEN)
+    assert ref.mx_dim == mp.MX_DIM
+
+    params = {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "encoder": _gru_params(ref.encoder, L),
+        "decoder": _gru_params(ref.decoder, L),
+        "head_type": _linear(ref.output_fc[0]),
+        "head_pitch": _linear(ref.output_fc[1]),
+        "head_duration": _linear(ref.output_fc[2]),
+    }
+    ours = PoPMAGRNN(event_dim=485, bar_dim=BARD, init_dim=8,
+                     embed_dim=E, hidden_dim=H, num_layers=L,
+                     dropout_rate=0.0)
+
+    rng = np.random.default_rng(21)
+    b, bars, s_len, t_len = 1, 3, 6, 5  # B=1: init_to_hidden view quirk
+    src = rng.integers(0, 485 + BARD, size=(b, bars, s_len, 7))
+    tar = rng.integers(0, 485 + BARD, size=(b, bars, t_len, 7))
+    src_len = rng.integers(1, s_len + 1, size=(b, bars))
+    tar_len = rng.integers(1, t_len + 1, size=(b, bars))
+    init = rng.normal(size=(b, 8)).astype(np.float32)
+
+    # compression parity first
+    with torch.no_grad():
+        comp_ref = ref.compression(torch.from_numpy(src).to(torch.long))
+    comp_ours = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(src), method=ours.compression))
+    np.testing.assert_allclose(comp_ours, comp_ref.numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+    with torch.no_grad():
+        comp_tar = ref.compression(torch.from_numpy(tar).to(torch.long))
+        ref_out = ref.Train(
+            torch.from_numpy(init), comp_ref,
+            torch.from_numpy(src_len), comp_tar,
+            torch.from_numpy(tar_len)).numpy()
+
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(init), jnp.asarray(src),
+        jnp.asarray(src_len), jnp.asarray(tar), jnp.asarray(tar_len)))
+
+    for bi in range(b):
+        for k in range(bars):
+            n = tar_len[bi, k]
+            for head, width in enumerate(mp.OUT_LEN):
+                ref_p = ref_out[bi, k, :n, head, :width]
+                our_p = np.asarray(jax.nn.softmax(
+                    jnp.asarray(got[bi, k, :n, head, :width]), axis=-1))
+                np.testing.assert_allclose(our_p, ref_p,
+                                           rtol=2e-5, atol=2e-5)
+
+
+# ==========================================================================
+# (v) Fuzzed tokenizer decode parity (from_array -> to_note_seq /
+#     write_midi) against the executing reference
+# ==========================================================================
+
+def _note_tuples_ref(note_seq):
+    return [(n.velocity, n.pitch, n.start, n.end)
+            for n in note_seq.notes]
+
+
+def _note_tuples_ours(note_seq):
+    return [(n.velocity, n.pitch, n.start, n.end)
+            for n in note_seq.notes]
+
+
+def test_eventseq_from_array_to_note_seq_fuzz():
+    """EventSeq.from_array -> to_note_seq (utils/sequence.py:185-198,
+    243-281) on random token arrays: note-for-note equality."""
+    ref = rs.load_utils().sequence
+    from musicgeneration_tpu.tokenizers import midilike
+
+    rng = np.random.default_rng(31)
+    for trial in range(20):
+        ids = rng.integers(0, 308, size=rng.integers(10, 400))
+        ref_notes = _note_tuples_ref(
+            ref.EventSeq.from_array(ids).to_note_seq())
+        our_notes = _note_tuples_ours(
+            midilike.EventSeq.from_array(ids).to_note_seq())
+        assert len(ref_notes) == len(our_notes), f"trial {trial}"
+        for (rv, rp, rs_, re_), (ov, op, os_, oe_) in zip(ref_notes,
+                                                          our_notes):
+            assert (rv, rp) == (ov, op), f"trial {trial}"
+            np.testing.assert_allclose([os_, oe_], [rs_, re_],
+                                       rtol=0, atol=1e-9)
+
+
+def test_eventseq_from_note_seq_fuzz():
+    """EventSeq.from_note_seq emission (utils/sequence.py:145-183) on
+    random note lists: byte-equal token arrays."""
+    ref = rs.load_utils()
+    from musicgeneration_tpu.midi.containers import Note as OurNote
+    from musicgeneration_tpu.tokenizers import midilike
+
+    rng = np.random.default_rng(32)
+    for trial in range(20):
+        n = int(rng.integers(5, 120))
+        pitches = rng.integers(10, 120, size=n)     # incl. out-of-range
+        vels = rng.integers(0, 128, size=n)
+        starts = np.round(rng.random(size=n) * 20, 4)
+        durs = np.round(rng.random(size=n) * 3 + 0.01, 4)
+        ref_notes = [ref.pretty_midi.Note(int(v), int(p), float(s),
+                                          float(s + d))
+                     for v, p, s, d in zip(vels, pitches, starts, durs)]
+        our_notes = [OurNote(velocity=int(v), pitch=int(p),
+                             start=float(s), end=float(s + d))
+                     for v, p, s, d in zip(vels, pitches, starts, durs)]
+        ref_arr = ref.sequence.EventSeq.from_note_seq(
+            ref.sequence.NoteSeq(ref_notes)).to_array()
+        our_arr = midilike.EventSeq.from_note_seq(
+            midilike.NoteSeq(our_notes)).to_array()
+        np.testing.assert_array_equal(our_arr, ref_arr, err_msg=f"t{trial}")
+
+
+def test_controlseq_compressed_fuzz():
+    """ControlSeq.from_event_seq + to_compressed_array
+    (utils/sequence.py:294-407) vs our vectorized compressed_from_ids:
+    byte-equal compressed control arrays."""
+    ref = rs.load_utils().sequence
+    from musicgeneration_tpu.tokenizers import midilike
+
+    rng = np.random.default_rng(33)
+    for trial in range(10):
+        ids = rng.integers(0, 308, size=rng.integers(20, 500))
+        ref_arr = ref.ControlSeq.from_event_seq(
+            ref.EventSeq.from_array(ids)).to_compressed_array()
+        our_arr = midilike.ControlSeq.compressed_from_ids(ids)
+        np.testing.assert_array_equal(our_arr, ref_arr,
+                                      err_msg=f"trial {trial}")
+
+
+def _mtk_midi_tuples(midi):
+    """(notes-by-instrument, tempos, markers, tpb) from either a stubbed
+    miditoolkit MidiFile or our MidiFile."""
+    insts = [((i.program, bool(i.is_drum), getattr(i, "name", "") or ""),
+              sorted((int(n.start), int(n.end), int(n.pitch),
+                      int(n.velocity)) for n in i.notes))
+             for i in midi.instruments]
+    tempos = [(int(t.time), float(t.tempo)) for t in midi.tempo_changes]
+    markers = [(int(m.time), str(m.text)) for m in midi.markers]
+    return insts, tempos, markers, midi.ticks_per_beat
+
+
+def test_remi_write_midi_fuzz(tmp_path):
+    """REMI from_array -> write_midi (utils/REMI.py:523-674) vs ours on
+    random and structured token arrays: identical reconstructed notes,
+    tempo changes and chord markers."""
+    ref = rs.load_utils().REMI
+    from musicgeneration_tpu.tokenizers import remi
+
+    dim = remi.REMI_EventSeq.dim()
+    assert ref.REMI_EventSeq.dim() == dim
+    fr = remi.REMI_EventSeq.feat_ranges()
+    rng = np.random.default_rng(34)
+
+    def structured(n_bars):
+        toks = []
+        for _ in range(n_bars):
+            toks.append(fr["bar"].start)
+            # tempo at position 0
+            toks += [fr["position"].start,
+                     int(rng.integers(fr["tempo_class"].start,
+                                      fr["tempo_class"].stop)),
+                     int(rng.integers(fr["tempo_value"].start,
+                                      fr["tempo_value"].stop))]
+            if rng.random() < 0.7:  # chord
+                toks += [int(rng.integers(fr["position"].start,
+                                          fr["position"].stop)),
+                         int(rng.integers(fr["chord"].start,
+                                          fr["chord"].stop))]
+            for _ in range(int(rng.integers(1, 6))):  # notes
+                toks += [int(rng.integers(fr["position"].start,
+                                          fr["position"].stop)),
+                         int(rng.integers(fr["note_velocity"].start,
+                                          fr["note_velocity"].stop)),
+                         int(rng.integers(fr["note_on"].start,
+                                          fr["note_on"].stop)),
+                         int(rng.integers(fr["note_duration"].start,
+                                          fr["note_duration"].stop))]
+        return np.array(toks)
+
+    cases = [rng.integers(0, dim, size=rng.integers(8, 200))
+             for _ in range(8)]
+    cases += [structured(int(rng.integers(1, 5))) for _ in range(8)]
+
+    for trial, ids in enumerate(cases):
+        ref_midi = ref.REMI_EventSeq.write_midi(
+            ref.REMI_EventSeq.from_array(ids), str(tmp_path / "r.mid"))
+        our_midi = remi.REMI_EventSeq.write_midi(
+            remi.REMI_EventSeq.from_array(ids), str(tmp_path / "o.mid"))
+        ri, rt, rm, rtpb = _mtk_midi_tuples(ref_midi)
+        oi, ot, om, otpb = _mtk_midi_tuples(our_midi)
+        assert otpb == rtpb
+        assert [x[1] for x in oi] == [x[1] for x in ri], f"trial {trial}"
+        assert ot == rt, f"trial {trial}"
+        assert om == rm, f"trial {trial}"
+
+
+def test_mumidi_write_midi_fuzz(tmp_path):
+    """MuMIDI from_array -> write_midi (utils/MuMIDI.py:559-704) vs ours:
+    identical per-track reconstructed notes/programs, tempos, markers."""
+    ref = rs.load_utils().MuMIDI
+    from musicgeneration_tpu.tokenizers import mumidi
+
+    dim = mumidi.MuMIDI_EventSeq.dim()
+    assert ref.MuMIDI_EventSeq.dim() == dim
+    fr = mumidi.MuMIDI_EventSeq.feat_ranges()
+    rng = np.random.default_rng(35)
+    track_range = fr["track"]  # one range, one id per track role
+
+    def structured(n_bars):
+        toks = []
+        for _ in range(n_bars):
+            toks.append(fr["bar"].start)
+            toks += [fr["position"].start,
+                     int(rng.integers(fr["tempo_class"].start,
+                                      fr["tempo_class"].stop)),
+                     int(rng.integers(fr["tempo_value"].start,
+                                      fr["tempo_value"].stop))]
+            if rng.random() < 0.6:
+                toks += [int(rng.integers(fr["position"].start,
+                                          fr["position"].stop)),
+                         int(rng.integers(fr["chord"].start,
+                                          fr["chord"].stop))]
+            for _ in range(int(rng.integers(1, 5))):
+                toks.append(int(rng.integers(fr["position"].start,
+                                             fr["position"].stop)))
+                toks.append(int(rng.integers(track_range.start,
+                                             track_range.stop)))
+                for _ in range(int(rng.integers(1, 4))):
+                    toks += [int(rng.integers(fr["note_velocity"].start,
+                                              fr["note_velocity"].stop)),
+                             int(rng.integers(fr["note_on"].start,
+                                              fr["note_on"].stop)),
+                             int(rng.integers(
+                                 fr["note_duration"].start,
+                                 fr["note_duration"].stop))]
+        return np.array(toks)
+
+    cases = [rng.integers(0, dim, size=rng.integers(8, 200))
+             for _ in range(8)]
+    cases += [structured(int(rng.integers(1, 4))) for _ in range(8)]
+
+    for trial, ids in enumerate(cases):
+        ref_events = ref.MuMIDI_EventSeq.from_array(ids)
+        ref_midi = ref.MuMIDI_EventSeq.write_midi(
+            ref_events, str(tmp_path / "r.mid"))
+        our_midi = mumidi.MuMIDI_EventSeq.write_midi(
+            mumidi.MuMIDI_EventSeq.from_array(ids), str(tmp_path / "o.mid"))
+        ri, rt, rm, rtpb = _mtk_midi_tuples(ref_midi)
+        oi, ot, om, otpb = _mtk_midi_tuples(our_midi)
+        assert otpb == rtpb
+        assert ot == rt, f"trial {trial}"
+        assert om == rm, f"trial {trial}"
+        # KNOWN REFERENCE BUG, machine-pinned: its to_event names track
+        # tokens 'melody'/'piano'/... (MuMIDI.py:395-399) while its
+        # write_midi matches startswith('track') (MuMIDI.py:593), so the
+        # from_array path drops EVERY note. Our to_event emits the
+        # 'track_*' names the writer expects (the extraction path's
+        # naming) — an intentional fix, not a divergence.
+        assert ri == [], f"trial {trial}: reference quirk disappeared?"
+        # note-assembly parity: rename the reference events to the
+        # extraction-path names and re-run its writer -> full equality
+        for ev in ref_events:
+            if ev.name in ref.DEFAULT_TRACKS:
+                ev.name = "track_" + ev.name
+        ref_midi2 = ref.MuMIDI_EventSeq.write_midi(
+            ref_events, str(tmp_path / "r2.mid"))
+        ri2, rt2, rm2, _ = _mtk_midi_tuples(ref_midi2)
+        assert sorted(ri2) == sorted(oi), f"trial {trial}"
+        assert rt2 == ot and rm2 == om, f"trial {trial}"
