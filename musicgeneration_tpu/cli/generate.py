@@ -173,6 +173,11 @@ def main(argv=None) -> int:
                         "N>1 writes <stem>-000.mid ... like the "
                         "reference's per-batch outputs "
                         "(PerformanceRNN/generate.py:190-196)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard the batch over N devices (data-parallel "
+                        "decode on a ('data',...) mesh; --batch must be "
+                        "divisible by N; greedy output is identical to "
+                        "--dp 1, sampled runs use per-shard rng streams)")
     args = p.parse_args(argv)
 
     import jax
@@ -306,9 +311,27 @@ def main(argv=None) -> int:
             max_len = min(max(cfg.seq_len, max_len), model.max_seq)
         dp = DecodeParams(max_len=max_len, steps=args.steps,
                           sampling=sampling)
-        outs = np.asarray(generate(model, params, prompt,
-                                   jax.random.PRNGKey(args.seed), dp,
-                                   controls, cache0, prompt_len))
+        if args.dp > 1:
+            # batch-sharded decode over the 'data' mesh axis
+            # (decode/engine.py generate_dp)
+            from ..decode.engine import generate_dp
+            from ..parallel.mesh import make_mesh
+
+            if nb % args.dp:
+                raise SystemExit(f"--batch {nb} not divisible by "
+                                 f"--dp {args.dp}")
+            if len(jax.devices()) < args.dp:
+                raise SystemExit(f"--dp {args.dp} needs {args.dp} "
+                                 f"devices, have {len(jax.devices())}")
+            mesh = make_mesh(dp=args.dp, tp=1, sp=1,
+                             devices=jax.devices()[:args.dp])
+            outs = np.asarray(generate_dp(
+                model, params, prompt, jax.random.PRNGKey(args.seed),
+                dp, mesh, controls, cache0, prompt_len))
+        else:
+            outs = np.asarray(generate(model, params, prompt,
+                                       jax.random.PRNGKey(args.seed), dp,
+                                       controls, cache0, prompt_len))
         if nb > 1:
             import os as _os
             stem, ext = _os.path.splitext(args.output)

@@ -165,18 +165,20 @@ def generate(
     if (dp.use_loop_kernel and controls is None and cache0 is None
             and hasattr(model, "decode_loop")
             and getattr(model, "_decode_fused", lambda: False)()
-            and sp.top_k == 0 and sp.top_p >= 1.0
             # the on-core PRNG has no interpret-mode lowering: off-TPU
             # (tests force decode_impl="fused") only greedy is eligible
             and (sp.greedy or jax.default_backend() == "tpu")):
         # whole-generation megakernel (ops/pallas_decode_loop.py): all
         # `steps` tokens in one kernel call, weights VMEM-resident.
-        # Temperature sampling uses the on-core PRNG (same categorical
-        # distribution as jax.random.categorical, different stream);
-        # greedy is token-identical to the scan path.
+        # Stochastic sampling (temperature / top-k / nucleus — the
+        # masking runs on-core with exact XLA-sampler set semantics)
+        # uses the on-core PRNG: same categorical distribution as
+        # jax.random.categorical, different stream; greedy is
+        # token-identical to the scan path.
         tokens, _ = model.apply(
             {"params": params}, last_logits, t, rng, cache, dp.steps,
-            sp.temperature, sp.greedy, method=model.decode_loop)
+            sp.temperature, sp.greedy, sp.top_k, sp.top_p,
+            method=model.decode_loop)
         return tokens
 
     def body(carry, inp):
@@ -195,6 +197,81 @@ def generate(
     xs = rngs if controls is None else (rngs, ctrl_gen)
     _, tokens = jax.lax.scan(body, (cache, t, last_logits), xs)
     return tokens.T  # [B, steps]
+
+
+@functools.lru_cache(maxsize=32)
+def _dp_generate_fn(model, decode_params, mesh, ctrl_ndim: int,
+                    cache_struct, has_prompt_len: bool):
+    """Build (and cache) the jitted shard-mapped decode program for one
+    (model, decode config, mesh, argument-shape signature)."""
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(params, prompt, rng, controls, cache0, prompt_len):
+        # independent stream per shard: distributions match the
+        # single-device sampler, token sequences don't (greedy runs
+        # ignore rng entirely and ARE token-identical)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        return generate(model, params, prompt, rng, decode_params,
+                        controls, cache0, prompt_len)
+
+    # controls are [S, B, C] (batch axis 1); caches shard their batch
+    # axis: [L, B, H] hidden stacks at axis 1 (RNN cache0)
+    ctrl_spec = (None if ctrl_ndim == 0
+                 else P(*([None, "data"] + [None] * (ctrl_ndim - 2))))
+    if cache_struct is None:
+        cache_spec = None
+    else:
+        cache_spec = jax.tree.unflatten(
+            cache_struct[0],
+            [P(*([None, "data"] + [None] * (nd - 2)))
+             for nd in cache_struct[1]])
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P(), ctrl_spec, cache_spec,
+                  None if not has_prompt_len else P()),
+        out_specs=P("data"),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def generate_dp(model, params, prompt, rng, decode_params: DecodeParams,
+                mesh, controls=None, cache0=None, prompt_len=None):
+    """Data-parallel batched decode over the mesh's 'data' axis.
+
+    The serving-side counterpart of the trainer's dp axis (SURVEY.md §5
+    distributed row; the reference's only analogue is the dormant
+    DataParallel in MusicTransformer/parallel.py:69-98): batch rows are
+    sharded over 'data', params replicated, and every shard runs the
+    same compiled KV-cached decode scan (fused Pallas kernels included —
+    shard_map hands each device its own B/dp-row kernel invocation).
+    There are no collectives in the decode loop, so throughput scales
+    linearly with the axis size.
+
+    Greedy decoding is token-identical to the single-device engine;
+    sampled runs fold the shard index into the rng (independent streams,
+    same distribution). Requires batch % mesh.shape['data'] == 0.
+    """
+    n_data = mesh.shape["data"]
+    if prompt.shape[0] % n_data:
+        raise ValueError(
+            f"batch {prompt.shape[0]} not divisible by the data axis "
+            f"({n_data})")
+    if cache0 is None:
+        cache_struct = None
+    else:
+        leaves, treedef = jax.tree.flatten(cache0)
+        cache_struct = (treedef, tuple(x.ndim for x in leaves))
+    fn = _dp_generate_fn(
+        model, decode_params, mesh,
+        0 if controls is None else controls.ndim, cache_struct,
+        prompt_len is not None)
+    args = [params, prompt, rng]
+    args.append(controls)
+    args.append(cache0)
+    args.append(prompt_len)
+    # shard_map requires every operand present; None operands were baked
+    # into the traced structure via their specs
+    return fn(*[a for a in args])
 
 
 def generate_events(model, params, prompt_ids, rng, steps: int,

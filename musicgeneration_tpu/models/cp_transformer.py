@@ -95,6 +95,7 @@ class CPTransformer(nn.Module):
                 return False
             from ..ops.pallas_decode import (
                 decode_grid_vmem_bytes,
+                decode_stream_vmem_bytes,
                 decode_vmem_bytes,
             )
             est = decode_vmem_bytes(self.num_layers, self.d_model,
@@ -102,8 +103,14 @@ class CPTransformer(nn.Module):
                                     64)
             if est < 10 * 1024 * 1024:
                 return True
-            return decode_grid_vmem_bytes(
-                self.d_model, self.max_seq, 64) < 13 * 1024 * 1024
+            if decode_grid_vmem_bytes(
+                    self.d_model, self.max_seq, 64) < 13 * 1024 * 1024:
+                return True
+            # d_model >= 1024: weight-streaming grid kernel
+            return (self.d_model % 128 == 0
+                    and decode_stream_vmem_bytes(
+                        self.d_model, self.max_seq, 64)
+                    < 14 * 1024 * 1024)
         return impl == "fused"
 
     def init_cache(self, batch: int, cache_len: int) -> Cache:

@@ -265,16 +265,25 @@ class MusicTransformer(nn.Module):
                 return False
             from ..ops.pallas_decode import (
                 decode_grid_vmem_bytes,
+                decode_stream_vmem_bytes,
                 decode_vmem_bytes,
             )
             est = decode_vmem_bytes(self.num_layers, self.d_model,
                                     self.vocab_size, self.max_seq, 64)
             if est < 10 * 1024 * 1024:  # stacked weights fit VMEM
                 return True
-            # layer-grid variant streams per-layer weight blocks
-            # (d_model=512 fits; 1024 falls back to the XLA path)
-            return decode_grid_vmem_bytes(
-                self.d_model, self.max_seq, 64) < 13 * 1024 * 1024
+            # layer-grid variant pipelines per-layer weight blocks
+            # (d_model=512); past that the STREAMING grid variant pulls
+            # weight column tiles from HBM (d_model>=1024) — the kernel
+            # itself picks the cheapest fitting mode, this gate only
+            # answers "is any fused mode viable"
+            if decode_grid_vmem_bytes(
+                    self.d_model, self.max_seq, 64) < 13 * 1024 * 1024:
+                return True
+            return (self.d_model % 128 == 0
+                    and decode_stream_vmem_bytes(
+                        self.d_model, self.max_seq, 64)
+                    < 14 * 1024 * 1024)
         return impl == "fused"
 
     def init_cache(self, batch: int, cache_len: int) -> Cache:
@@ -318,6 +327,7 @@ class MusicTransformer(nn.Module):
     def decode_loop(self, last_logits: jnp.ndarray, t: jnp.ndarray,
                     rng, cache: Cache, steps: int,
                     temperature: float = 1.0, greedy: bool = False,
+                    top_k: int = 0, top_p: float = 1.0,
                     chunk: int = 32):
         """Generate `steps` tokens in ceil(steps/chunk) Pallas
         megakernel launches (ops/pallas_decode_loop.py): each launch
@@ -356,6 +366,7 @@ class MusicTransformer(nn.Module):
                 logits, t, seed, embed, pos, e_all, w_all, fc_w, fc_b,
                 k_all, v_all, self.num_heads, c,
                 temperature=temperature, greedy=greedy,
+                top_k=top_k, top_p=top_p,
                 interpret=interpret)
             k_all = jax.lax.dynamic_update_slice(
                 k_all, ck.astype(k_all.dtype), (0, 0, t, 0))

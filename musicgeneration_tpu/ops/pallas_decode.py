@@ -63,7 +63,7 @@ def _layer_step(x, li, t, n_live, e_ref,
                 num_heads: int, block_k: int, max_seq: int, eps: float,
                 io_dtype, hbm_limit=None,
                 chunk=None, warmup: bool = True, prefetch_li=None,
-                bias_li=None, cache_li=None):
+                bias_li=None, cache_li=None, mm=None):
     """One EncoderLayer decode step inside a kernel: qkv projections,
     live-prefix KV streaming with the analytic current-token term,
     output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
@@ -80,7 +80,11 @@ def _layer_step(x, li, t, n_live, e_ref,
     tables and the KV caches — the layer-GRID kernel blocks the big
     weight matrices per layer (li=0 within the block) while biases
     ride full (f32, indexed by program_id) and caches stay whole in
-    HBM. Default to `li` (the resident kernels)."""
+    HBM. Default to `li` (the resident kernels).
+    mm: optional matmul hook (inp_f32, w_ref, li) -> [B, out] f32 —
+    the STREAMING kernel (d_model >= 1024) passes HBM weight refs and
+    an mm that manual-DMAs column tiles through a shared double
+    buffer; default reads the (VMEM) ref at [li]."""
     if hbm_limit is None:
         hbm_limit = t
     if bias_li is None:
@@ -96,17 +100,22 @@ def _layer_step(x, li, t, n_live, e_ref,
         var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
         return (y - mu) * jax.lax.rsqrt(var + eps) * s + bias
 
+    if mm is None:
+        def mm(inp, w_ref, li_):
+            return jax.lax.dot_general(
+                inp, w_ref[li_].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
     if True:  # body kept at the original indentation for a clean diff
-        def proj(w, bias):
-            y = jax.lax.dot_general(
-                x, w.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + bias
+        def proj(w_ref_, bias):
+            y = mm(x, w_ref_, li) + bias
             # the XLA path's Dense emits the model dtype here
             return y.astype(io_dtype).astype(jnp.float32)
 
-        q = proj(wq_ref[li], bq_ref[bias_li])
-        k_new = proj(wk_ref[li], bk_ref[bias_li])
-        v_new = proj(wv_ref[li], bv_ref[bias_li])
+        q = proj(wq_ref, bq_ref[bias_li])
+        k_new = proj(wk_ref, bk_ref[bias_li])
+        v_new = proj(wv_ref, bv_ref[bias_li])
         # the attention below must see the same quantization the cache
         # stores (bf16 round-trip)
         k_cur = k_new.astype(kbuf.dtype).astype(jnp.float32)
@@ -254,24 +263,15 @@ def _layer_step(x, li, t, n_live, e_ref,
         attn = jnp.concatenate(heads_out, axis=-1)        # [B, d]
         attn = attn.astype(io_dtype).astype(jnp.float32)
 
-        attn = jax.lax.dot_general(
-            attn, wfc_ref[li].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bfc_ref[bias_li]
+        attn = mm(attn, wfc_ref, li) + bfc_ref[bias_li]
         attn = attn.astype(io_dtype).astype(jnp.float32)
 
         out1 = layer_norm(attn + x, ln1s_ref[bias_li], ln1b_ref[bias_li])
         out1 = out1.astype(io_dtype).astype(jnp.float32)
-        hh = jax.lax.dot_general(
-            out1, w1_ref[li].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b1_ref[bias_li]
+        hh = mm(out1, w1_ref, li) + b1_ref[bias_li]
         hh = jnp.maximum(hh.astype(io_dtype).astype(jnp.float32),
                          0.0)
-        ffn = jax.lax.dot_general(
-            hh, w2_ref[li].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b2_ref[bias_li]
+        ffn = mm(hh, w2_ref, li) + b2_ref[bias_li]
         ffn = ffn.astype(io_dtype).astype(jnp.float32)
         x = layer_norm(out1 + ffn, ln2s_ref[bias_li], ln2b_ref[bias_li])
         x = x.astype(io_dtype).astype(jnp.float32)
@@ -361,6 +361,74 @@ def _kernel_grid(x_ref, t_ref, e_ref,
     out_ref[...] = x.astype(out_ref.dtype)
 
 
+def _kernel_grid_stream(x_ref, t_ref, e_ref,
+                        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                        wfc_ref, bfc_ref,
+                        ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+                        w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+                        kc_ref, vc_ref,
+                        out_ref, knew_ref, vnew_ref,
+                        xcar, kbuf, vbuf, sems,
+                        wbuf_a, wbuf_b, wsems, *,
+                        num_layers: int, num_heads: int, block_k: int,
+                        max_seq: int, eps: float, w_tile: int):
+    """Layer-grid decode step with STREAMED weight matrices for models
+    whose per-layer weights exceed even the grid variant's double
+    buffer (d_model >= 1024: ~12.6 MB/layer bf16, 2x > 16 MB VMEM).
+
+    The six big matrices stay whole in HBM; every matmul pulls [d_in,
+    w_tile] column tiles through ONE shared double buffer (wbuf_a for
+    d-row tiles, wbuf_b for the ffn2's d/2-row tiles) overlapped with
+    the previous tile's [B, d_in] x [d_in, w_tile] compute. Per step
+    the full weight set still crosses HBM->VMEM once — that bandwidth
+    is the d1024 decode floor — but VMEM holds only 2 tiles of it, and
+    biases/E/caches behave exactly like _kernel_grid."""
+    li = pl.program_id(0)
+    t = t_ref[0]
+    n_live = (t + block_k - 1) // block_k
+
+    def mm(inp, w_ref, _li):
+        d_in = w_ref.shape[1]
+        d_out = w_ref.shape[2]
+        n = d_out // w_tile
+        buf = wbuf_a if d_in == wbuf_a.shape[1] else wbuf_b
+
+        def start(j, slot):
+            pltpu.make_async_copy(
+                w_ref.at[li, :, pl.ds(j * w_tile, w_tile)],
+                buf.at[slot], wsems.at[slot]).start()
+
+        start(0, 0)
+        parts = []
+        for j in range(n):
+            slot = j % 2
+            if j + 1 < n:
+                start(j + 1, 1 - slot)
+            pltpu.make_async_copy(
+                w_ref.at[li, :, pl.ds(j * w_tile, w_tile)],
+                buf.at[slot], wsems.at[slot]).wait()
+            parts.append(jax.lax.dot_general(
+                inp, buf[slot].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return parts[0] if n == 1 else jnp.concatenate(parts, axis=-1)
+
+    x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
+    x, k_new, v_new = _layer_step(
+        x, 0, t, n_live, e_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+        wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+        kc_ref, vc_ref, kbuf, vbuf, sems,
+        num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+        eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
+        mm=mm)
+    knew_ref[0] = k_new.astype(knew_ref.dtype)
+    vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+    xcar[...] = x
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
 def decode_vmem_bytes(num_layers: int, d: int, vocab: int,
                       max_seq: int, dh: int, block_k: int = 128,
                       batch: int = 8, bytes_per: int = 2) -> int:
@@ -385,6 +453,20 @@ def decode_grid_vmem_bytes(d: int, max_seq: int, dh: int,
     return w + e + bufs
 
 
+def decode_stream_vmem_bytes(d: int, max_seq: int, dh: int,
+                             w_tile: int = 256, block_k: int = 32,
+                             batch: int = 8, bytes_per: int = 2) -> int:
+    """VMEM footprint of the weight-STREAMING grid variant
+    (_kernel_grid_stream): two shared column-tile double buffers + one
+    layer's E block (double-buffered) + f32 biases + the KV stream
+    buffers. Weights live in HBM, so this stays small at any d_model —
+    the d1024 rung that used to fall back to XLA."""
+    wbufs = 2 * d * w_tile * bytes_per + 2 * (d // 2) * w_tile * bytes_per
+    e = 2 * (max_seq + block_k) * dh * 4
+    bufs = 2 * 2 * batch * block_k * d * bytes_per
+    return wbufs + e + bufs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "block_k", "interpret", "grid"))
@@ -404,19 +486,56 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     num_layers = k_cache.shape[0]
     s = k_cache.shape[2]
     max_seq = e_all.shape[1]
+    bytes_kv = k_cache.dtype.itemsize
+    bytes_w = weights["wq"].dtype.itemsize
     # weights + E are the fixed part of the scoped-VMEM budget (used by
     # both the block_k shrink loop and the resident/grid auto gate)
     fixed = (sum(w.size * w.dtype.itemsize for w in weights.values())
              + (max_seq + block_k) * e_all.shape[-1] * 4 * num_layers
              + 3 * b * d * 4)
+    # 2-layer double-buffered footprint of the grid variant
+    per_layer = (sum(w.size * w.dtype.itemsize for w in weights.values()
+                     if w.ndim == 3) // num_layers
+                 + (max_seq + block_k) * e_all.shape[-1] * 4)
+    grid_fixed = 2 * per_layer + 3 * b * d * 4
+    if grid is None:
+        # pick the cheapest kernel whose RESIDENT set fits scoped VMEM
+        # (14 MB = the block_k shrink loop's budget): everything
+        # resident -> _kernel; per-layer double-buffer -> _kernel_grid;
+        # else stream the weight matrices (_kernel_grid_stream, any d).
+        kv0 = 4 * b * block_k * d * bytes_kv
+        if fixed + kv0 <= 14 * 1024 * 1024:
+            grid = False
+        elif grid_fixed + kv0 <= 16 * 1024 * 1024:
+            grid = True
+        else:
+            grid = "stream"
+    # column-tile width for the streaming matmuls (MG_DECODE_WTILE
+    # overrides for tuning; measured at d1024 B8 on v5e: 128 -> 14.3k
+    # tok/s, 256 -> 13.7k, 512 -> 13.0k — smaller tiles overlap the
+    # tile-0 waits better at decode's tiny [B, d] compute)
+    import os
+    w_tile = int(os.environ.get("MG_DECODE_WTILE", "0")) or 128
+    if grid == "stream":
+        # only the shared weight tiles + per-layer E/biases are resident
+        stream_fixed = (2 * d * w_tile * bytes_w
+                        + 2 * (d // 2) * w_tile * bytes_w
+                        + 2 * (max_seq + block_k) * e_all.shape[-1] * 4
+                        + 16 * num_layers * d * 4
+                        + 3 * b * d * 4)
+        mode_fixed = stream_fixed
+    elif grid:
+        mode_fixed = grid_fixed
+    else:
+        mode_fixed = fixed
     if s % block_k:
         block_k = s  # degrade to one block for odd cache lengths
     else:
         # the double-buffered KV scratch scales with B*block_k; shrink
         # the block so batch-32/64 decode fits the 16 MB scoped VMEM
-        bytes_kv = k_cache.dtype.itemsize
         while (block_k > 32 and s % (block_k // 2) == 0 and
-               fixed + 4 * b * block_k * d * bytes_kv > 14 * 1024 * 1024):
+               mode_fixed + 4 * b * block_k * d * bytes_kv
+               > 14 * 1024 * 1024):
             block_k //= 2
     # slack so the bias slice never reads past the table (masked anyway)
     e_pad = jnp.pad(e_all.astype(jnp.float32),
@@ -426,17 +545,6 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     # caches must stay in HBM: ANY lets the compiler pull them into VMEM
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
-    if grid is None:
-        # RESIDENT kernel keeps ALL stacked weights + E tables + the KV
-        # double-buffers in scoped VMEM; pick the layer-grid variant off
-        # the FULL resident estimate (weights + E + buffers, same terms
-        # as the model gate's decode_vmem_bytes) so a small-d_model /
-        # long-max_seq config whose E term overflows doesn't slip into
-        # the resident kernel and fail Mosaic compile. 14 MB matches the
-        # block_k shrink loop's budget: grid only when shrinking could
-        # not make the resident footprint fit.
-        resident = fixed + 4 * b * block_k * d * k_cache.dtype.itemsize
-        grid = resident > 14 * 1024 * 1024
     if not grid:
         kernel = functools.partial(
             _kernel, num_layers=num_layers, num_heads=num_heads,
@@ -466,11 +574,12 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
           k_cache, v_cache)
     else:
         # stacked weights exceed VMEM residency (d_model >= 512): grid
-        # over layers — Mosaic pipelines each layer's weight/E blocks
-        # while the previous layer computes (_kernel_grid)
-        kernel = functools.partial(
-            _kernel_grid, num_layers=num_layers, num_heads=num_heads,
-            block_k=block_k, max_seq=max_seq, eps=1e-6)
+        # over layers. grid=True: Mosaic pipelines each layer's whole
+        # weight/E blocks while the previous layer computes
+        # (_kernel_grid). grid="stream" (d_model >= 1024, where even a
+        # 2-layer double buffer overflows): matrices stay in HBM and
+        # every matmul streams column tiles (_kernel_grid_stream).
+        stream = grid == "stream"
         dh = d // num_heads
         e_rows = e_pad.shape[1]
 
@@ -494,12 +603,35 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
         for k in WEIGHT_KEYS:
             w = weights[k]
             if w.ndim == 3:
-                in_specs.append(wspec(w.shape[1], w.shape[2]))
+                in_specs.append(hbm if stream
+                                else wspec(w.shape[1], w.shape[2]))
                 w_args.append(w)
             else:
                 in_specs.append(vmem())
                 w_args.append(f32b[k])
         in_specs += [hbm, hbm]
+        scratch = [
+            pltpu.VMEM((b, d), jnp.float32),
+            pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
+            pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
+        if stream:
+            kernel = functools.partial(
+                _kernel_grid_stream, num_layers=num_layers,
+                num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+                eps=1e-6, w_tile=w_tile)
+            wdt = weights["wq"].dtype
+            scratch += [
+                pltpu.VMEM((2, d, w_tile), wdt),       # wbuf_a
+                pltpu.VMEM((2, d // 2, w_tile), wdt),  # wbuf_b (ffn2)
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kernel = functools.partial(
+                _kernel_grid, num_layers=num_layers,
+                num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+                eps=1e-6)
         out, k_news, v_news = pl.pallas_call(
             kernel,
             grid=(num_layers,),
@@ -517,12 +649,7 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                 jax.ShapeDtypeStruct((num_layers, b, d), k_cache.dtype),
                 jax.ShapeDtypeStruct((num_layers, b, d), v_cache.dtype),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((b, d), jnp.float32),
-                pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
-                pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
-                pltpu.SemaphoreType.DMA((4,)),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(x, t_arr, e_pad, *w_args, k_cache, v_cache)
     k_cache = jax.lax.dynamic_update_slice(

@@ -51,6 +51,74 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _sortable_key(x, bitcast):
+    """f32 -> int32 key, strictly monotone in float order (negatives:
+    XOR the low 31 bits; sign bit keeps them below positives)."""
+    s = bitcast(x)
+    return s ^ jax.lax.shift_right_logical(
+        jax.lax.shift_right_arithmetic(s, 31), 1)
+
+
+def _mask_search(key, pred_stat, threshold):
+    """Smallest int32 T with stat-of-keys-strictly-above-T < threshold,
+    via 32-step vectorized bisection. key: [B, V] int32; pred_stat(t)
+    -> [B, 1] f32 stat over {key > t}; returns T [B, 1] int32."""
+    b = key.shape[0]
+    lo0 = jnp.full((b, 1), jnp.iinfo(jnp.int32).min, jnp.int32)
+    hi0 = jnp.full((b, 1), jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        # overflow-safe floor((lo + hi) / 2)
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        up = pred_stat(mid) >= threshold
+        return jnp.where(up, mid, lo), jnp.where(up, hi, mid)
+
+    _, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    return hi
+
+
+def sample_mask(scaled, top_k: int, top_p: float, bitcast=None):
+    """Apply the XLA sampler's top-k / top-p masking
+    (decode/sampling.py sample_logits) to temperature-scaled logits,
+    WITHOUT sorting — in-kernel friendly. Excluded entries drop to
+    -1e30. Exact set equality with the sort-based masking:
+
+    * top-k keeps element i iff #(l_j > l_i) < k (== l_i >= kth
+      largest, ties at the boundary all kept, like `logits < kth`),
+    * top-p keeps element i iff the probability mass STRICTLY above
+      l_i is < p (== l_i >= the sorted-cumsum cutoff value),
+
+    both found as an integer threshold on order-isomorphic int32 keys
+    by 32-step bisection (count / masked-mass reductions per step).
+    bitcast: f32->int32 bit reinterpret (pltpu.bitcast in kernels;
+    defaults to lax.bitcast_convert_type for plain jax use/tests)."""
+    if bitcast is None:
+        def bitcast(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+    v = scaled.shape[1]
+    key = _sortable_key(scaled, bitcast)
+    if top_k and 0 < top_k < v:
+        t_k = _mask_search(
+            key,
+            lambda mid: jnp.sum((key > mid).astype(jnp.float32), axis=-1,
+                                keepdims=True),
+            jnp.float32(top_k))
+        scaled = jnp.where(key >= t_k, scaled, -1e30)
+        key = jnp.where(key >= t_k, key, jnp.iinfo(jnp.int32).min)
+    if top_p < 1.0:
+        m = jnp.max(scaled, axis=-1, keepdims=True)
+        ex = jnp.exp(scaled - m)
+        probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        t_p = _mask_search(
+            key,
+            lambda mid: jnp.sum(jnp.where(key > mid, probs, 0.0),
+                                axis=-1, keepdims=True),
+            jnp.float32(top_p))
+        scaled = jnp.where(key >= t_p, scaled, -1e30)
+    return scaled
+
+
 def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
                   e_ref,
                   wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
@@ -63,7 +131,8 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
                   kbuf, vbuf, sems, *,
                   chunk: int, num_layers: int, num_heads: int,
                   block_k: int, e_len: int, eps: float, sqrt_d: float,
-                  inv_temp: float, greedy: bool, io_dtype):
+                  inv_temp: float, greedy: bool, top_k: int,
+                  top_p: float, io_dtype):
     b, vpad = logits0_ref.shape
     d = embed_ref.shape[1]
     t0 = t0_ref[0]
@@ -87,6 +156,13 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
         if greedy:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
+            scaled = logits * inv_temp
+            if (top_k and top_k > 0) or top_p < 1.0:
+                # on-core top-k / nucleus masking, exact XLA-sampler set
+                # semantics via integer bisection (no sort)
+                scaled = sample_mask(
+                    scaled, top_k, top_p,
+                    bitcast=lambda y: pltpu.bitcast(y, jnp.int32))
             bits = pltpu.bitcast(pltpu.prng_random_bits((b, vpad)),
                                  jnp.uint32)
             # Mosaic can't cast uint32->f32; the 24-bit value fits int32
@@ -94,8 +170,7 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
             u = jnp.maximum(bits24.astype(jnp.float32)
                             * (1.0 / float(1 << 24)), 1e-10)
             g = -jnp.log(-jnp.log(u))
-            tok = jnp.argmax(logits * inv_temp + g,
-                             axis=-1).astype(jnp.int32)
+            tok = jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
         tokens_ref[pl.ds(i, 1), :] = tok[None, :]
 
         # ---- embed: one-hot matmul (no scalar gathers) + pos row ----
@@ -146,11 +221,12 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "chunk", "temperature", "greedy",
-                     "block_k", "interpret"))
+                     "top_k", "top_p", "block_k", "interpret"))
 def fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all, weights,
                        fc_w, fc_b, k_cache, v_cache, num_heads: int,
                        chunk: int, temperature: float = 1.0,
-                       greedy: bool = False, block_k: int = 128,
+                       greedy: bool = False, top_k: int = 0,
+                       top_p: float = 1.0, block_k: int = 128,
                        interpret: bool = False):
     """Generate `chunk` tokens in one kernel call.
 
@@ -190,7 +266,8 @@ def fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all, weights,
         num_heads=num_heads, block_k=block_k, e_len=e_len, eps=1e-6,
         sqrt_d=float(math.sqrt(d)),
         inv_temp=1.0 / max(float(temperature), 1e-6),
-        greedy=bool(greedy), io_dtype=k_cache.dtype)
+        greedy=bool(greedy), top_k=int(top_k), top_p=float(top_p),
+        io_dtype=k_cache.dtype)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)

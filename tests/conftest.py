@@ -5,23 +5,26 @@ multi-chip sharding paths compile and run without TPU hardware
 import os
 import sys
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MG_TPU_TESTS=1 keeps the real TPU backend so the hardware-only tests
+# (tests/test_tpu_sampling.py) can run: pytest MG_TPU_TESTS=1 -k tpu
+if os.environ.get("MG_TPU_TESTS") != "1":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-# jax may already be imported by a pytest plugin before this conftest runs
-# (in which case it captured JAX_PLATFORMS=axon from the shell); force the
-# platform through the config API too — this works as long as no backend
-# has been initialized yet.
-import jax  # noqa: E402
+    # jax may already be imported by a pytest plugin before this
+    # conftest runs (in which case it captured JAX_PLATFORMS=axon from
+    # the shell); force the platform through the config API too — this
+    # works as long as no backend has been initialized yet.
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", (
-    "tests must run on the virtual-device CPU backend, got "
-    + jax.default_backend()
-)
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the virtual-device CPU backend, got "
+        + jax.default_backend()
+    )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

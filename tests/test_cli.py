@@ -66,11 +66,13 @@ def test_generate_from_checkpoint(tok_dir, tmp_path):
     MidiFile(out_mid)
 
 
+@pytest.mark.slow
 def test_train_event_rnn(tok_dir, tmp_path):
     _train(tok_dir, tmp_path, "event_rnn",
            ["model.hidden_dim=32", "model.num_layers=2"])
 
 
+@pytest.mark.slow
 def test_train_melody_rnn(tmp_path):
     # melody corpus
     from musicgeneration_tpu.cli.tokenize import main as tokenize_main
@@ -84,6 +86,7 @@ def test_train_melody_rnn(tmp_path):
     _train(tok, tmp_path, "melody_rnn", ["model.hidden_dim=16"])
 
 
+@pytest.mark.slow
 def test_train_melody_transformer_and_overfit_one_midi(tmp_path):
     """MelodyRNN-folder closeout (VERDICT round-1 #9): a transformer LM
     over melody note arrays (the reference's tran_transformer.py
@@ -119,6 +122,7 @@ def test_train_melody_transformer_and_overfit_one_midi(tmp_path):
     assert os.path.getsize(out_mid) > 0
 
 
+@pytest.mark.slow
 def test_train_popmag(tmp_path):
     from musicgeneration_tpu.cli.tokenize import main as tokenize_main
     midi_dir = tmp_path / "mt"
@@ -146,6 +150,7 @@ def test_train_performance_rnn_with_controls(tmp_path):
            ["model.hidden_dim=32", "model.num_layers=2"])
 
 
+@pytest.mark.slow
 def test_generate_popmag_arrangement(tmp_path):
     from musicgeneration_tpu.cli.generate import main as gen_main
     from musicgeneration_tpu.cli.tokenize import main as tokenize_main
@@ -167,6 +172,7 @@ def test_generate_popmag_arrangement(tmp_path):
     MidiFile(out_mid)
 
 
+@pytest.mark.slow
 def test_generate_event_rnn_beam(tok_dir, tmp_path):
     from musicgeneration_tpu.cli.generate import main as gen_main
     ckpt, _ = _train(tok_dir, tmp_path, "event_rnn",
@@ -179,6 +185,7 @@ def test_generate_event_rnn_beam(tok_dir, tmp_path):
     assert os.path.getsize(out_mid) > 0 and os.path.getsize(out_mid2) > 0
 
 
+@pytest.mark.slow
 def test_generate_steps_beyond_max_seq_uses_sliding(tok_dir, tmp_path):
     """--steps >= model.max_seq must not crash (review regression: the
     old window truncation produced keep<=0 and a cache overflow)."""
@@ -203,6 +210,7 @@ def test_bf16_training_checkpoints_cleanly(tok_dir, tmp_path):
     assert payload["config"]["model_kwargs"]["dtype"] == "bfloat16"
 
 
+@pytest.mark.slow
 def test_generate_from_control_scheme_checkpoint(tmp_path):
     from musicgeneration_tpu.cli.generate import main as gen_main
     from musicgeneration_tpu.cli.tokenize import main as tokenize_main
@@ -222,6 +230,7 @@ def test_generate_from_control_scheme_checkpoint(tmp_path):
     assert os.path.getsize(out_mid) > 0
 
 
+@pytest.mark.slow
 def test_train_mesh_sp_ring_attention(tok_dir, tmp_path):
     """sp=2 CLI training builds the ('data','seq','model') mesh and
     switches MusicTransformer attention to the sequence-parallel ring

@@ -128,6 +128,7 @@ def _control_for(classes) -> np.ndarray:
     return Control(hist.tolist(), 5).to_array()  # [24]
 
 
+@pytest.mark.slow
 def test_control_conditioning_shifts_pitch_distribution():
     """Train on data whose pitch-class set SWITCHES PER STEP with the
     control (so the hidden state cannot predict it — only the control

@@ -155,6 +155,7 @@ class TestCPTransformer:
                 assert list(row[5:]) == [ign[5], ign[6], ign[7]]
 
 
+@pytest.mark.slow
 def test_cli_cp_end_to_end(tmp_path):
     """tokenize --scheme cp -> train model=cp_transformer -> generate."""
     import json

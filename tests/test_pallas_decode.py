@@ -231,3 +231,138 @@ def test_grid_kernel_matches_resident():
         np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         k_all, v_all = k1, v1
+
+
+def test_stream_kernel_matches_resident():
+    """The weight-STREAMING grid variant (d_model>=1024: matrices stay
+    in HBM, matmuls pull column tiles through a shared double buffer)
+    must match the resident kernel to float-reassociation tolerance:
+    each output column is the same full-depth dot product fetched
+    tile-by-tile, but the narrower dot shapes accumulate in a different
+    order (~1e-6 f32; the bf16 test below is exact — the quantization
+    points absorb it)."""
+    from musicgeneration_tpu.models.music_transformer import (
+        _stacked_decode_weights,
+    )
+    from musicgeneration_tpu.ops.pallas_decode import fused_decode_step
+
+    m = MusicTransformer(decode_impl="fused", vocab_size=VOCAB,
+                         num_layers=2, d_model=256, max_seq=64)
+    params = m.init(jax.random.PRNGKey(1),
+                    jnp.zeros((1, 8), jnp.int32))["params"]
+    bound = m.bind({"params": params})
+    w_all, e_all = _stacked_decode_weights(bound.layers, m.dtype)
+    cache = bound.init_cache(2, 40)
+    k_all, v_all = cache["k"], cache["v"]
+    rng = np.random.RandomState(1)
+    for t in range(6):
+        x = jnp.asarray(rng.randn(2, 256) * 0.3, jnp.float32)
+        o1, k1, v1 = fused_decode_step(x, jnp.int32(t), e_all, w_all,
+                                       k_all, v_all, m.num_heads,
+                                       interpret=True, grid=False)
+        o2, k2, v2 = fused_decode_step(x, jnp.int32(t), e_all, w_all,
+                                       k_all, v_all, m.num_heads,
+                                       interpret=True, grid="stream")
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"t={t}")
+        np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=2e-5, atol=2e-5)
+        k_all, v_all = k1, v1
+
+
+def test_stream_kernel_bf16():
+    """Streamed weights in bf16 (the serving dtype) against the
+    resident kernel — exact equality, same quantization points."""
+    from musicgeneration_tpu.models.music_transformer import (
+        _stacked_decode_weights,
+    )
+    from musicgeneration_tpu.ops.pallas_decode import fused_decode_step
+
+    m = MusicTransformer(decode_impl="fused", vocab_size=VOCAB,
+                         num_layers=2, d_model=256, max_seq=64,
+                         dtype=jnp.bfloat16)
+    params = m.init(jax.random.PRNGKey(2),
+                    jnp.zeros((1, 8), jnp.int32))["params"]
+    bound = m.bind({"params": params})
+    w_all, e_all = _stacked_decode_weights(bound.layers, m.dtype)
+    cache = bound.init_cache(2, 40)
+    k_all, v_all = cache["k"], cache["v"]
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 256) * 0.3, jnp.bfloat16)
+    o1, k1, v1 = fused_decode_step(x, jnp.int32(3), e_all, w_all,
+                                   k_all, v_all, m.num_heads,
+                                   interpret=True, grid=False)
+    o2, k2, v2 = fused_decode_step(x, jnp.int32(3), e_all, w_all,
+                                   k_all, v_all, m.num_heads,
+                                   interpret=True, grid="stream")
+    np.testing.assert_array_equal(np.asarray(o1, np.float32),
+                                  np.asarray(o2, np.float32))
+    np.testing.assert_array_equal(np.asarray(k1, np.float32),
+                                  np.asarray(k2, np.float32))
+
+
+def _xla_mask_sets(scaled, top_k, top_p):
+    """The sort-based masking from decode/sampling.py sample_logits,
+    returning the kept-set mask."""
+    logits = scaled
+    if top_k and top_k > 0:
+        k = min(top_k, logits.shape[-1])
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return np.asarray(logits) > -np.inf
+
+
+def test_sample_mask_matches_xla_sampler_sets():
+    """The in-kernel sort-free top-k/top-p masking (integer bisection on
+    sortable keys, ops/pallas_decode_loop.py sample_mask) must keep
+    EXACTLY the same token sets as the XLA sampler's sort-based masking
+    — including ties at the boundary."""
+    from musicgeneration_tpu.ops.pallas_decode_loop import sample_mask
+
+    rng = np.random.RandomState(7)
+    for trial in range(30):
+        b, v = 4, 309
+        logits = rng.randn(b, v).astype(np.float32) * 3
+        if trial % 3 == 0:  # force boundary ties
+            logits[:, 50:60] = logits[:, 49:50]
+        top_k = [0, 1, 5, 40, 309][trial % 5]
+        top_p = [1.0, 0.9, 0.5, 0.99, 0.01][(trial // 5) % 5]
+        if top_k == 0 and top_p == 1.0:
+            continue
+        scaled = jnp.asarray(logits)
+        ref_mask = _xla_mask_sets(scaled, top_k, top_p)
+        got = np.asarray(sample_mask(scaled, top_k, top_p))
+        got_mask = got > -1e29
+        np.testing.assert_array_equal(
+            got_mask, ref_mask,
+            err_msg=f"trial {trial} k={top_k} p={top_p}")
+        # kept entries keep their exact scaled values
+        np.testing.assert_array_equal(got[got_mask],
+                                      logits[got_mask])
+
+
+def test_sample_mask_padded_vocab():
+    """-1e30 pad columns (the kernel pads V to a lane multiple) must
+    never enter the kept set or distort the thresholds."""
+    from musicgeneration_tpu.ops.pallas_decode_loop import sample_mask
+
+    rng = np.random.RandomState(8)
+    logits = rng.randn(2, 309).astype(np.float32)
+    padded = np.pad(logits, ((0, 0), (0, 384 - 309)),
+                    constant_values=-1e30)
+    for top_k, top_p in [(10, 1.0), (0, 0.8), (7, 0.9)]:
+        ref_mask = _xla_mask_sets(jnp.asarray(logits), top_k, top_p)
+        got = np.asarray(sample_mask(jnp.asarray(padded), top_k, top_p))
+        got_mask = got > -1e29
+        np.testing.assert_array_equal(got_mask[:, :309], ref_mask)
+        assert not got_mask[:, 309:].any()

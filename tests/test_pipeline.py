@@ -85,6 +85,7 @@ def test_tokenize_corpus_mumidi_pairs(tmp_path):
     assert len(mel) > 0 and len(arr) > 0
 
 
+@pytest.mark.slow
 def test_parallel_pool_matches_serial(tmp_path, corpus_dir):
     out1 = str(tmp_path / "t1")
     out2 = str(tmp_path / "t2")

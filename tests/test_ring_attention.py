@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ring interpret emulation: quick lane skips
+
 from musicgeneration_tpu.ops.relative_attention import (
     relative_global_attention,
 )
@@ -166,7 +168,6 @@ def test_model_ring_train_step_loss_matches_single_device():
 # emulates the remote DMAs on the virtual-device mesh
 # --------------------------------------------------------------------------
 
-@pytest.mark.slow
 def test_ring_pallas_matches_xla_ring():
     from musicgeneration_tpu.parallel.ring_attention_pallas import (
         ring_relative_attention_pallas,
@@ -187,7 +188,6 @@ def test_ring_pallas_matches_xla_ring():
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.slow
 def test_ring_pallas_gradients_via_xla_backward():
     """custom_vjp: forward = RDMA kernel, backward = the exact XLA ring."""
     from musicgeneration_tpu.parallel.ring_attention_pallas import (
@@ -207,7 +207,6 @@ def test_ring_pallas_gradients_via_xla_backward():
                                    rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.slow
 def test_ring_pallas_multiaxis_mesh_fallback():
     """dp>1 meshes: the interpret emulator only handles one named axis,
     so the wrapper transparently takes the XLA ring (same math)."""
@@ -223,7 +222,6 @@ def test_ring_pallas_multiaxis_mesh_fallback():
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.slow
 def test_model_ring_pallas_forward():
     from musicgeneration_tpu.models import MusicTransformer
 

@@ -320,6 +320,7 @@ def test_multihost_shard_batch_single_process():
     assert a["x"].sharding.spec == b["x"].sharding.spec
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """jax.checkpoint layers change memory, not math."""
     x = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, VOCAB - 1)
