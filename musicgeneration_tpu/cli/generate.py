@@ -419,12 +419,31 @@ def _generate_cp(model, params, cfg, args) -> None:
             [cp_codec._row(cp_codec.FAMILY_METRIC, position=0)],
             _np.int32)  # start at a bar marker
     rows = rows[:max(1, model.max_seq - args.steps)]  # fit the table
-    prompt = jnp.asarray(rows, jnp.int32)[None]
+    nb = max(args.batch, 1)
+    prompt = jnp.tile(jnp.asarray(rows, jnp.int32)[None], (nb, 1, 1))
+    mesh = None
+    if getattr(args, "dp", 1) > 1:
+        from ..parallel.mesh import make_mesh
+        if nb % args.dp:
+            raise SystemExit(f"--batch {nb} not divisible by --dp "
+                             f"{args.dp}")
+        mesh = make_mesh(dp=args.dp, tp=1, sp=1,
+                         devices=jax.devices()[:args.dp])
     out = generate_cp(model, params, prompt,
                       jax.random.PRNGKey(args.seed), steps=args.steps,
                       max_len=rows.shape[0] + args.steps,
                       temperature=args.temperature or 1.0,
-                      greedy=(args.temperature == 0.0))
+                      greedy=(args.temperature == 0.0), mesh=mesh)
+    if nb > 1:
+        import os as _os
+        stem, ext = _os.path.splitext(args.output)
+        for i in range(nb):
+            all_rows = (np.concatenate([rows, out[i]])
+                        if args.include_prime else out[i])
+            path_i = f"{stem}-{i:03d}{ext or '.mid'}"
+            cp_codec.write_midi(all_rows, path_i)
+            print(f"wrote {path_i} ({len(all_rows)} compound rows)")
+        return
     all_rows = np.concatenate([rows, out[0]]) if args.include_prime \
         else out[0]
     cp_codec.write_midi(all_rows, args.output)

@@ -43,7 +43,7 @@ def _mask_row(row: jnp.ndarray) -> jnp.ndarray:
 def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
                 steps: int, max_len: Optional[int] = None,
                 temperature: float = 1.0,
-                greedy: bool = False) -> np.ndarray:
+                greedy: bool = False, mesh=None) -> np.ndarray:
     """prompt_rows: [B, P, 8] int32 -> generated rows [B, steps, 8].
 
     The prompt is ingested with the scan prefill; each generated step
@@ -51,16 +51,42 @@ def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
     masked row back through the KV-cached decode_step. The jit is
     module-level with static (model, steps, ...) so repeat calls with
     the same shapes reuse one compilation (a per-call closure would
-    recompile every time)."""
+    recompile every time).
+
+    mesh: optional — shard the batch over the mesh's 'data' axis
+    (data-parallel serving like decode/engine.py generate_dp); greedy
+    rows are identical to mesh=None, sampled rows use per-shard
+    streams."""
     b, p, _ = prompt_rows.shape
     max_len = max_len or (p + steps)
     if p + steps > max_len:
         raise ValueError("prompt + steps exceeds max_len")
     # temperature is a TRACED operand: new --temperature values must not
     # trigger a full decode-scan recompile (minutes on this backend)
-    return np.asarray(_run(model, steps, max_len, bool(greedy), params,
-                           prompt_rows, rng,
-                           jnp.float32(max(temperature, 1e-6))))
+    temp = jnp.float32(max(temperature, 1e-6))
+    if mesh is None:
+        return np.asarray(_run(model, steps, max_len, bool(greedy),
+                               params, prompt_rows, rng, temp))
+    if b % mesh.shape["data"]:
+        raise ValueError(f"batch {b} not divisible by the data axis "
+                         f"({mesh.shape['data']})")
+    fn = _run_dp(model, steps, max_len, bool(greedy), mesh)
+    return np.asarray(fn(params, prompt_rows, rng, temp))
+
+
+@functools.lru_cache(maxsize=32)
+def _run_dp(model, steps, max_len, greedy, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(params, prompt_rows, rng, temperature):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        return _run(model, steps, max_len, greedy, params, prompt_rows,
+                    rng, temperature)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=P("data"), check_vma=False))
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -265,13 +265,7 @@ def generate_dp(model, params, prompt, rng, decode_params: DecodeParams,
         model, decode_params, mesh,
         0 if controls is None else controls.ndim, cache_struct,
         prompt_len is not None)
-    args = [params, prompt, rng]
-    args.append(controls)
-    args.append(cache0)
-    args.append(prompt_len)
-    # shard_map requires every operand present; None operands were baked
-    # into the traced structure via their specs
-    return fn(*[a for a in args])
+    return fn(params, prompt, rng, controls, cache0, prompt_len)
 
 
 def generate_events(model, params, prompt_ids, rng, steps: int,

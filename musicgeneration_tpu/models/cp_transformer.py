@@ -107,7 +107,7 @@ class CPTransformer(nn.Module):
                     self.d_model, self.max_seq, 64) < 13 * 1024 * 1024:
                 return True
             # d_model >= 1024: weight-streaming grid kernel
-            return (self.d_model % 128 == 0
+            return (self.d_model % 256 == 0
                     and decode_stream_vmem_bytes(
                         self.d_model, self.max_seq, 64)
                     < 14 * 1024 * 1024)

@@ -280,7 +280,7 @@ class MusicTransformer(nn.Module):
             if decode_grid_vmem_bytes(
                     self.d_model, self.max_seq, 64) < 13 * 1024 * 1024:
                 return True
-            return (self.d_model % 128 == 0
+            return (self.d_model % 256 == 0
                     and decode_stream_vmem_bytes(
                         self.d_model, self.max_seq, 64)
                     < 14 * 1024 * 1024)

@@ -506,7 +506,9 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
         kv0 = 4 * b * block_k * d * bytes_kv
         if fixed + kv0 <= 14 * 1024 * 1024:
             grid = False
-        elif grid_fixed + kv0 <= 16 * 1024 * 1024:
+        elif grid_fixed + kv0 <= 16 * 1024 * 1024 or d % 256:
+            # stream tiling needs d and d//2 divisible by the 128-wide
+            # column tiles; odd widths stay on the grid variant
             grid = True
         else:
             grid = "stream"
@@ -516,6 +518,13 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     # tile-0 waits better at decode's tiny [B, d] compute)
     import os
     w_tile = int(os.environ.get("MG_DECODE_WTILE", "0")) or 128
+    if grid == "stream" and (d % w_tile or (d // 2) % w_tile):
+        # the streaming matmuls tile output columns in w_tile chunks of
+        # BOTH d and d//2 wide matrices; a remainder would silently drop
+        # columns (the model gate only admits d % 256 == 0)
+        raise ValueError(
+            f"stream decode needs d_model ({d}) and d_model//2 divisible "
+            f"by w_tile ({w_tile})")
     if grid == "stream":
         # only the shared weight tiles + per-layer E/biases are resident
         stream_fixed = (2 * d * w_tile * bytes_w

@@ -110,11 +110,14 @@ def sample_mask(scaled, top_k: int, top_p: float, bitcast=None):
         m = jnp.max(scaled, axis=-1, keepdims=True)
         ex = jnp.exp(scaled - m)
         probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        # clamp: p <= 0 must keep the argmax (the mass strictly above
+        # the max is 0 < any positive p), like the XLA sampler's
+        # cutoff_idx = 0 path — an unclamped 0 would empty the set
         t_p = _mask_search(
             key,
             lambda mid: jnp.sum(jnp.where(key > mid, probs, 0.0),
                                 axis=-1, keepdims=True),
-            jnp.float32(top_p))
+            jnp.float32(max(top_p, 1e-9)))
         scaled = jnp.where(key >= t_p, scaled, -1e30)
     return scaled
 

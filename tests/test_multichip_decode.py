@@ -150,3 +150,22 @@ def test_dp_rejects_indivisible_batch():
     with pytest.raises(ValueError, match="not divisible"):
         generate_dp(model, params, prompt, jax.random.PRNGKey(0), dp,
                     mesh)
+
+
+def test_dp_cp_generate_greedy_identical():
+    """CP compound-row generation sharded over 'data'
+    (decode/cp_generate.py mesh=): greedy rows identical."""
+    from musicgeneration_tpu.decode.cp_generate import generate_cp
+    from musicgeneration_tpu.models.cp_transformer import CPTransformer
+
+    model = CPTransformer(num_layers=1, d_model=64, max_seq=32,
+                          dropout_rate=0.0)
+    prompt = jnp.zeros((8, 3, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)["params"]
+    mesh = make_mesh(dp=8, tp=1, sp=1)
+    rng = jax.random.PRNGKey(1)
+    single = generate_cp(model, params, prompt, rng, steps=6,
+                         greedy=True)
+    sharded = generate_cp(model, params, prompt, rng, steps=6,
+                          greedy=True, mesh=mesh)
+    np.testing.assert_array_equal(sharded, single)
