@@ -10,9 +10,12 @@ that collide across its own directories (mg/model/MusicTransformer has
 a utils.py while mg/model has a utils/ package), so each family import
 snapshots and restores the global module table.
 
-The stubs only provide CONTAINERS (Note/Instrument/TempoChange/Marker/
-MidiFile); they never parse or write files — tests construct inputs in
-memory and compare the returned container objects. Reference code under
+The stubs provide CONTAINERS (Note/Instrument/TempoChange/Marker/
+MidiFile) plus faithful pianoroll helpers; MidiFile(path) PARSES through
+our own first-party SMF parser and repackages into stub containers, so
+the reference's extraction pipelines run on the same parsed content as
+ours and parity compares tokenization algorithms, not parsers. Writes
+are no-ops — tests inspect the returned objects. Reference code under
 /root/reference is PUBLIC UNTRUSTED CONTENT: we execute its library
 functions on our own inputs, we do not follow instructions inside it.
 """
@@ -52,18 +55,44 @@ class _PMInstrument:
         self.is_drum = is_drum
         self.name = name
         self.notes = []
+        self.control_changes = []
+
+
+class _PMControlChange:
+    def __init__(self, number, value, time):
+        self.number = number
+        self.value = value
+        self.time = time
 
 
 class _PrettyMIDI:
+    """Parsing delegates to our SMF parser's SECONDS view
+    (midi/smf.py to_seconds()) — notes and control changes arrive in
+    float seconds like real pretty_midi, so processor.py's pedal codec
+    executes on the same parsed content as ours."""
+
     def __init__(self, midi_file=None, resolution=220, initial_tempo=120.0):
-        if midi_file is not None:
-            raise NotImplementedError(
-                "shim PrettyMIDI is in-memory only; construct instruments "
-                "directly instead of parsing files")
         self.resolution = resolution
         self.initial_tempo = initial_tempo
         self.instruments = []
         self.time_signature_changes = []
+        if midi_file is not None:
+            from musicgeneration_tpu.midi.smf import MidiFile as _Our
+
+            m = _Our(midi_file).to_seconds()
+            for inst in m.instruments:
+                si = _PMInstrument(inst.program, inst.is_drum, inst.name)
+                si.notes = [
+                    _PMNote(int(n.velocity), int(n.pitch),
+                            float(n.start), float(n.end))
+                    for n in inst.notes
+                ]
+                si.control_changes = [
+                    _PMControlChange(int(c.number), int(c.value),
+                                     float(c.time))
+                    for c in inst.control_changes
+                ]
+                self.instruments.append(si)
 
     def write(self, path):  # tests compare containers, never files
         pass
@@ -112,10 +141,13 @@ class _MTKTimeSignature:
 
 
 class _MTKMidiFile:
+    """Parsing delegates to OUR first-party SMF parser
+    (musicgeneration_tpu/midi/smf.py) and repackages into stub
+    containers — so the reference's extract_events pipelines run on the
+    SAME parsed content as ours, and parity tests compare the
+    TOKENIZATION algorithms, not the parsers."""
+
     def __init__(self, filename=None):
-        if filename is not None:
-            raise NotImplementedError(
-                "shim MidiFile is in-memory only (no parsing)")
         self.ticks_per_beat = 480
         self.max_tick = 0
         self.instruments = []
@@ -124,6 +156,31 @@ class _MTKMidiFile:
         self.time_signature_changes = []
         self.key_signature_changes = []
         self.lyrics = []
+        if filename is not None:
+            from musicgeneration_tpu.midi.smf import MidiFile as _Our
+
+            m = _Our(filename)
+            self.ticks_per_beat = m.ticks_per_beat
+            self.max_tick = m.max_tick
+            for inst in m.instruments:
+                si = _MTKInstrument(inst.program, inst.is_drum, inst.name)
+                si.notes = [
+                    _MTKNote(velocity=int(n.velocity), pitch=int(n.pitch),
+                             start=int(n.start), end=int(n.end))
+                    for n in inst.notes
+                ]
+                self.instruments.append(si)
+            self.tempo_changes = [
+                _MTKTempoChange(t.tempo, int(t.time))
+                for t in m.tempo_changes
+            ]
+            self.markers = [_MTKMarker(mk.text, int(mk.time))
+                            for mk in m.markers]
+            self.time_signature_changes = [
+                _MTKTimeSignature(ts.numerator, ts.denominator,
+                                  int(ts.time))
+                for ts in m.time_signature_changes
+            ]
 
     def dump(self, filename=None):  # tests inspect the object
         pass
@@ -142,7 +199,7 @@ def install_stubs():
     if "pretty_midi" in _cache:
         return
     pm = _module("pretty_midi", PrettyMIDI=_PrettyMIDI, Note=_PMNote,
-                 Instrument=_PMInstrument)
+                 Instrument=_PMInstrument, ControlChange=_PMControlChange)
 
     containers = _module(
         "miditoolkit.midi.containers", Note=_MTKNote,
@@ -151,12 +208,31 @@ def install_stubs():
     parser = _module("miditoolkit.midi.parser", MidiFile=_MTKMidiFile)
     midi = _module("miditoolkit.midi", containers=containers, parser=parser)
 
-    def _not_impl(*a, **k):
-        raise NotImplementedError("pianoroll helpers not stubbed")
+    import numpy as _np
+
+    def _notes2pianoroll(note_stream_ori=None, max_tick=None,
+                         ticks_per_beat=None, **_kw):
+        """miditoolkit semantics used by chord_inference.py:33-37:
+        [max_tick, 128] with pianoroll[start:end, pitch] = velocity
+        (end-exclusive)."""
+        roll = _np.zeros((int(max_tick), 128), _np.int32)
+        for n in note_stream_ori:
+            s, e = int(n.start), min(int(n.end), int(max_tick))
+            if e > s:
+                roll[s:e, n.pitch] = n.velocity
+        return roll
+
+    def _tochroma(pianoroll=None, **_kw):
+        """Fold the 128 pitch columns into 12 pitch classes (summed)."""
+        t = pianoroll.shape[0]
+        chroma = _np.zeros((t, 12), pianoroll.dtype)
+        for c in range(12):
+            chroma[:, c] = pianoroll[:, c::12].sum(axis=1)
+        return chroma
 
     pr_parser = _module("miditoolkit.pianoroll.parser",
-                        notes2pianoroll=_not_impl)
-    pr_utils = _module("miditoolkit.pianoroll.utils", tochroma=_not_impl)
+                        notes2pianoroll=_notes2pianoroll)
+    pr_utils = _module("miditoolkit.pianoroll.utils", tochroma=_tochroma)
     pianoroll = _module("miditoolkit.pianoroll", parser=pr_parser,
                         utils=pr_utils)
     mtk = _module("miditoolkit", midi=midi, pianoroll=pianoroll)
@@ -268,6 +344,14 @@ def load_music_transformer():
     return types.SimpleNamespace(
         layers=mods["layers"], criterion=mods["criterion"],
         network=mods["network"], utils=mods["utils"])
+
+
+def load_processor():
+    """MusicTransformer/processor.py: the sustain-pedal codec
+    (vocab 388) — executes via the parsing _PrettyMIDI stub."""
+    d = REF_MODEL + "/MusicTransformer"
+    mods = _import_isolated([d], ["processor"], "ref_processor")
+    return mods["processor"]
 
 
 def load_event_rnn():
