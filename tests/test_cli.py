@@ -365,3 +365,22 @@ def test_generate_temperature_zero_is_greedy(tmp_path):
                          "0", "--seed", str(seed)]) == 0
         outs.append(open(out, "rb").read())
     assert outs[0] == outs[1]  # greedy: seed must not matter
+
+
+def test_generate_dp_sharded_batch(tok_dir, tmp_path):
+    """cli.generate --dp N: batch sharded over the 'data' mesh axis;
+    greedy output identical to --dp 1 (decode/engine.py generate_dp)."""
+    from musicgeneration_tpu.cli.generate import main as generate_main
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64",
+                      "model.max_seq=64"])
+    out1 = str(tmp_path / "dp1.mid")
+    assert generate_main([ckpt, out1, "--steps", "8", "--batch", "4",
+                          "--temperature", "0"]) == 0
+    out4 = str(tmp_path / "dp4.mid")
+    assert generate_main([ckpt, out4, "--steps", "8", "--batch", "4",
+                          "--dp", "4", "--temperature", "0"]) == 0
+    for i in range(4):
+        a = open(f"{tmp_path}/dp1-{i:03d}.mid", "rb").read()
+        b = open(f"{tmp_path}/dp4-{i:03d}.mid", "rb").read()
+        assert a == b, f"row {i} diverged under --dp"

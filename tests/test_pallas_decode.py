@@ -366,3 +366,28 @@ def test_sample_mask_padded_vocab():
         got_mask = got > -1e29
         np.testing.assert_array_equal(got_mask[:, :309], ref_mask)
         assert not got_mask[:, 309:].any()
+
+
+def test_decode_kernel_mode_gates():
+    """The resident/grid/stream auto selection picks the expected mode
+    per config (the ADVICE r2 medium finding: gate and kernel must
+    agree on the footprint estimate)."""
+    from musicgeneration_tpu.ops.pallas_decode import (
+        decode_grid_vmem_bytes,
+        decode_stream_vmem_bytes,
+        decode_vmem_bytes,
+    )
+
+    mb = 1024 * 1024
+    # flagship d256/max_seq 2048: resident fits
+    assert decode_vmem_bytes(6, 256, 309, 2048, 64) < 10 * mb
+    # d512: resident overflows, grid fits
+    assert decode_vmem_bytes(6, 512, 309, 2048, 64) >= 10 * mb
+    assert decode_grid_vmem_bytes(512, 2048, 64) < 13 * mb
+    # d1024: even grid overflows, stream fits
+    assert decode_grid_vmem_bytes(1024, 2048, 64) >= 13 * mb
+    assert decode_stream_vmem_bytes(1024, 2048, 64) < 14 * mb
+    # the ADVICE case: small d_model, huge max_seq — E table overflows
+    # the resident estimate but the per-layer variants stay viable
+    assert decode_vmem_bytes(6, 256, 309, 8192, 64) >= 10 * mb
+    assert decode_grid_vmem_bytes(256, 8192, 64) < 13 * mb
