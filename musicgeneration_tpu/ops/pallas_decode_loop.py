@@ -23,11 +23,14 @@ destination crashes this environment's Mosaic compiler (probed:
 static or dynamic offset, aliased or not — helper subprocess exit 1).
 
 Sampling parity: greedy is exactly argmax (token-identical to the scan
-path — tested); temperature sampling is the Gumbel-max trick — the
+path — tested); stochastic sampling is the Gumbel-max trick over
+temperature-scaled logits with ON-CORE top-k / nucleus masking
+(sample_mask below: sort-free, exact XLA-sampler set semantics) — the
 same categorical DISTRIBUTION as jax.random.categorical but a
-different random stream, so the engine only auto-selects this kernel
-for plain temperature/greedy sampling (and only on TPU: the on-core
-PRNG has no interpret lowering).
+different random stream (chi-square-locked on hardware in
+tests/test_tpu_sampling.py). The engine auto-selects this kernel on
+TPU only: the on-core PRNG has no interpret lowering, so off-TPU only
+greedy is eligible.
 
 VMEM at the flagship config (6L/256d bf16, S=1024, C=64): weights
 ~2 MB + E (sliced to S + slack rows, f32) ~2 MB + pos 1 MB + embed/

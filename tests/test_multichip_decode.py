@@ -152,6 +152,7 @@ def test_dp_rejects_indivisible_batch():
                     mesh)
 
 
+@pytest.mark.slow
 def test_dp_cp_generate_greedy_identical():
     """CP compound-row generation sharded over 'data'
     (decode/cp_generate.py mesh=): greedy rows identical."""

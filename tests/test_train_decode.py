@@ -217,6 +217,7 @@ class TestMesh:
         with pytest.raises(ValueError):
             make_mesh(dp=3, tp=3)
 
+    @pytest.mark.slow  # dryrun_multichip covers this end to end
     def test_sharded_train_step_runs(self, tiny_model):
         """DP x TP SPMD train step on the 8-virtual-device CPU mesh."""
         model = tiny_model
