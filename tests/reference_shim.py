@@ -237,6 +237,68 @@ def install_stubs():
                         utils=pr_utils)
     mtk = _module("miditoolkit", midi=midi, pianoroll=pianoroll)
 
+    # ---- music21 (melody note-array codec, mg/utils/midi2note.py) ----
+    class _M21Pitch:
+        def __init__(self, midi_):
+            self.midi = midi_
+
+    class _M21Note:
+        """music21 note.Note: offset/quarterLength in quarter units."""
+
+        def __init__(self, pitch_midi=60, offset=0.0, quarterLength=1.0):
+            self.pitch = _M21Pitch(pitch_midi)
+            self.offset = offset
+            self.quarterLength = quarterLength
+
+    class _M21Rest:
+        def __init__(self):
+            self.offset = 0.0
+            self.quarterLength = 1.0
+
+    class _M21Chord:
+        def __init__(self, pitch_midis, offset=0.0, quarterLength=1.0):
+            self.pitches = [_M21Pitch(m) for m in sorted(pitch_midis)]
+            self.offset = offset
+            self.quarterLength = quarterLength
+
+        def sortAscending(self):
+            return self
+
+    class _M21Stream:
+        def __init__(self, elements=None):
+            self.elements = list(elements or [])
+
+        def append(self, el):
+            # music21 Stream.append places elements sequentially
+            off = 0.0
+            if self.elements:
+                last = self.elements[-1]
+                off = last.offset + last.quarterLength
+            el.offset = off
+            self.elements.append(el)
+
+        @property
+        def flat(self):
+            return self
+
+        @property
+        def highestTime(self):
+            return max((e.offset + e.quarterLength
+                        for e in self.elements), default=0.0)
+
+        def __iter__(self):
+            return iter(self.elements)
+
+    m21_note = _module("music21.note", Note=_M21Note, Rest=_M21Rest)
+    m21_chord = _module("music21.chord", Chord=_M21Chord)
+    m21_stream = _module("music21.stream", Stream=_M21Stream)
+    m21_conv = _module("music21.converter")
+    m21_instr = _module("music21.instrument")
+    m21_midi = _module("music21.midi")
+    m21 = _module("music21", note=m21_note, chord=m21_chord,
+                  stream=m21_stream, converter=m21_conv,
+                  instrument=m21_instr, midi=m21_midi)
+
     class _Bar:
         def __init__(self, *a, **k):
             pass
@@ -267,6 +329,13 @@ def install_stubs():
     tv = _module("torchvision")
 
     stubs = {
+        "music21": m21,
+        "music21.note": m21_note,
+        "music21.chord": m21_chord,
+        "music21.stream": m21_stream,
+        "music21.converter": m21_conv,
+        "music21.instrument": m21_instr,
+        "music21.midi": m21_midi,
         "pretty_midi": pm,
         "miditoolkit": mtk,
         "miditoolkit.midi": midi,
@@ -352,6 +421,32 @@ def load_processor():
     d = REF_MODEL + "/MusicTransformer"
     mods = _import_isolated([d], ["processor"], "ref_processor")
     return mods["processor"]
+
+
+def load_midi2note():
+    """mg/utils/midi2note.py: the Melody-RNN note-array codec. Executes
+    via the music21 stub; callers must provide numpy 1.x aliases
+    (np.int) around CALLS — see with_legacy_numpy()."""
+    mods = _import_isolated(["/root/reference/mg/utils"], ["midi2note"],
+                            "ref_midi2note")
+    return mods["midi2note"]
+
+
+class with_legacy_numpy:
+    """Context manager restoring numpy 1.x np.int for reference code
+    written against it (midi2note.py uses np.int, removed in numpy 2)."""
+
+    def __enter__(self):
+        import numpy as np
+        self._had = hasattr(np, "int")
+        np.int = int
+        return self
+
+    def __exit__(self, *exc):
+        import numpy as np
+        if not self._had:
+            del np.int
+        return False
 
 
 def load_event_rnn():

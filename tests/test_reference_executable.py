@@ -914,3 +914,97 @@ def test_pedal_codec_decode_executable_parity():
             np.testing.assert_allclose([os_, oe_], [rs_, re_],
                                        rtol=0, atol=1.5 / 960,
                                        err_msg=f"trial {trial}")
+
+
+# ==========================================================================
+# (vii) Melody note-array codec (mg/utils/midi2note.py via a music21
+#       stub; numpy 1.x aliases restored around calls)
+# ==========================================================================
+
+def test_melody_note_array_executable_parity():
+    """streamToNoteArray (midi2note.py:13-42: grid-snap, highest-pitch
+    dedup per semiquaver, note-off placement) executed by the reference
+    on a stubbed music21 stream vs our midi_to_note_array on the SAME
+    note content as an in-memory MidiFile (quarter -> 480-tick grid)."""
+    mod = rs.load_midi2note()
+    m21 = __import__("music21")
+    from musicgeneration_tpu.midi.containers import (Instrument, Note,
+                                                     TempoChange)
+    from musicgeneration_tpu.midi.smf import MidiFile
+    from musicgeneration_tpu.tokenizers import melody
+
+    rng = np.random.default_rng(51)
+    for trial in range(15):
+        n = int(rng.integers(3, 40))
+        # quarter-unit content on the semiquaver grid (both sides snap
+        # by round(x/0.25); on-grid content keeps the comparison exact)
+        offs = np.sort(rng.integers(0, 64, size=n)) * 0.25
+        durs = rng.integers(1, 9, size=n) * 0.25
+        pitches = rng.integers(40, 100, size=n)
+
+        elements = [m21.note.Note(int(p), float(o), float(d))
+                    for o, d, p in zip(offs, durs, pitches)]
+        if trial % 3 == 0 and n > 4:  # sprinkle chords: highest wins
+            elements[2] = m21.chord.Chord(
+                [int(pitches[2]), int(pitches[2]) - 5],
+                float(offs[2]), float(durs[2]))
+        stream = m21.stream.Stream(elements)
+        with rs.with_legacy_numpy():
+            ref_arr = mod.streamToNoteArray(stream)
+
+        midi = MidiFile(ticks_per_beat=480)
+        midi.tempo_changes = [TempoChange(tempo=120.0, time=0)]
+        inst = Instrument(0, False, "melody")
+        for el in elements:
+            if isinstance(el, m21.chord.Chord):
+                for pc in el.pitches:
+                    inst.notes.append(Note(
+                        velocity=100, pitch=pc.midi,
+                        start=int(el.offset * 480),
+                        end=int((el.offset + el.quarterLength) * 480)))
+            else:
+                inst.notes.append(Note(
+                    velocity=100, pitch=el.pitch.midi,
+                    start=int(el.offset * 480),
+                    end=int((el.offset + el.quarterLength) * 480)))
+        midi.instruments.append(inst)
+        our_arr = melody.midi_to_note_array(midi)
+
+        # the reference emits total_length+2 slots; ours sizes off the
+        # last note end — compare the common prefix and require the
+        # reference's tail to be silent
+        m_len = min(len(ref_arr), len(our_arr))
+        np.testing.assert_array_equal(our_arr[:m_len], ref_arr[:m_len],
+                                      err_msg=f"trial {trial}")
+        assert all(v in (128, 129) for v in ref_arr[m_len:])
+        assert all(v == 129 for v in our_arr[m_len:])
+
+
+def test_melody_note_array_to_stream_executable_parity():
+    """noteArrayToStream (midi2note.py:57-73) vs our
+    note_array_to_midi on random note arrays: same reconstructed
+    (pitch, start, duration) content (the reference's Rest elements are
+    our gaps)."""
+    mod = rs.load_midi2note()
+    from musicgeneration_tpu.tokenizers import melody
+
+    m21 = __import__("music21")
+    rng = np.random.default_rng(52)
+    for trial in range(10):
+        arr = rng.choice(
+            np.concatenate([rng.integers(40, 100, size=6),
+                            [128, 129, 129]]),
+            size=rng.integers(8, 60)).astype(np.int16)
+        with rs.with_legacy_numpy():
+            ref_stream = mod.noteArrayToStream(arr)
+        ref_notes = [(e.pitch.midi, e.offset, e.quarterLength)
+                     for e in ref_stream.elements
+                     if isinstance(e, m21.note.Note)]
+        our_mid = melody.note_array_to_midi(arr)
+        our_notes = [(n.pitch, n.start / 480.0, (n.end - n.start) / 480.0)
+                     for n in our_mid.instruments[0].notes]
+        assert len(ref_notes) == len(our_notes), f"trial {trial}"
+        for (rp, ro, rd), (op, oo, od) in zip(ref_notes, our_notes):
+            assert rp == op, f"trial {trial}"
+            np.testing.assert_allclose([oo, od], [ro, rd], atol=1e-9,
+                                       err_msg=f"trial {trial}")
