@@ -243,9 +243,11 @@ def generate_dp(model, params, prompt, rng, decode_params: DecodeParams,
     DataParallel in MusicTransformer/parallel.py:69-98): batch rows are
     sharded over 'data', params replicated, and every shard runs the
     same compiled KV-cached decode scan (fused Pallas kernels included —
-    shard_map hands each device its own B/dp-row kernel invocation).
-    There are no collectives in the decode loop, so throughput scales
-    linearly with the axis size.
+    shard_map hands each device its own B/dp-row kernel invocation, the
+    same composition the ring-attention kernels use; validated on the
+    CPU virtual-device mesh — a multi-chip ICI run is impossible in
+    this 1-chip environment). There are no collectives in the decode
+    loop, so throughput scales linearly with the axis size.
 
     Greedy decoding is token-identical to the single-device engine;
     sampled runs fold the shard index into the rng (independent streams,
