@@ -146,7 +146,7 @@ def main():
     speedup = toks_per_sec / ref_toks_per_sec
 
     if os.environ.get("MG_BENCH_SWEEP"):
-        for b in (16, 32, 64):
+        for b in (16, 32, 64, 128):
             try:
                 tps, _ = bench_decode(model, params, batch=b)
                 print(f"# decode batch={b}: {tps:.0f} tok/s", file=sys.stderr)
