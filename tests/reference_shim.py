@@ -461,6 +461,39 @@ def load_performance_rnn():
     return mods["PerformanceRNN.network"]
 
 
+def load_utils_data():
+    """mg/model/utils/data.py: the dataset/batching layer
+    (Melody_Arrangement_Dataset.get_mask/label_mask, Event_Dataset,
+    SeqBatchify). Its bar_id/pos_id helpers do DEFERRED
+    `from mg.model...` imports at call time, so synthetic mg.* aliases
+    pointing at the captured reference modules are installed
+    permanently (names that collide with nothing)."""
+    if "ref_utils_data" in _cache:
+        return _cache["ref_utils_data"]["utils.data"]
+    mods = _import_isolated(
+        [REF_MODEL, "/root/reference"],
+        ["utils.data", "PoPMAG_RNN.config"],
+        "ref_utils_data")
+    data_mod = mods["utils.data"]
+    cfg = mods["PoPMAG_RNN.config"]
+    mg = _module("mg")
+    mg_model = _module("mg.model")
+    mg_pop = _module("mg.model.PoPMAG_RNN")
+    mg_pop_cfg = _module("mg.model.PoPMAG_RNN.config", model=cfg.model)
+    mg_utils = _module("mg.model.utils")
+    mg_mumidi = _module("mg.model.utils.MuMIDI",
+                        MuMIDI_EventSeq=data_mod.MuMIDI_EventSeq)
+    for name, mod in {
+        "mg": mg, "mg.model": mg_model,
+        "mg.model.PoPMAG_RNN": mg_pop,
+        "mg.model.PoPMAG_RNN.config": mg_pop_cfg,
+        "mg.model.utils": mg_utils,
+        "mg.model.utils.MuMIDI": mg_mumidi,
+    }.items():
+        sys.modules.setdefault(name, mod)
+    return data_mod
+
+
 def load_popmag():
     mods = _import_isolated(
         [REF_MODEL], ["PoPMAG_RNN.network"], "ref_popmag")

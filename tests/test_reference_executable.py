@@ -1008,3 +1008,141 @@ def test_melody_note_array_to_stream_executable_parity():
             assert rp == op, f"trial {trial}"
             np.testing.assert_allclose([oo, od], [ro, rd], atol=1e-9,
                                        err_msg=f"trial {trial}")
+
+
+# ==========================================================================
+# (viii) Dataset/batching layer: PoPMAG compound packing + labels
+#        (mg/model/utils/data.py Melody_Arrangement_Dataset)
+# ==========================================================================
+
+def _segmented_fixture_seqs(tmp_path, n=3):
+    from .fixtures import multitrack_midi
+    from musicgeneration_tpu.tokenizers import mumidi
+
+    seqs = []
+    for i in range(n):
+        path = str(tmp_path / f"pk{i}.mid")
+        multitrack_midi(path, seed=20 + i)
+        mel, arr = mumidi.MuMIDI_EventSeq.extract_split_events(path)
+        mel = mumidi.MuMIDI_EventSeq.to_array(mel)
+        arr = mumidi.MuMIDI_EventSeq.to_array(arr)
+        seqs.append([np.asarray(b, np.int64) for b in
+                     mumidi.MuMIDI_EventSeq.segmentation(arr)][:6])
+        seqs.append([np.asarray(b, np.int64) for b in
+                     mumidi.MuMIDI_EventSeq.segmentation(mel)][:6])
+    return [s for s in seqs if s]
+
+
+def test_popmag_get_mask_executable_parity(tmp_path):
+    """Melody_Arrangement_Dataset.get_mask (utils/data.py:218-312: the
+    7-tuple compound-embedding id packing, incl. the bar-token row's
+    NEXT-bar id and the tempo two-row split) executed by the reference
+    vs our data/mumidi_packing.pack_compound, on segmented fixture
+    sequences — padded tensors AND per-bar lengths equal."""
+    data_mod = rs.load_utils_data()
+    from musicgeneration_tpu.data import mumidi_packing as mp
+
+    seqs = _segmented_fixture_seqs(tmp_path)
+    batch_in = [[b.tolist() for b in s] for s in seqs]
+    for delta in (0, 1):
+        pad, lens = data_mod.Melody_Arrangement_Dataset.get_mask(
+            batch_in, delta=delta)
+        pad, lens = pad.numpy(), lens.numpy()
+
+        ours = [mp.pack_compound(s, delta=-1 if delta else 0)
+                for s in seqs]
+        mx_bars = max(len(a) for a, _ in ours)
+        mx_len = max(max(l) for _, l in ours)
+        got = np.zeros((len(seqs), mx_bars, mx_len, 7), np.int64)
+        got_lens = np.ones((len(seqs), mx_bars))
+        for bi, (arrs, ls) in enumerate(ours):
+            for gi, a in enumerate(arrs):
+                got[bi, gi, :len(a)] = a
+                got_lens[bi, gi] = len(a)
+        assert pad.shape == got.shape, f"delta={delta}"
+        np.testing.assert_array_equal(got, pad.astype(np.int64),
+                                      err_msg=f"delta={delta}")
+        np.testing.assert_array_equal(got_lens, lens,
+                                      err_msg=f"delta={delta}")
+
+
+def test_popmag_label_mask_executable_parity(tmp_path):
+    """Melody_Arrangement_Dataset.label_mask (utils/data.py:314-418:
+    3-head labels with per-head index shifts + loss mask) vs our
+    pack_labels."""
+    data_mod = rs.load_utils_data()
+    from musicgeneration_tpu.data import mumidi_packing as mp
+
+    seqs = _segmented_fixture_seqs(tmp_path)
+    batch_in = [[b.tolist() for b in s] for s in seqs]
+    pad, mask = data_mod.Melody_Arrangement_Dataset.label_mask(batch_in)
+    pad, mask = pad.numpy(), mask.numpy()
+
+    ours = [mp.pack_labels(s) for s in seqs]
+    mx_bars = max(len(a) for a, _ in ours)
+    mx_len = max(len(b) for a, _ in ours for b in a)
+    got = np.zeros((len(seqs), mx_bars, mx_len, 3), np.int64)
+    got_mask = np.zeros_like(got)
+    for bi, (labels, masks) in enumerate(ours):
+        for gi, (a, m) in enumerate(zip(labels, masks)):
+            got[bi, gi, :len(a)] = a
+            got_mask[bi, gi, :len(m)] = m
+    assert pad.shape == got.shape
+    np.testing.assert_array_equal(got, pad.astype(np.int64))
+    np.testing.assert_array_equal(got_mask, mask.astype(np.int64))
+
+
+def test_controlseq_recover_executable_parity():
+    """ControlSeq.recover_compressed_array (utils/sequence.py:385-407)
+    vs ours on fuzzed compressed arrays."""
+    ref = rs.load_utils().sequence
+    from musicgeneration_tpu.tokenizers import midilike
+
+    rng = np.random.default_rng(61)
+    for trial in range(10):
+        ids = rng.integers(0, 308, size=rng.integers(30, 300))
+        comp = midilike.ControlSeq.compressed_from_ids(ids)
+        ref_rec = ref.ControlSeq.recover_compressed_array(comp)
+        our_rec = midilike.ControlSeq.recover_compressed_array(comp)
+        np.testing.assert_allclose(np.asarray(our_rec),
+                                   np.asarray(ref_rec), atol=1e-12,
+                                   err_msg=f"trial {trial}")
+
+
+def test_event_dataset_windowing_executable_parity(tmp_path):
+    """Event_Dataset (utils/data.py:49-128) executed on a real
+    torch.save'd corpus dir vs our window_indices/gather_windows:
+    identical window index lists (incl. the exclusive-stop tail-drop
+    quirk), identical time-major SegBatchify blocks, and the same
+    length-percentile stat."""
+    data_mod = rs.load_utils_data()
+    from musicgeneration_tpu.data.batching import (gather_windows,
+                                                   window_indices)
+
+    rng = np.random.default_rng(71)
+    seqs = [rng.integers(0, 308, size=int(n)).astype(np.int64)
+            for n in rng.integers(40, 400, size=9)]
+    root = tmp_path / "corpus"
+    root.mkdir()
+    for i, s in enumerate(seqs):
+        # torch>=2.6 weights_only default rejects pickled numpy arrays;
+        # tensors round-trip and behave identically downstream
+        torch.save(torch.from_numpy(s), str(root / f"s{i}.data"))
+
+    ds = data_mod.Event_Dataset(str(root), limlen=64)
+    kept = [s for s in seqs if len(s) >= 64]
+    assert len(ds.samples) == len(kept)
+    # find_files_by_extensions walks in os.walk order — align ours to
+    # the reference's own loading order for index comparison
+    ref_lens = list(ds.seqlens)
+
+    window, stride, = 32, 7
+    ref_idx = ds.batches(4, window, stride)
+    our_idx = window_indices(ref_lens, window, stride)
+    assert [(i, (s, s + window)) for i, s in our_idx] == ref_idx
+
+    take = ref_idx[:6]
+    ref_block = ds.SegBatchify(take)
+    our_block = gather_windows(ds.samples, np.asarray(
+        [(i, s) for i, (s, _) in take]), window, time_major=True)
+    np.testing.assert_array_equal(our_block, ref_block)
