@@ -408,11 +408,12 @@ def load_music_transformer():
     'utils'/'config'/'sequence' resolve to ITS local copies."""
     d = REF_MODEL + "/MusicTransformer"
     mods = _import_isolated(
-        [d], ["layers", "criterion", "network", "utils"],
+        [d], ["layers", "criterion", "network", "utils", "metrics"],
         "ref_music_transformer")
     return types.SimpleNamespace(
         layers=mods["layers"], criterion=mods["criterion"],
-        network=mods["network"], utils=mods["utils"])
+        network=mods["network"], utils=mods["utils"],
+        metrics=mods["metrics"])
 
 
 def load_processor():

