@@ -152,6 +152,24 @@ def main():
                 print(f"# decode batch={b}: {tps:.0f} tok/s", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 print(f"# decode batch={b} skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_SCALE"):
+        # decode model-size scaling (BASELINE.md scale rows): fused
+        # kernels auto-select resident (d256) / grid (d512) / stream
+        # (d1024) vs the XLA decode path
+        for d in (512, 1024):
+            for impl in ("fused", "xla"):
+                try:
+                    m = MusicTransformer(vocab_size=309, num_layers=6,
+                                         d_model=d, max_seq=2048,
+                                         dtype=dtype, decode_impl=impl)
+                    p = m.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8), jnp.int32))["params"]
+                    tps, _ = bench_decode(m, p)
+                    print(f"# decode d{d} {impl}: {tps:.0f} tok/s",
+                          file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    print(f"# decode d{d} {impl} skipped: {e}",
+                          file=sys.stderr)
     try:
         files_per_sec = bench_tokenize()
         import multiprocessing

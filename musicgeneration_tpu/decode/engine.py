@@ -162,9 +162,24 @@ def generate(
             prompt_len=prompt_len)
 
     sp = dp.sampling
+
+    def _loop_kernel_fits() -> bool:
+        # the chunk megakernel has no layer-grid/streaming variant: ALL
+        # stacked weights + embed/head/pos/E must be VMEM-resident, so
+        # it is only eligible where the RESIDENT step kernel is (d512+
+        # models decode through the grid/stream per-step kernels)
+        from ..ops.pallas_decode import decode_vmem_bytes
+        try:
+            return decode_vmem_bytes(
+                model.num_layers, model.d_model, model.vocab_size,
+                model.max_seq, 64) < 10 * 1024 * 1024
+        except AttributeError:
+            return False
+
     if (dp.use_loop_kernel and controls is None and cache0 is None
             and hasattr(model, "decode_loop")
             and getattr(model, "_decode_fused", lambda: False)()
+            and _loop_kernel_fits()
             # the on-core PRNG has no interpret-mode lowering: off-TPU
             # (tests force decode_impl="fused") only greedy is eligible
             and (sp.greedy or jax.default_backend() == "tpu")):
