@@ -203,6 +203,9 @@ def main(argv=None) -> int:
         if args.prime is None:
             raise SystemExit("popmag needs --prime <melody midi> "
                              "(melody -> arrangement seq2seq)")
+        if args.dp > 1:
+            raise SystemExit("--dp is not supported for the popmag "
+                             "bar-scan decoder yet")
         _generate_arrangement(model, params, cfg, args)
         return 0
     if cfg.model == "cp_transformer":
@@ -268,13 +271,16 @@ def main(argv=None) -> int:
         if nb > 1:
             raise SystemExit("--batch and --beam are mutually exclusive "
                              "(a beam already explores N hypotheses)")
+        if args.dp > 1:
+            raise SystemExit("--dp does not apply to beam search "
+                             "(single-hypothesis-set decode)")
         out = _beam_decode(model, params, prompt, args,
                            controls=controls, cache0=cache0)
     elif (cfg.model == "music_transformer"
           and len(prime) + args.steps > model.max_seq):
-        if nb > 1:
-            raise SystemExit("--batch with a continuation beyond max_seq "
-                             "(sliding window) is not supported")
+        if nb > 1 or args.dp > 1:
+            raise SystemExit("--batch/--dp with a continuation beyond "
+                             "max_seq (sliding window) is not supported")
         # continuation longer than the relative table: sliding-window
         # re-priming (the reference's threshold_len behavior done in
         # cached chunks — decode/engine.py)
