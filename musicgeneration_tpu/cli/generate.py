@@ -203,9 +203,7 @@ def main(argv=None) -> int:
         if args.prime is None:
             raise SystemExit("popmag needs --prime <melody midi> "
                              "(melody -> arrangement seq2seq)")
-        if args.dp > 1:
-            raise SystemExit("--dp is not supported for the popmag "
-                             "bar-scan decoder yet")
+
         _generate_arrangement(model, params, cfg, args)
         return 0
     if cfg.model == "cp_transformer":
@@ -488,14 +486,41 @@ def _generate_arrangement(model, params, cfg, args) -> None:
         src[0, gi, :len(arr)] = arr
     src_len = np.maximum(np.asarray(lens, np.int32), 1)[None]
 
+    nb = max(args.batch, 1)
+    if nb > 1:  # N stochastic arrangements: one latent per row
+        src = np.tile(src, (nb, 1, 1, 1))
+        src_len = np.tile(src_len, (nb, 1))
     init = jax.random.normal(jax.random.PRNGKey(args.seed),
-                             (1, model.init_dim))
-    tokens, valid = generate_arrangement(
-        model, params, init, jnp.asarray(src), jnp.asarray(src_len),
-        jax.random.PRNGKey(args.seed + 1), n_target_bar=len(bars),
-        greedy=(args.temperature == 0.0),
-        temperature=args.temperature or 1.0)
-    flat = flatten_arrangement(np.asarray(tokens), np.asarray(valid))[0]
+                             (nb, model.init_dim))
+    kwargs = dict(n_target_bar=len(bars),
+                  greedy=(args.temperature == 0.0),
+                  temperature=args.temperature or 1.0)
+    if args.dp > 1:
+        from ..decode.popmag_generate import generate_arrangement_dp
+        from ..parallel.mesh import make_mesh
+        if nb % args.dp:
+            raise SystemExit(f"--batch {nb} not divisible by --dp "
+                             f"{args.dp}")
+        mesh = make_mesh(dp=args.dp, tp=1, sp=1,
+                         devices=jax.devices()[:args.dp])
+        tokens, valid = generate_arrangement_dp(
+            model, params, init, jnp.asarray(src), jnp.asarray(src_len),
+            jax.random.PRNGKey(args.seed + 1), mesh=mesh, **kwargs)
+    else:
+        tokens, valid = generate_arrangement(
+            model, params, init, jnp.asarray(src), jnp.asarray(src_len),
+            jax.random.PRNGKey(args.seed + 1), **kwargs)
+    flats = flatten_arrangement(np.asarray(tokens), np.asarray(valid))
+    if nb > 1:
+        stem, ext = os.path.splitext(args.output)
+        for i, flat in enumerate(flats):
+            path_i = f"{stem}-{i:03d}{ext or '.mid'}"
+            MuMIDI_EventSeq.write_midi(MuMIDI_EventSeq.from_array(flat),
+                                       path_i)
+            print(f"wrote {path_i} ({len(flat)} tokens, "
+                  f"{len(bars)} bars)")
+        return
+    flat = flats[0]
     events = MuMIDI_EventSeq.from_array(flat)
     MuMIDI_EventSeq.write_midi(events, args.output)
     print(f"wrote {args.output} ({len(flat)} tokens, {len(bars)} bars)")

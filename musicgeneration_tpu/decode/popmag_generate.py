@@ -200,3 +200,38 @@ def flatten_arrangement(tokens: np.ndarray, valid: np.ndarray
                         seq.append(int(t[s, j]))
         out.append(np.asarray(seq, np.int64))
     return out
+
+
+@functools.lru_cache(maxsize=16)
+def _arrangement_dp_fn(model, n_target_bar, max_steps, greedy, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(params, init, src, src_len, rng, temperature):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        return generate_arrangement(
+            model, params, init, src, src_len, rng,
+            n_target_bar=n_target_bar, max_steps=max_steps,
+            greedy=greedy, temperature=temperature)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P(), P()),
+        out_specs=(P("data"), P("data")), check_vma=False))
+
+
+def generate_arrangement_dp(model, params, init, src, src_len, rng,
+                            n_target_bar: int, mesh,
+                            max_steps: int = 200, greedy: bool = True,
+                            temperature: float = 1.0):
+    """Data-parallel arrangement generation: batch rows (independent
+    latents/melodies) sharded over the mesh 'data' axis, like
+    decode/engine.py generate_dp. Greedy rows are identical to the
+    unsharded call; sampled rows use per-shard rng streams."""
+    if init.shape[0] % mesh.shape["data"]:
+        raise ValueError(
+            f"batch {init.shape[0]} not divisible by the data axis "
+            f"({mesh.shape['data']})")
+    fn = _arrangement_dp_fn(model, int(n_target_bar), int(max_steps),
+                            bool(greedy), mesh)
+    return fn(params, init, src, src_len, rng,
+              jnp.float32(max(temperature, 1e-6)))

@@ -170,3 +170,33 @@ def test_dp_cp_generate_greedy_identical():
     sharded = generate_cp(model, params, prompt, rng, steps=6,
                           greedy=True, mesh=mesh)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_dp_popmag_arrangement_greedy_identical():
+    """PoPMAG bar-scan arrangement generation sharded over 'data'
+    (decode/popmag_generate.generate_arrangement_dp): greedy outputs
+    identical to the unsharded call."""
+    from musicgeneration_tpu.decode.popmag_generate import (
+        generate_arrangement,
+        generate_arrangement_dp,
+    )
+    from musicgeneration_tpu.models.popmag import PoPMAGRNN
+
+    model = PoPMAGRNN(embed_dim=16, hidden_dim=16, num_layers=1,
+                      init_dim=4, dropout_rate=0.0)
+    b, bars, s_len = 8, 2, 6
+    rng = np.random.default_rng(91)
+    src = jnp.asarray(rng.integers(0, 485, size=(b, bars, s_len, 7)))
+    src_len = jnp.asarray(rng.integers(1, s_len + 1, size=(b, bars)))
+    init = jax.random.normal(jax.random.PRNGKey(0), (b, 4))
+    params = model.init(jax.random.PRNGKey(1), init, src, src_len,
+                        src, src_len)["params"]
+    key = jax.random.PRNGKey(2)
+    t1, v1 = generate_arrangement(model, params, init, src, src_len,
+                                  key, n_target_bar=bars, max_steps=12)
+    mesh = make_mesh(dp=8, tp=1, sp=1)
+    t2, v2 = generate_arrangement_dp(model, params, init, src, src_len,
+                                     key, n_target_bar=bars, mesh=mesh,
+                                     max_steps=12)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
