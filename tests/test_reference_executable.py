@@ -1211,3 +1211,37 @@ def test_metrics_and_data_slicing_executable_parity(tmp_path):
     x, y = d.slide_seq2seq_batch(2, 64, mode="train")
     np.testing.assert_array_equal(x[:, 1:], y[:, :-1])
     assert x.shape == (2, 64) and y.shape == (2, 64)
+
+
+def test_chord_inference_direct_fuzz_executable_parity():
+    """MIDIChord.extract (utils/chord_inference.py:157-188) executed by
+    the reference on RANDOM note lists vs our tokenizers/chords.py —
+    beyond the fixture-driven extraction parity, this stresses root
+    tie-breaks (bass-note fallback), the ':None' greedy merge, and the
+    4-vs-2-beat window preference on adversarial content."""
+    ref_mod = rs.load_utils()
+    ref_chord = rs._import_isolated(
+        ["/root/reference/mg/model"], ["utils.chord_inference"],
+        "ref_chord_inference")["utils.chord_inference"]
+    from musicgeneration_tpu.midi.containers import Note as OurNote
+    from musicgeneration_tpu.tokenizers.chords import MIDIChord as Ours
+
+    mtk_note = ref_mod.miditoolkit.midi.containers.Note
+    rng = np.random.default_rng(101)
+    for trial in range(15):
+        n = int(rng.integers(2, 50))
+        starts = rng.integers(0, 480 * 12, size=n)
+        durs = rng.integers(60, 480 * 3, size=n)
+        pitches = rng.integers(30, 100, size=n)
+        if trial % 4 == 0:  # sparse single-pitch content -> :None merges
+            pitches[:] = pitches[0]
+        ref_notes = [mtk_note(velocity=80, pitch=int(p), start=int(s),
+                              end=int(s + d))
+                     for s, d, p in zip(starts, durs, pitches)]
+        our_notes = [OurNote(velocity=80, pitch=int(p), start=int(s),
+                             end=int(s + d))
+                     for s, d, p in zip(starts, durs, pitches)]
+        ref_out = ref_chord.MIDIChord().extract(ref_notes)
+        our_out = Ours().extract(our_notes)
+        assert [list(c) for c in our_out] == [list(c) for c in ref_out], \
+            f"trial {trial}"
