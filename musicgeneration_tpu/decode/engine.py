@@ -259,10 +259,12 @@ def generate_dp(model, params, prompt, rng, decode_params: DecodeParams,
     sharded over 'data', params replicated, and every shard runs the
     same compiled KV-cached decode scan (fused Pallas kernels included —
     shard_map hands each device its own B/dp-row kernel invocation, the
-    same composition the ring-attention kernels use; validated on the
-    CPU virtual-device mesh — a multi-chip ICI run is impossible in
-    this 1-chip environment). There are no collectives in the decode
-    loop, so throughput scales linearly with the axis size.
+    same composition the ring-attention kernels use; the fused kernel
+    under shard_map is token-equality-validated ON the real chip with a
+    1-device mesh, and multi-shard partitioning on the 8-virtual-device
+    CPU mesh — a multi-chip ICI run is impossible in this 1-chip
+    environment). There are no collectives in the decode loop, so
+    throughput scales linearly with the axis size.
 
     Greedy decoding is token-identical to the single-device engine;
     sampled runs fold the shard index into the rng (independent streams,
