@@ -194,9 +194,16 @@ def main(argv=None) -> int:
                          "cli.train or load it programmatically")
     cfg = TrainCLIConfig.from_dict(meta["cli"])
     scheme = meta.get("scheme", "midilike")
+    model_kwargs = dict(meta.get("model_kwargs", {}))
+    scanned = bool(model_kwargs.pop("scan_layers", False))
     model, _tcfg, _apply, _loss, _adapter = build_session(
-        cfg, scheme, dict(meta.get("model_kwargs", {})))
+        cfg, scheme, model_kwargs)
     params = payload["state"]["params"]
+    if scanned:
+        # scan_layers checkpoints store one stacked [L, ...] layer
+        # subtree; decoding uses the unrolled layout
+        from ..models.music_transformer import unstack_scanned_params
+        params = unstack_scanned_params(dict(params), model.num_layers)
     print(f"restored {cfg.model} at step {payload['step']} "
           f"(scheme={scheme})")
     if cfg.model == "popmag":

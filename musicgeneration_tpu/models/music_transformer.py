@@ -191,6 +191,48 @@ class EncoderLayer(nn.Module):
         return self.ln2(out1 + ffn), k, v
 
 
+class _ScanEncoderLayer(EncoderLayer):
+    """EncoderLayer with the (carry, out) signature nn.scan expects;
+    mask / deterministic / key_pad broadcast across the layer axis."""
+
+    def __call__(self, h, mask, deterministic, key_pad):  # noqa: D401
+        h = EncoderLayer.__call__(self, h, mask,
+                                  deterministic=deterministic,
+                                  key_pad=key_pad)
+        return h, None
+
+
+def unstack_scanned_params(params, num_layers: int):
+    """Convert a scan_layers=True param tree (one 'layers_scan'
+    subtree with a leading [L, ...] axis on every leaf) to the unrolled
+    'layer_i' layout the decode paths and existing checkpoints use.
+    Leaves outside 'layers_scan' pass through unchanged."""
+    import jax as _jax
+
+    if "layers_scan" not in params:
+        return params
+    out = {k: v for k, v in params.items() if k != "layers_scan"}
+    stacked = params["layers_scan"]
+    for i in range(num_layers):
+        out[f"layer_{i}"] = _jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
+def stack_layer_params(params, num_layers: int):
+    """Inverse of unstack_scanned_params: 'layer_i' subtrees ->
+    one stacked 'layers_scan' subtree."""
+    import jax as _jax
+
+    if "layer_0" not in params:
+        return params
+    out = {k: v for k, v in params.items()
+           if not k.startswith("layer_")}
+    out["layers_scan"] = _jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[params[f"layer_{i}"] for i in range(num_layers)])
+    return out
+
+
 @register_model("music_transformer")
 class MusicTransformer(nn.Module):
     """Reference defaults: vocab 388+2, d_model 256, 6 layers, max_seq 2048
@@ -213,6 +255,15 @@ class MusicTransformer(nn.Module):
     remat: bool = False  # jax.checkpoint each layer: trade recompute
     #                      FLOPs for activation memory (HBM headroom for
     #                      bigger batches/longer sequences)
+    scan_layers: bool = False  # run the trunk as ONE lax.scan over a
+    #   stacked [L, ...] layer-param axis instead of L unrolled layers.
+    #   The compiled program shrinks ~L-fold — first compiles on this
+    #   tunneled backend take minutes and the remote helper caps
+    #   program size (CLAUDE.md: L=4096 models trip it), so scan mode
+    #   is the big-model/compile-time lever. TRAIN/forward only; the
+    #   checkpoint's stacked tree converts to the unrolled layout with
+    #   models.music_transformer.unstack_scanned_params (cli.generate
+    #   does this automatically).
 
     @property
     def num_heads(self) -> int:
@@ -227,13 +278,33 @@ class MusicTransformer(nn.Module):
                                   dtype=self.dtype)
         self.pos_table = sinusoid_position_encoding(self.max_seq,
                                                     self.d_model)
-        self.layers = [
-            EncoderLayer(self.d_model, self.num_heads, self.max_seq,
-                         self.dropout_rate, dtype=self.dtype,
-                         attention_impl=self.attention_impl,
-                         mesh=self.mesh, name=f"layer_{i}")
-            for i in range(self.num_layers)
-        ]
+        if self.scan_layers:
+            body = _ScanEncoderLayer
+            if self.remat:
+                # remat composes with scan: each scan step recomputes
+                # its activations in the backward sweep
+                body = nn.remat(body, static_argnums=(3,))
+            scan_cls = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            self.scanned = scan_cls(
+                self.d_model, self.num_heads, self.max_seq,
+                self.dropout_rate, dtype=self.dtype,
+                attention_impl=self.attention_impl, mesh=self.mesh,
+                name="layers_scan")
+            self.layers = []
+        else:
+            self.layers = [
+                EncoderLayer(self.d_model, self.num_heads, self.max_seq,
+                             self.dropout_rate, dtype=self.dtype,
+                             attention_impl=self.attention_impl,
+                             mesh=self.mesh, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
         self.fc = nn.Dense(self.vocab_size, dtype=self.dtype)
         self.dropout = nn.Dropout(self.dropout_rate)
 
@@ -246,6 +317,9 @@ class MusicTransformer(nn.Module):
             self.dtype)
         h = h + jnp.asarray(self.pos_table[: x.shape[1]], self.dtype)[None]
         h = self.dropout(h, deterministic=deterministic)
+        if self.scan_layers:
+            h, _ = self.scanned(h, mask, deterministic, key_pad)
+            return self.fc(h).astype(jnp.float32)
         for layer in self.layers:
             if self.remat:
                 h = nn.remat(type(layer).__call__,

@@ -340,3 +340,88 @@ def test_remat_matches_no_remat():
     step = jax.jit(make_train_step(m1, tx, cfg))
     state, metrics = step(state, x, y)
     assert np.isfinite(float(metrics["loss"]))
+
+
+class TestScanLayers:
+    """scan_layers=True: the trunk as one lax.scan over a stacked layer
+    axis (compile-size lever for big-L models)."""
+
+    def _pair(self):
+        from musicgeneration_tpu.models.music_transformer import (
+            MusicTransformer,
+            stack_layer_params,
+        )
+        kw = dict(vocab_size=64, num_layers=3, d_model=128, max_seq=64,
+                  dropout_rate=0.0, attention_impl="xla")
+        m_u = MusicTransformer(**kw)
+        m_s = MusicTransformer(scan_layers=True, **kw)
+        x = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, 60)
+        p_u = m_u.init(jax.random.PRNGKey(0), x)["params"]
+        p_s = stack_layer_params(dict(p_u), 3)
+        return m_u, m_s, p_u, p_s, x
+
+    def test_forward_bit_equal(self):
+        m_u, m_s, p_u, p_s, x = self._pair()
+        lu = m_u.apply({"params": p_u}, x)
+        ls = m_s.apply({"params": p_s}, x)
+        np.testing.assert_array_equal(np.asarray(lu), np.asarray(ls))
+
+    def test_param_roundtrip(self):
+        from musicgeneration_tpu.models.music_transformer import (
+            unstack_scanned_params,
+        )
+        m_u, m_s, p_u, p_s, x = self._pair()
+        back = unstack_scanned_params(dict(p_s), 3)
+        lu = m_u.apply({"params": p_u}, x)
+        lb = m_u.apply({"params": back}, x)
+        np.testing.assert_array_equal(np.asarray(lu), np.asarray(lb))
+
+    def test_train_step_and_remat(self):
+        """Grad/loss flow through the scanned trunk (+remat compose)."""
+        from musicgeneration_tpu.models.music_transformer import (
+            MusicTransformer,
+        )
+        from musicgeneration_tpu.train.trainer import (
+            TrainerConfig,
+            create_train_state,
+            make_train_step,
+        )
+        for remat in (False, True):
+            m = MusicTransformer(vocab_size=64, num_layers=2,
+                                 d_model=128, max_seq=32,
+                                 scan_layers=True, remat=remat)
+            cfg = TrainerConfig(vocab_size=64, d_model=128, pad_id=63)
+            x = jax.random.randint(jax.random.PRNGKey(2), (2, 32), 0, 60)
+            y = jnp.roll(x, -1, axis=1)
+            state, tx = create_train_state(m, cfg, jax.random.PRNGKey(0),
+                                           x)
+            step = jax.jit(make_train_step(m, tx, cfg))
+            state, metrics = step(state, x, y)
+            assert np.isfinite(float(metrics["loss"])), f"remat={remat}"
+
+    def test_generate_cli_unstacks_scanned_checkpoint(self, tmp_path):
+        """cli.train model.scan_layers=True -> cli.generate decodes via
+        the unrolled layout (unstack_scanned_params)."""
+        from .fixtures import simple_piano_midi
+        from musicgeneration_tpu.cli.generate import main as generate_main
+        from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+        from musicgeneration_tpu.cli.train import main as train_main
+
+        midi_dir = tmp_path / "m"
+        midi_dir.mkdir()
+        for i in range(2):
+            simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i)
+        tok = str(tmp_path / "tok")
+        assert tokenize_main([str(midi_dir), tok, "--scheme", "midilike",
+                              "--workers", "1"]) == 0
+        ckpt = str(tmp_path / "ckpt")
+        assert train_main([tok, "model=music_transformer", "steps=2",
+                           "batch_size=2", "seq_len=32", "log_every=1",
+                           "model.num_layers=2", "model.d_model=64",
+                           "model.max_seq=64",
+                           "model.scan_layers=True",
+                           f"ckpt_dir={ckpt}"]) == 0
+        out = str(tmp_path / "o.mid")
+        assert generate_main([ckpt, out, "--steps", "8",
+                              "--temperature", "0"]) == 0
+        assert (tmp_path / "o.mid").exists()
