@@ -43,6 +43,10 @@ class CPTransformer(nn.Module):
     decode_impl: str = "auto"  # "auto" | "fused" | "xla": the same
     #                            whole-stack Pallas decode-step kernel
     #                            MusicTransformer uses (auto on TPU)
+    scan_layers: bool = False  # lax.scan trunk (31x faster compiles at
+    #                            step parity — see MusicTransformer);
+    #                            train/forward only, cli.generate
+    #                            unstacks the checkpoint
 
     @property
     def num_heads(self) -> int:
@@ -55,13 +59,29 @@ class CPTransformer(nn.Module):
                                            cp.field_names())]
         self.pos_table = sinusoid_position_encoding(self.max_seq,
                                                     self.d_model)
-        self.layers = [
-            EncoderLayer(self.d_model, self.num_heads, self.max_seq,
-                         self.dropout_rate, dtype=self.dtype,
-                         attention_impl=self.attention_impl,
-                         mesh=self.mesh, name=f"layer_{i}")
-            for i in range(self.num_layers)
-        ]
+        if self.scan_layers:
+            from .music_transformer import _ScanEncoderLayer
+            scan_cls = nn.scan(
+                _ScanEncoderLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            self.scanned = scan_cls(
+                self.d_model, self.num_heads, self.max_seq,
+                self.dropout_rate, dtype=self.dtype,
+                attention_impl=self.attention_impl, mesh=self.mesh,
+                name="layers_scan")
+            self.layers = []
+        else:
+            self.layers = [
+                EncoderLayer(self.d_model, self.num_heads, self.max_seq,
+                             self.dropout_rate, dtype=self.dtype,
+                             attention_impl=self.attention_impl,
+                             mesh=self.mesh, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
         self.heads = [nn.Dense(fd, dtype=self.dtype,
                                name=f"head_{name}")
                       for fd, name in zip(self.field_dims,
@@ -82,8 +102,11 @@ class CPTransformer(nn.Module):
         # causal-only mask (CP crops carry no pad rows)
         tt = jnp.arange(t)
         mask = (tt[None, :] > tt[:, None])[None, None].astype(jnp.float32)
-        for layer in self.layers:
-            h = layer(h, mask, deterministic=deterministic)
+        if self.scan_layers:
+            h, _ = self.scanned(h, mask, deterministic, None)
+        else:
+            for layer in self.layers:
+                h = layer(h, mask, deterministic=deterministic)
         return [head(h).astype(jnp.float32) for head in self.heads]
 
     # -- incremental decoding ----------------------------------------------

@@ -276,3 +276,27 @@ def test_cp_prefill_matches_sequential_ingestion():
     for i, (a, c) in enumerate(zip(l1, l2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=2e-4, err_msg=f"next head {i}")
+
+
+def test_cp_scan_layers_bit_equal():
+    """CPTransformer scan_layers trunk == unrolled under transplanted
+    stacked params (see MusicTransformer TestScanLayers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from musicgeneration_tpu.models.cp_transformer import CPTransformer
+    from musicgeneration_tpu.models.music_transformer import (
+        stack_layer_params,
+    )
+
+    kw = dict(num_layers=2, d_model=64, max_seq=32, dropout_rate=0.0,
+              attention_impl="xla")
+    x = jnp.zeros((2, 8, 8), jnp.int32)
+    m_u = CPTransformer(**kw)
+    p_u = m_u.init(jax.random.PRNGKey(0), x)["params"]
+    m_s = CPTransformer(scan_layers=True, **kw)
+    p_s = stack_layer_params(dict(p_u), 2)
+    for a, b in zip(m_u.apply({"params": p_u}, x),
+                    m_s.apply({"params": p_s}, x)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
