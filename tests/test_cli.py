@@ -367,6 +367,7 @@ def test_generate_temperature_zero_is_greedy(tmp_path):
     assert outs[0] == outs[1]  # greedy: seed must not matter
 
 
+@pytest.mark.slow
 def test_generate_dp_sharded_batch(tok_dir, tmp_path):
     """cli.generate --dp N: batch sharded over the 'data' mesh axis;
     greedy output identical to --dp 1 (decode/engine.py generate_dp)."""

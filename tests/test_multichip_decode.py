@@ -172,6 +172,7 @@ def test_dp_cp_generate_greedy_identical():
     np.testing.assert_array_equal(sharded, single)
 
 
+@pytest.mark.slow
 def test_dp_popmag_arrangement_greedy_identical():
     """PoPMAG bar-scan arrangement generation sharded over 'data'
     (decode/popmag_generate.generate_arrangement_dp): greedy outputs

@@ -399,6 +399,7 @@ class TestScanLayers:
             state, metrics = step(state, x, y)
             assert np.isfinite(float(metrics["loss"])), f"remat={remat}"
 
+    @pytest.mark.slow
     def test_generate_cli_unstacks_scanned_checkpoint(self, tmp_path):
         """cli.train model.scan_layers=True -> cli.generate decodes via
         the unrolled layout (unstack_scanned_params)."""
