@@ -225,7 +225,11 @@ def _fwd_impl(q, k, v, e, mesh, axis_name, causal, batch_axis, key_pad):
     if l_ > e.shape[0]:
         raise ValueError(f"L={l_} exceeds the relative table "
                          f"({e.shape[0]})")
-    interpret = jax.default_backend() != "tpu"
+    # gate interpret on the MESH's devices, not the process default
+    # backend: a CPU virtual-device mesh inside a TPU-default process
+    # (e.g. dryrun after a TPU compile in the same process) must still
+    # take the interpret emulator
+    interpret = mesh.devices.flat[0].platform != "tpu"
     others = [sz for name, sz in mesh.shape.items() if name != axis_name]
     if all(sz == 1 for sz in others):
         # collapse to a 1-axis mesh: the interpret-mode DMA emulator
