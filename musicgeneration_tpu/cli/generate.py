@@ -73,6 +73,22 @@ def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
         raise ValueError(f"cannot write scheme {scheme!r}")
 
 
+def _dp_mesh(dp: int, batch: int):
+    """Shared --dp validation + mesh construction for the engine, CP
+    and PoPMAG decode branches: friendly SystemExit on too-few devices
+    or a non-divisible batch instead of a make_mesh reshape error."""
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    if batch % dp:
+        raise SystemExit(f"--batch {batch} not divisible by --dp {dp}")
+    if len(jax.devices()) < dp:
+        raise SystemExit(f"--dp {dp} needs {dp} devices, have "
+                         f"{len(jax.devices())}")
+    return make_mesh(dp=dp, tp=1, sp=1, devices=jax.devices()[:dp])
+
+
 def _parse_control(spec: str, index: Optional[int],
                    seed: int) -> np.ndarray:
     """--control value -> control array [S, control_dim].
@@ -326,16 +342,8 @@ def main(argv=None) -> int:
             # batch-sharded decode over the 'data' mesh axis
             # (decode/engine.py generate_dp)
             from ..decode.engine import generate_dp
-            from ..parallel.mesh import make_mesh
 
-            if nb % args.dp:
-                raise SystemExit(f"--batch {nb} not divisible by "
-                                 f"--dp {args.dp}")
-            if len(jax.devices()) < args.dp:
-                raise SystemExit(f"--dp {args.dp} needs {args.dp} "
-                                 f"devices, have {len(jax.devices())}")
-            mesh = make_mesh(dp=args.dp, tp=1, sp=1,
-                             devices=jax.devices()[:args.dp])
+            mesh = _dp_mesh(args.dp, nb)
             outs = np.asarray(generate_dp(
                 model, params, prompt, jax.random.PRNGKey(args.seed),
                 dp, mesh, controls, cache0, prompt_len))
@@ -434,12 +442,7 @@ def _generate_cp(model, params, cfg, args) -> None:
     prompt = jnp.tile(jnp.asarray(rows, jnp.int32)[None], (nb, 1, 1))
     mesh = None
     if getattr(args, "dp", 1) > 1:
-        from ..parallel.mesh import make_mesh
-        if nb % args.dp:
-            raise SystemExit(f"--batch {nb} not divisible by --dp "
-                             f"{args.dp}")
-        mesh = make_mesh(dp=args.dp, tp=1, sp=1,
-                         devices=jax.devices()[:args.dp])
+        mesh = _dp_mesh(args.dp, nb)
     out = generate_cp(model, params, prompt,
                       jax.random.PRNGKey(args.seed), steps=args.steps,
                       max_len=rows.shape[0] + args.steps,
@@ -504,12 +507,7 @@ def _generate_arrangement(model, params, cfg, args) -> None:
                   temperature=args.temperature or 1.0)
     if args.dp > 1:
         from ..decode.popmag_generate import generate_arrangement_dp
-        from ..parallel.mesh import make_mesh
-        if nb % args.dp:
-            raise SystemExit(f"--batch {nb} not divisible by --dp "
-                             f"{args.dp}")
-        mesh = make_mesh(dp=args.dp, tp=1, sp=1,
-                         devices=jax.devices()[:args.dp])
+        mesh = _dp_mesh(args.dp, nb)
         tokens, valid = generate_arrangement_dp(
             model, params, init, jnp.asarray(src), jnp.asarray(src_len),
             jax.random.PRNGKey(args.seed + 1), mesh=mesh, **kwargs)

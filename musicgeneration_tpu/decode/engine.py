@@ -165,14 +165,18 @@ def generate(
 
     def _loop_kernel_fits() -> bool:
         # the chunk megakernel has no layer-grid/streaming variant: ALL
-        # stacked weights + embed/head/pos/E must be VMEM-resident, so
-        # it is only eligible where the RESIDENT step kernel is (d512+
-        # models decode through the grid/stream per-step kernels)
-        from ..ops.pallas_decode import decode_vmem_bytes
+        # stacked weights + embed/head/pos/E + the chunk K/V buffers
+        # must be VMEM-resident, so it is only eligible where the
+        # RESIDENT step kernel is (d512+ models decode through the
+        # grid/stream per-step kernels). The footprint estimate is the
+        # loop kernel's own (decode_loop_vmem_bytes — includes the
+        # embed/pos/head/chunk terms the step-kernel estimate omits).
+        from ..ops.pallas_decode_loop import decode_loop_vmem_bytes
         try:
-            return decode_vmem_bytes(
+            return decode_loop_vmem_bytes(
                 model.num_layers, model.d_model, model.vocab_size,
-                model.max_seq, 64) < 10 * 1024 * 1024
+                dp.max_len, model.d_model // model.num_heads,
+                batch=b) < 14 * 1024 * 1024
         except AttributeError:
             return False
 
@@ -236,9 +240,13 @@ def _dp_generate_fn(model, decode_params, mesh, ctrl_ndim: int,
     if cache_struct is None:
         cache_spec = None
     else:
+        # batch rides axis 1 of every >=2-D cache leaf ([L, B, ...]
+        # hidden stacks); scalar/1-D leaves (step counters etc.) carry
+        # no batch axis and must be replicated, not sliced
         cache_spec = jax.tree.unflatten(
             cache_struct[0],
-            [P(*([None, "data"] + [None] * (nd - 2)))
+            [P() if nd < 2
+             else P(*([None, "data"] + [None] * (nd - 2)))
              for nd in cache_struct[1]])
     fn = jax.shard_map(
         shard_fn, mesh=mesh,

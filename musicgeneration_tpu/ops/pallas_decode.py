@@ -506,10 +506,21 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
         kv0 = 4 * b * block_k * d * bytes_kv
         if fixed + kv0 <= 14 * 1024 * 1024:
             grid = False
-        elif grid_fixed + kv0 <= 16 * 1024 * 1024 or d % 256:
-            # stream tiling needs d and d//2 divisible by the 128-wide
-            # column tiles; odd widths stay on the grid variant
+        elif grid_fixed + kv0 <= 16 * 1024 * 1024:
             grid = True
+        elif d % 256:
+            # stream tiling needs d and d//2 divisible by the 128-wide
+            # column tiles; an odd width whose grid double-buffer also
+            # overflows has no fused kernel — fail clearly instead of
+            # handing Mosaic an over-budget program (the model-level
+            # _decode_fused gate protects the auto path; this protects
+            # direct callers)
+            raise ValueError(
+                f"fused_decode_step: no kernel mode fits d_model={d} — "
+                f"resident set {fixed + kv0} B > 14 MiB, layer-grid "
+                f"double buffer {grid_fixed + kv0} B > 16 MiB, and the "
+                f"weight-streaming kernel needs d_model % 256 == 0. "
+                "Use the XLA decode path for this configuration")
         else:
             grid = "stream"
     # column-tile width for the streaming matmuls (MG_DECODE_WTILE

@@ -54,6 +54,30 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def decode_loop_vmem_bytes(num_layers: int, d: int, vocab: int,
+                           cache_len: int, dh: int, chunk: int = 32,
+                           block_k: int = 128, batch: int = 8,
+                           bytes_per: int = 2) -> int:
+    """VMEM footprint of the chunk megakernel — unlike the per-step
+    estimate (pallas_decode.decode_vmem_bytes) this counts EVERYTHING
+    the loop kernel keeps resident: stacked weights, the E table sliced
+    to the cache length (+ block/chunk slack, f32), the f32 positional
+    table, padded embed matrix + output head, the f32 chunk K/V output
+    buffers, in/out logits, and the KV stream double buffers. The
+    engine's eligibility gate uses this so a borderline config falls
+    back to the per-step kernel instead of overflowing at compile."""
+    vpad = _round_up(vocab, 128)
+    w = num_layers * (4 * d * d + 2 * d * (d // 2)) * bytes_per
+    e = num_layers * (cache_len + block_k + chunk) * dh * 4
+    pos = cache_len * d * 4
+    embed = vpad * d * bytes_per
+    head = d * vpad * bytes_per + vpad * 4
+    chunk_kv = 2 * num_layers * batch * chunk * d * 4
+    logits = 2 * batch * vpad * 4
+    bufs = 4 * batch * block_k * d * bytes_per
+    return w + e + pos + embed + head + chunk_kv + logits + bufs
+
+
 def _sortable_key(x, bitcast):
     """f32 -> int32 key, strictly monotone in float order (negatives:
     XOR the low 31 bits; sign bit keeps them below positives)."""
@@ -95,7 +119,17 @@ def sample_mask(scaled, top_k: int, top_p: float, bitcast=None):
     both found as an integer threshold on order-isomorphic int32 keys
     by 32-step bisection (count / masked-mass reductions per step).
     bitcast: f32->int32 bit reinterpret (pltpu.bitcast in kernels;
-    defaults to lax.bitcast_convert_type for plain jax use/tests)."""
+    defaults to lax.bitcast_convert_type for plain jax use/tests).
+
+    Boundary tolerance: the top-p mass here sums masked probabilities
+    in UNSORTED f32 order while the XLA sampler cumsums sorted probs —
+    when the cumulative mass lands within float-reassociation distance
+    (~1e-7 relative) of p EXACTLY at a kept/dropped boundary, the two
+    could keep different (both valid, off-by-one-element) sets. Set
+    equality is fuzz-locked at V=309 and V=4096
+    (tests/test_pallas_decode.py) where no such collision occurs with
+    random logits; an adversarial p chosen equal to a partial sum could
+    differ by the boundary element."""
     if bitcast is None:
         def bitcast(x):
             return jax.lax.bitcast_convert_type(x, jnp.int32)

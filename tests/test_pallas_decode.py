@@ -368,6 +368,78 @@ def test_sample_mask_padded_vocab():
         assert not got_mask[:, 309:].any()
 
 
+def test_sample_mask_large_vocab():
+    """Set equality with the XLA sampler at a production vocab size
+    (4096 — the documented boundary tolerance of the unsorted top-p
+    mass only bites at adversarial p exactly equal to a partial sum;
+    random logits never land there)."""
+    from musicgeneration_tpu.ops.pallas_decode_loop import sample_mask
+
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        b, v = 2, 4096
+        logits = rng.randn(b, v).astype(np.float32) * 4
+        if trial % 2 == 0:  # boundary ties at scale
+            logits[:, 1000:1032] = logits[:, 999:1000]
+        top_k = [0, 50, 1, 4096][trial % 4]
+        top_p = [0.9, 1.0, 0.5, 0.995][(trial // 2) % 4]
+        if top_k == 0 and top_p == 1.0:
+            continue
+        scaled = jnp.asarray(logits)
+        ref_mask = _xla_mask_sets(scaled, top_k, top_p)
+        got = np.asarray(sample_mask(scaled, top_k, top_p))
+        np.testing.assert_array_equal(
+            got > -1e29, ref_mask,
+            err_msg=f"trial {trial} k={top_k} p={top_p}")
+
+
+def test_fused_decode_no_mode_fits_raises():
+    """An odd d_model whose grid double-buffer also overflows must fail
+    with a descriptive ValueError, not an opaque Mosaic compile error
+    (ADVICE r3)."""
+    from musicgeneration_tpu.ops.pallas_decode import fused_decode_step
+
+    # d=1152 (not divisible by 256): resident and grid both overflow
+    # at max_seq 8192, stream is ineligible
+    l_, b, d, s = 8, 8, 1152, 8192
+    dh = 64
+    mats = {"wq": (l_, d, d), "wk": (l_, d, d), "wv": (l_, d, d),
+            "wfc": (l_, d, d), "ffn1_w": (l_, d, d // 2),
+            "ffn2_w": (l_, d // 2, d), "ffn1_b": (l_, d // 2)}
+    from musicgeneration_tpu.ops.pallas_decode import WEIGHT_KEYS
+    weights = {k: jnp.zeros(mats.get(k, (l_, d)), jnp.bfloat16)
+               for k in WEIGHT_KEYS}
+    e_all = jnp.zeros((l_, s, dh), jnp.float32)
+    kc = jnp.zeros((l_, b, s, d), jnp.bfloat16)
+    with pytest.raises(ValueError, match="no kernel mode fits"):
+        fused_decode_step(jnp.zeros((b, d), jnp.bfloat16), 4, e_all,
+                          weights, kc, kc, num_heads=d // dh,
+                          interpret=True)
+
+
+def test_loop_kernel_gate_counts_all_residents():
+    """The engine's megakernel gate must use the loop kernel's own
+    footprint (embed/pos/head/chunk terms included — ADVICE r3): the
+    flagship config passes, a big-batch or long-cache config falls
+    back to the per-step kernel."""
+    from musicgeneration_tpu.ops.pallas_decode_loop import (
+        decode_loop_vmem_bytes,
+    )
+
+    mb = 1024 * 1024
+    # flagship: 6L d256 V309 S1024 B8 — the measured-at-parity config
+    assert decode_loop_vmem_bytes(6, 256, 309, 1024, 64, batch=8) \
+        < 14 * mb
+    # B64: the chunk K/V outputs + stream buffers alone blow the budget
+    assert decode_loop_vmem_bytes(6, 256, 309, 1024, 64, batch=64) \
+        >= 14 * mb
+    # the loop estimate strictly dominates the step estimate (it counts
+    # strictly more residents)
+    from musicgeneration_tpu.ops.pallas_decode import decode_vmem_bytes
+    assert (decode_loop_vmem_bytes(6, 256, 309, 2048, 64)
+            > decode_vmem_bytes(6, 256, 309, 2048, 64))
+
+
 def test_decode_kernel_mode_gates():
     """The resident/grid/stream auto selection picks the expected mode
     per config (the ADVICE r2 medium finding: gate and kernel must
