@@ -87,21 +87,48 @@ def _default_vocab(scheme: str) -> int:
     raise ValueError(f"no LM vocab for scheme {scheme!r}")
 
 
-def _lm_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
-    """Infinite slide_seq2seq_batch stream (MusicTransformer/data.py:63-67)."""
+def _batch_rng(seed: int, idx: int, tag: int = 0) -> np.random.RandomState:
+    """Counter-based per-batch RNG: batch `idx` is a PURE FUNCTION of
+    (seed, idx), so a preempted-and-resumed run regenerates exactly the
+    batch an uninterrupted run would consume at the same step —
+    deterministic data-stream resume, which the reference only gestures
+    at by resuming its epoch counter (MusicTransformer/train.py:146-153).
+    `tag` separates independent sub-streams (epoch permutations vs
+    per-batch draws) so they never alias."""
+    ss = np.random.SeedSequence([int(seed), int(tag), int(idx)])
+    return np.random.RandomState(ss.generate_state(4))
+
+
+def _indexed_stream(batch_at, start: int = 0) -> Iterator:
+    """Infinite stream yielding batch_at(start), batch_at(start+1), ...
+    Training step s always consumes batch index s (the resume cursor is
+    the step number itself — no side-channel state)."""
+    import itertools
+    return (batch_at(i) for i in itertools.count(start))
+
+
+def _lm_batch_fn(corpus, cfg: TrainCLIConfig):
+    """slide_seq2seq_batch stream (MusicTransformer/data.py:63-67),
+    indexed by batch number."""
     from ..data.batching import slide_seq2seq_batch
 
     seqs = [np.asarray(corpus[i]) for i in range(len(corpus))]
-    rng = np.random.RandomState(cfg.seed)
     b = cfg.batch_size * cfg.accum_steps
-    while True:
-        yield slide_seq2seq_batch(seqs, b, cfg.seq_len, rng)
+
+    def batch_at(idx: int):
+        return slide_seq2seq_batch(seqs, b, cfg.seq_len,
+                                   _batch_rng(cfg.seed, idx))
+
+    return batch_at
 
 
-def _segment_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+def _segment_batch_fn(corpus, cfg: TrainCLIConfig):
     """Reference Event_MelodyRNN segment mode (train.py:311-325):
     window = min(seq lens) (capped at seq_len+1), stride = window//3,
-    the full (file, start) index list shuffled per epoch."""
+    the full (file, start) index list shuffled per epoch. Indexed form:
+    batch idx maps to (epoch, position) analytically; the epoch's
+    permutation is regenerated from (seed, epoch), so resume lands
+    mid-epoch on exactly the window the uninterrupted run would see."""
     from ..data.batching import gather_windows, window_indices
 
     seqs = [np.asarray(corpus[i]) for i in range(len(corpus))]
@@ -116,16 +143,22 @@ def _segment_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
             f"stride={stride}) for batch {b} — corpus too small. NB the "
             "reference's indexing yields ZERO windows for the minimum-"
             "length file (data.py:77 exclusive stop, reproduced here)")
-    rng = np.random.RandomState(cfg.seed)
-    while True:
-        order = rng.permutation(len(indices))
-        for pos in range(0, len(order) - b + 1, b):
-            batch = gather_windows(seqs, indices[order[pos:pos + b]],
-                                   window, time_major=False).astype(np.int32)
-            yield batch[:, :-1], batch[:, 1:]
+    # batches per epoch, matching range(0, len(order) - b + 1, b)
+    per_epoch = (len(indices) - b) // b + 1
+
+    def batch_at(idx: int):
+        epoch, pos = divmod(idx, per_epoch)
+        order = _batch_rng(cfg.seed, epoch, tag=1).permutation(
+            len(indices))
+        sel = indices[order[pos * b:pos * b + b]]
+        batch = gather_windows(seqs, sel, window,
+                               time_major=False).astype(np.int32)
+        return batch[:, :-1], batch[:, 1:]
+
+    return batch_at
 
 
-def _control_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+def _control_batch_fn(corpus, cfg: TrainCLIConfig):
     """Aligned (tokens, controls) random crops for PerformanceRNN
     (the conditioning dataset the reference's broken
     Event_Control_Dataset import was meant to provide)."""
@@ -140,9 +173,10 @@ def _control_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
             pairs.append((toks, ctrl))
     if not pairs:
         raise ValueError(f"no sequence longer than {cfg.seq_len}")
-    rng = np.random.RandomState(cfg.seed)
     b = cfg.batch_size * cfg.accum_steps
-    while True:
+
+    def batch_at(idx: int):
+        rng = _batch_rng(cfg.seed, idx)
         xs = np.zeros((b, cfg.seq_len), np.int32)
         cs = np.zeros((b, cfg.seq_len, ControlSeq.dim()), np.float32)
         for row in range(b):
@@ -151,10 +185,12 @@ def _control_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
             xs[row] = toks[start:start + cfg.seq_len]
             cs[row] = ControlSeq.recover_compressed_array(
                 ctrl[start:start + cfg.seq_len])
-        yield xs, cs
+        return xs, cs
+
+    return batch_at
 
 
-def _cp_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+def _cp_batch_fn(corpus, cfg: TrainCLIConfig):
     """Random crops of seq_len+1 COMPOUND ROWS (shards store the [T, 8]
     arrays flattened; width 8 is fixed by the scheme)."""
     from ..tokenizers.cp import WIDTH
@@ -164,18 +200,21 @@ def _cp_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
     seqs = [s for s in seqs if len(s) > cfg.seq_len]
     if not seqs:
         raise ValueError(f"no CP sequence longer than {cfg.seq_len} rows")
-    rng = np.random.RandomState(cfg.seed)
     b = cfg.batch_size * cfg.accum_steps
-    while True:
+
+    def batch_at(idx: int):
+        rng = _batch_rng(cfg.seed, idx)
         xs = np.zeros((b, cfg.seq_len + 1, WIDTH), np.int32)
         for row in range(b):
             s = seqs[rng.randint(0, len(seqs))]
             start = rng.randint(0, len(s) - cfg.seq_len)
             xs[row] = s[start:start + cfg.seq_len + 1]
-        yield xs[:, :-1], xs[:, 1:]
+        return xs[:, :-1], xs[:, 1:]
+
+    return batch_at
 
 
-def _popmag_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
+def _popmag_batch_fn(corpus, cfg: TrainCLIConfig):
     from ..data.mumidi_packing import pack_batch
     from ..tokenizers.mumidi import MuMIDI_EventSeq
 
@@ -198,13 +237,15 @@ def _popmag_batches(corpus, cfg: TrainCLIConfig) -> Iterator:
         pairs.append((list(mel[:n]), list(arr[:n])))
     if not pairs:
         raise ValueError("no usable melody/arrangement pairs in corpus")
-    rng = np.random.RandomState(cfg.seed)
     b = cfg.batch_size * cfg.accum_steps
-    while True:
-        picks = rng.randint(0, len(pairs), b)
-        yield pack_batch([pairs[p] for p in picks],
-                         pad_bars_to=cfg.max_bars,
-                         pad_len_to=cfg.max_bar_len)
+
+    def batch_at(idx: int):
+        picks = _batch_rng(cfg.seed, idx).randint(0, len(pairs), b)
+        return pack_batch([pairs[p] for p in picks],
+                          pad_bars_to=cfg.max_bars,
+                          pad_len_to=cfg.max_bar_len)
+
+    return batch_at
 
 
 def build_session(cfg: TrainCLIConfig, scheme: str,
@@ -462,21 +503,40 @@ def main(argv=None) -> int:
         cfg, scheme, model_kwargs, mesh=mesh)
 
     if cfg.model == "popmag":
-        batches = _popmag_batches(corpus, cfg)
+        batch_at = _popmag_batch_fn(corpus, cfg)
     elif cfg.model == "cp_transformer":
-        batches = _cp_batches(corpus, cfg)
+        batch_at = _cp_batch_fn(corpus, cfg)
     elif cfg.model == "performance_rnn" and scheme == "midilike_control":
-        batches = _control_batches(corpus, cfg)
+        batch_at = _control_batch_fn(corpus, cfg)
     elif cfg.train_mode == "segment":
-        batches = _segment_batches(corpus, cfg)
+        batch_at = _segment_batch_fn(corpus, cfg)
     else:
-        batches = _lm_batches(corpus, cfg)
+        batch_at = _lm_batch_fn(corpus, cfg)
     from ..data.prefetch import prefetch_to_device
 
+    # deterministic resume: training step s consumes batch index s (the
+    # streams are counter-indexed), so starting the stream at the
+    # checkpoint's next step replays EXACTLY the uninterrupted batch
+    # sequence — no re-training on windows already seen. The saved
+    # meta.json cursor/seed let us catch a seed change across restarts.
+    start_step = 0
+    if cfg.ckpt_dir:
+        from ..utils.checkpoint import Checkpointer, list_checkpoints
+        ckpts = list_checkpoints(cfg.ckpt_dir)
+        if ckpts:
+            start_step = ckpts[-1][0] + 1
+            meta = Checkpointer(cfg.ckpt_dir).read_meta()
+            if meta and meta.get("data_seed") not in (None, cfg.seed):
+                print(f"WARNING: resuming with seed={cfg.seed} but the "
+                      f"checkpoint was written with data_seed="
+                      f"{meta['data_seed']} — the resumed batch stream "
+                      "will NOT continue the original sequence")
+
     rng = jax.random.PRNGKey(cfg.seed)
-    # take the init example BEFORE starting the prefetch thread — the
-    # thread and this call would otherwise race on the same generator
-    example = adapter(next(batches))
+    # the init example comes from a DIRECT batch_at call (not the
+    # stream), so the prefetch thread and init never race — and the
+    # stream still delivers batch start_step to the first train step
+    example = adapter(batch_at(start_step))
     # host batch building overlaps device compute; 2 batches in flight
     input_sharding = None
     if mesh is not None:
@@ -486,8 +546,9 @@ def main(argv=None) -> int:
         from jax.sharding import NamedSharding, PartitionSpec as P
         input_sharding = NamedSharding(
             mesh, P("data", "seq" if cfg.sp > 1 else None))
-    stream = prefetch_to_device((adapter(b) for b in batches), size=2,
-                                sharding=input_sharding)
+    stream = prefetch_to_device(
+        (adapter(b) for b in _indexed_stream(batch_at, start_step)),
+        size=2, sharding=input_sharding)
     tx = make_optimizer(tcfg)
     state = _init_state(model, tcfg, rng, example, cfg, mesh=mesh)
     train_step = make_train_step(model, tx, tcfg, apply_fn=apply_fn,
@@ -512,7 +573,9 @@ def main(argv=None) -> int:
         total_steps=cfg.steps, ckpt_dir=cfg.ckpt_dir,
         ckpt_every=cfg.ckpt_every, log_every=cfg.log_every,
         eval_every=cfg.eval_every, metrics_path=cfg.metrics_path,
-        profile_dir=cfg.profile_dir)
+        profile_dir=cfg.profile_dir,
+        stream_meta={"data_seed": cfg.seed, "train_mode": cfg.train_mode,
+                     "model": cfg.model})
     tokens_per_batch = cfg.batch_size * cfg.accum_steps * cfg.seq_len
     run_loop(state, train_step, stream, loop_cfg, eval_step=eval_step,
              eval_batches=eval_batches, tokens_per_batch=tokens_per_batch,

@@ -41,6 +41,10 @@ class LoopConfig:
     metrics_path: Optional[str] = None
     profile_dir: Optional[str] = None
     profile_steps: int = 0  # trace steps [10, 10+profile_steps)
+    # written to meta.json alongside every checkpoint, with the data
+    # cursor (= next step; the cli streams are counter-indexed so the
+    # cursor IS the step number) — lets a resume detect a seed change
+    stream_meta: Optional[Dict[str, Any]] = None
 
 
 def _guarded(train_step: Callable) -> Callable:
@@ -113,8 +117,9 @@ def run_loop(
                 state, metrics = step_fn(state, batch)
             completed = step
             log.write(step, metrics, tokens=tokens_per_batch)
-            if ckpt is not None:
-                ckpt.maybe_save(step, state)
+            if ckpt is not None and ckpt.maybe_save(step, state):
+                ckpt.write_meta(data_cursor=step + 1,
+                                **(cfg.stream_meta or {}))
             if (eval_step is not None and eval_batches is not None
                     and cfg.eval_every and (step + 1) % cfg.eval_every == 0):
                 agg: Dict[str, float] = {}
@@ -137,6 +142,8 @@ def run_loop(
         # the (previous-step) state with the previous step's index
         if ckpt is not None and completed >= start:
             ckpt.maybe_save(completed, state, force=True)
+            ckpt.write_meta(data_cursor=completed + 1,
+                            **(cfg.stream_meta or {}))
         log.close()
         eval_log.close()
     return state
