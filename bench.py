@@ -130,6 +130,74 @@ def bench_train(model, params, batch=8, seq=512) -> float:
     return n_iter / (time.perf_counter() - t0)
 
 
+def train_step_flops(batch, seq, d, n_layers, vocab, ffn_dim=None,
+                     n_heads=None):
+    """Analytic train-step FLOPs (2 per MAC, step = 3x forward):
+    per layer 4 qkv/out projections + 2 FFN matmuls + causal
+    QK^T / srel QE^T / PV attention terms, plus the vocab head.
+    Matches the BASELINE.md round-3 accounting."""
+    ffn = ffn_dim or d // 2
+    per_layer = (4 * 2 * batch * seq * d * d          # q,k,v,out proj
+                 + 2 * 2 * batch * seq * d * ffn      # FFN pre+suf
+                 + 3 * batch * seq * seq * d)         # QK^T+QE^T+PV causal
+    head = 2 * batch * seq * d * vocab
+    return 3 * (n_layers * per_layer + head)
+
+
+def bench_mfu():
+    """MG_BENCH_MFU=1: the production-shape MFU study (BASELINE.md
+    round-3 ceiling claim): the SAME kernels at dh=128 / FFN=4d /
+    vocab 32k instead of the reference's dh=64 / FFN=d/2 / vocab 309.
+    Reports TFLOP/s + MFU for pallas and xla attention."""
+    import numpy as np
+
+    from musicgeneration_tpu.models import MusicTransformer
+    from musicgeneration_tpu.train.trainer import (
+        TrainerConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    peak = 197e12  # v5e bf16
+    batch, seq, d, layers, vocab = 6, 2048, 1024, 6, 32000
+    for impl in ("pallas", "xla"):
+        model = MusicTransformer(
+            vocab_size=vocab, num_layers=layers, d_model=d, max_seq=seq,
+            dtype=jnp.bfloat16, head_dim=128, ffn_dim=4 * d,
+            attention_impl=impl, scan_layers=True)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        cfg = TrainerConfig(vocab_size=vocab, pad_id=vocab - 1, d_model=d)
+        tx = make_optimizer(cfg)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params),
+                           dropout_rng=jax.random.PRNGKey(1))
+        step = jax.jit(make_train_step(model, tx, cfg),
+                       donate_argnums=(0,))
+        x = jax.random.randint(jax.random.PRNGKey(2), (batch, seq), 0,
+                               vocab - 1)
+        y = jnp.roll(x, -1, axis=1)
+        t0 = time.perf_counter()
+        state, metrics = step(state, x, y)
+        np.asarray(metrics["loss"])  # compile + warm
+        compile_s = time.perf_counter() - t0
+        n_iter = 10  # pipelined: one host sync for 10 dispatches
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            state, metrics = step(state, x, y)
+        np.asarray(metrics["loss"])
+        dt = (time.perf_counter() - t0) / n_iter
+        fl = train_step_flops(batch, seq, d, layers, vocab,
+                              ffn_dim=4 * d)
+        print(f"# mfu[{impl}]: {dt * 1e3:.1f} ms/step, "
+              f"{fl / dt / 1e12:.1f} TFLOP/s, "
+              f"MFU {fl / dt / peak * 100:.1f}% "
+              f"(B{batch} L{seq} d{d} dh128 ffn{4 * d} vocab{vocab} "
+              f"bf16, {fl / 1e12:.2f} TF/step, compile {compile_s:.0f}s)",
+              file=sys.stderr)
+
+
 def main():
     import os
 
@@ -196,6 +264,11 @@ def main():
                   f"batch 8, {jnp.dtype(dtype).name})", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# rnn decode bench skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_MFU"):
+        try:
+            bench_mfu()
+        except Exception as e:  # noqa: BLE001
+            print(f"# mfu bench skipped: {e}", file=sys.stderr)
     if os.environ.get("MG_BENCH_TRAIN"):
         try:
             sps = bench_train(model, params)

@@ -146,7 +146,11 @@ class RelativeGlobalAttentionBlock(nn.Module):
 
 
 class EncoderLayer(nn.Module):
-    """RGA + FFN with post-LN (layers.py:136-161)."""
+    """RGA + FFN with post-LN (layers.py:136-161).
+
+    ffn_dim defaults to the reference's d_model // 2 (layers.py:147);
+    a production-shape variant (e.g. 4*d_model) is configurable for
+    the MFU study in BASELINE.md."""
 
     d_model: int
     num_heads: int
@@ -155,12 +159,14 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     attention_impl: str = "auto"
     mesh: Any = None
+    ffn_dim: int = 0  # 0 -> reference default d_model // 2
 
     def setup(self):
         self.rga = RelativeGlobalAttentionBlock(
             self.d_model, self.num_heads, self.max_seq, dtype=self.dtype,
             attention_impl=self.attention_impl, mesh=self.mesh)
-        self.ffn_pre = nn.Dense(self.d_model // 2, dtype=self.dtype)
+        self.ffn_pre = nn.Dense(self.ffn_dim or self.d_model // 2,
+                                dtype=self.dtype)
         self.ffn_suf = nn.Dense(self.d_model, dtype=self.dtype)
         self.ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -255,6 +261,10 @@ class MusicTransformer(nn.Module):
     remat: bool = False  # jax.checkpoint each layer: trade recompute
     #                      FLOPs for activation memory (HBM headroom for
     #                      bigger batches/longer sequences)
+    head_dim: int = 64  # reference: heads fixed at dh=64
+    #   (layers.py:42-43, h = d_model // 64); 128 fills the MXU
+    #   contraction on TPU — the production-shape MFU study knob
+    ffn_dim: int = 0  # 0 -> reference default d_model // 2
     scan_layers: bool = False  # run the trunk as ONE lax.scan over a
     #   stacked [L, ...] layer-param axis instead of L unrolled layers.
     #   The compiled program shrinks ~L-fold — first compiles on this
@@ -267,7 +277,7 @@ class MusicTransformer(nn.Module):
 
     @property
     def num_heads(self) -> int:
-        return self.d_model // 64
+        return self.d_model // self.head_dim
 
     @property
     def pad_id(self) -> int:
@@ -295,14 +305,15 @@ class MusicTransformer(nn.Module):
                 self.d_model, self.num_heads, self.max_seq,
                 self.dropout_rate, dtype=self.dtype,
                 attention_impl=self.attention_impl, mesh=self.mesh,
-                name="layers_scan")
+                ffn_dim=self.ffn_dim, name="layers_scan")
             self.layers = []
         else:
             self.layers = [
                 EncoderLayer(self.d_model, self.num_heads, self.max_seq,
                              self.dropout_rate, dtype=self.dtype,
                              attention_impl=self.attention_impl,
-                             mesh=self.mesh, name=f"layer_{i}")
+                             mesh=self.mesh, ffn_dim=self.ffn_dim,
+                             name=f"layer_{i}")
                 for i in range(self.num_layers)
             ]
         self.fc = nn.Dense(self.vocab_size, dtype=self.dtype)
