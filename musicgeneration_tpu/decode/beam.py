@@ -7,8 +7,14 @@ Semantics follow the reference RNN beam searches
   log-softmaxes before adding to the beam score (network.py:205-209). The
   correct log-prob accumulation is available via `normalize=True`,
 * the search starts from one live beam and expands to `beam_size` after
-  the first step (current_beam_size dance, :161, :255) — reproduced here
-  with fixed shapes by -inf-masking beams 1.. at step 0,
+  the first step (PerformanceRNN's current_beam_size dance, :161, :255)
+  — reproduced here with fixed shapes by -inf-masking beams 1.. at
+  step 0. Event_MelodyRNN instead starts with ALL beams live and
+  identical (network.py:172 sets current_beam_size = beam_size up
+  front): equivalent under deterministic selection (ties break to beam
+  0 on both sides), but under Gumbel perturbation the independent noise
+  per replicated beam can select the same token through several parent
+  beams — `all_beams_live=True` reproduces that,
 * stochastic mode perturbs the expanded scores with Gumbel(0,1) noise and
   selects top-k by perturbed score while accumulating the unperturbed
   score (:182-230; the normalization the reference left commented out is
@@ -60,6 +66,8 @@ def beam_search(
     normalize: bool = False,
     state_batch_axis: int = 0,
     per_step_inputs: Any = None,
+    all_beams_live: bool = False,
+    gumbel_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Returns best sequences [batch, steps].
 
@@ -70,18 +78,31 @@ def beam_search(
     per_step_inputs: optional pytree with leading dim `steps`, scanned
     alongside and passed to step_fn as a third argument (PerformanceRNN
     beam_search control conditioning, network.py:156-257).
+    all_beams_live: start every beam at score 0 instead of -inf-masking
+    beams 1.. (Event_MelodyRNN semantics, network.py:172 — only
+    observable under stochastic selection; see module docstring).
+    gumbel_noise: optional pre-drawn [steps, batch, beam*V] Gumbel(0,1)
+    noise for the stochastic path (deterministic replay / parity
+    testing); when given, `rng` is unused.
     """
     batch = first_token.shape[0]
     bb = batch * beam_size
-    if stochastic and rng is None:
-        raise ValueError("stochastic beam search needs an rng")
+    if stochastic and rng is None and gumbel_noise is None:
+        raise ValueError("stochastic beam search needs an rng "
+                         "(or pre-drawn gumbel_noise)")
 
     tokens0 = jnp.repeat(first_token, beam_size)  # [batch*beam]
-    # beams 1.. start dead so step 0 effectively expands from one beam
-    score0 = jnp.where(jnp.arange(beam_size)[None, :] == 0, 0.0, NEG_INF)
-    score0 = jnp.broadcast_to(score0, (batch, beam_size))
+    if all_beams_live:
+        score0 = jnp.zeros((batch, beam_size))
+    else:
+        # beams 1.. start dead so step 0 effectively expands from one beam
+        score0 = jnp.where(jnp.arange(beam_size)[None, :] == 0, 0.0,
+                           NEG_INF)
+        score0 = jnp.broadcast_to(score0, (batch, beam_size))
     seqs0 = jnp.zeros((batch, beam_size, steps), jnp.int32)
-    rngs = (jax.random.split(rng, steps) if rng is not None
+    use_noise = stochastic and gumbel_noise is not None
+    rngs = (jnp.asarray(gumbel_noise, jnp.float32) if use_noise
+            else jax.random.split(rng, steps) if rng is not None
             else jnp.zeros((steps, 2), jnp.uint32))
 
     def body(carry, inp):
@@ -99,7 +120,8 @@ def beam_search(
         expanded = scores[:, :, None] + logits  # [batch, beam, V]
         flat = expanded.reshape(batch, beam_size * vocab_size)
         if stochastic:
-            noise = jax.random.gumbel(rng_i, flat.shape)
+            noise = (rng_i if use_noise
+                     else jax.random.gumbel(rng_i, flat.shape))
             sel = flat + noise
         else:
             sel = flat

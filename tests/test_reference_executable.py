@@ -762,6 +762,103 @@ def test_performance_rnn_beam_search_parity():
     np.testing.assert_array_equal(np.asarray(got)[0], ref_seq)
 
 
+class _QueuedGumbel:
+    """Stands in for torch.distributions.Gumbel inside the reference's
+    beam_search: replays a queue of pre-drawn noise arrays so the same
+    Gumbel perturbations can be fed to both implementations."""
+
+    queue = []
+
+    def __init__(self, *a):
+        pass
+
+    def sample(self, shape):
+        arr = _QueuedGumbel.queue.pop(0)
+        assert tuple(shape) == arr.shape, (shape, arr.shape)
+        return torch.from_numpy(arr)
+
+
+def _event_rnn_4x1024():
+    """The ONLY shape the reference Event_MelodyRNN beam executes at:
+    its hidden re-gather hard-codes repeat(4, 1, 1, 1024)
+    (network.py:252) = gru_layers=4, hidden_dim=1024."""
+    er = rs.load_event_rnn()
+    from musicgeneration_tpu.models.event_rnn import EventMelodyRNN
+
+    L_, H_, V_ = 4, 1024, 24
+    torch.manual_seed(23)
+    ref = er.Event_Melody_RNN(init_dim=8, event_dim=V_, hidden_dim=H_,
+                              rnn_layers=L_, dropout=0.0)
+    ref.eval()
+    params = {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "gru": _gru_params(ref.rnn, L_),
+        "output_fc": _linear(ref.output_fc),
+    }
+    ours = EventMelodyRNN(event_dim=V_, init_dim=8, hidden_dim=H_,
+                          num_layers=L_, dropout_rate=0.0)
+    return er, ref, ours, params, V_
+
+
+@pytest.mark.parametrize("stochastic", [False, True])
+def test_event_melody_rnn_beam_search_parity(stochastic):
+    """Event_Melody_RNN.beam_search (network.py:166-268) vs ours at the
+    reference's hard-coded 4x1024 shape — deterministic AND stochastic
+    (Gumbel) variants. The stochastic run injects the SAME pre-drawn
+    noise on both sides (reference via a patched Gumbel class, ours via
+    beam_search(gumbel_noise=)); all_beams_live=True reproduces the
+    reference's all-live start (current_beam_size = beam_size at
+    network.py:172), under which Gumbel selection can route one token
+    through several identical parent beams at step 0."""
+    er, ref, ours, params, V_ = _event_rnn_4x1024()
+    from musicgeneration_tpu.decode.beam import beam_search
+
+    rng = np.random.default_rng(24)
+    steps, beam = 6, 3
+    init = rng.normal(size=(1, 8)).astype(np.float32)
+
+    noise = None
+    if stochastic:
+        noise = rng.gumbel(size=(steps, 1, beam, V_)).astype(np.float32)
+        _QueuedGumbel.queue = [noise[i][None] for i in range(steps)]
+        # noise[i] arrives as [1, batch, cbeam, out] in the reference
+        saved = er.Gumbel
+        er.Gumbel = _QueuedGumbel
+    try:
+        with torch.no_grad():
+            ref_best = ref.beam_search(
+                torch.from_numpy(init), steps, beam, temperature=1.0,
+                stochastic=stochastic).numpy()
+    finally:
+        if stochastic:
+            er.Gumbel = saved
+            assert not _QueuedGumbel.queue  # every step consumed noise
+    assert ref_best.shape[1] == 1
+    # the reference seeds beam_events with `current_beam_size` copies of
+    # the primary event (event[0,:,None,:].repeat(1, cbeam, 1) at
+    # network.py:184 makes [batch, cbeam, cbeam]) — with the all-live
+    # start that is `beam` leading primary rows, not 1
+    assert (ref_best[:beam, 0] == ref.primary_event).all()
+    ref_seq = ref_best[beam:, 0]
+
+    cache = ours.apply({"params": params}, 1, 0, jnp.asarray(init),
+                       method=ours.init_cache)
+    state = jax.tree.map(lambda h: jnp.repeat(h, beam, axis=1), cache)
+
+    def step_fn(tokens, state):
+        return ours.apply({"params": params}, tokens, state,
+                          method=ours.decode_step)
+
+    got = beam_search(
+        step_fn, state, jnp.full((1,), ours.primary_event, jnp.int32),
+        steps, beam, V_, temperature=1.0, state_batch_axis=1,
+        stochastic=stochastic, all_beams_live=True,
+        gumbel_noise=(None if noise is None
+                      else noise.reshape(steps, 1, beam * V_)))
+    np.testing.assert_array_equal(np.asarray(got)[0], ref_seq)
+
+
 # ==========================================================================
 # (vi) Executable EXTRACTION parity: the reference's full
 #      extract_events pipelines run on fixture MIDIs via the parsing
