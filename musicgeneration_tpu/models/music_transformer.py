@@ -98,10 +98,13 @@ class RelativeGlobalAttentionBlock(nn.Module):
                 q, k, v, self.e.astype(jnp.float32), self.mesh,
                 axis_name="seq", causal=True, key_pad=key_pad)
         elif impl == "pallas" and l % 128 == 0:
-            from ..ops.pallas_attention import fused_relative_attention
+            from ..ops.pallas_attention import (
+                autotuned_fwd_blocks, fused_relative_attention,
+            )
+            bq, bk = autotuned_fwd_blocks(l, q.shape[-1])
             out = fused_relative_attention(
                 q, k, v, self.e.astype(jnp.float32), key_pad,
-                block_q=128, block_k=128, causal=True,
+                block_q=bq, block_k=bk, causal=True,
                 interpret=jax.default_backend() != "tpu")
         else:
             out = relative_global_attention(

@@ -47,22 +47,51 @@ from .relative_attention import relative_global_attention
 NEG_INF = -1e9  # reference mask value (layers.py:98-100)
 
 
+_SHEAR_CHUNK = 128  # lane width: chunk offsets stay 128-aligned
+
+
 def _shear(qe: jnp.ndarray, block_q: int, block_k: int) -> jnp.ndarray:
     """srel[t, s] = qe[t, (block_q - 1 - t) + s].
 
-    Row t needs a left-shift by p = block_q-1-t; done in log2(block_q)
-    static circular rolls, selecting per row on the bits of p.  Safe
-    because the read region [0, block_k) never observes wrapped values:
+    Row t needs a left-shift by p = block_q-1-t; done with static
+    circular rolls, selecting per row on the bits of p.  Safe because
+    the read region [0, block_k) never observes wrapped values:
     c + p <= (block_k-1) + (block_q-1) < W.
+
+    For block_q > 128 the shift is split hierarchically: the multiple-
+    of-128 part of p is a STATIC 128-aligned column slice per 128-row
+    chunk (free — no data movement), leaving only log2(128)=7 rolls on
+    a [128, 128+block_k] slab per chunk instead of log2(block_q) rolls
+    on the full [block_q, block_q+block_k] array.  Exact permutation
+    either way (bit-identical outputs; locked by the oracle tests).
     """
     w = qe.shape[-1]
-    p = (block_q - 1) - jax.lax.broadcasted_iota(jnp.int32, qe.shape, 0)
-    b = 1
-    while b < block_q:
-        rolled = pltpu.roll(qe, w - b, 1)  # left-shift by b
-        qe = jnp.where((p & b) != 0, rolled, qe)
-        b *= 2
-    return qe[:, :block_k]
+    if block_q <= _SHEAR_CHUNK:
+        p = (block_q - 1) - jax.lax.broadcasted_iota(jnp.int32, qe.shape,
+                                                     0)
+        b = 1
+        while b < block_q:
+            rolled = pltpu.roll(qe, w - b, 1)  # left-shift by b
+            qe = jnp.where((p & b) != 0, rolled, qe)
+            b *= 2
+        return qe[:, :block_k]
+
+    c = _SHEAR_CHUNK
+    sub_w = c + block_k
+    outs = []
+    for i in range(block_q // c):
+        # rows t = i*c + t' need column (block_q-1-t) + s
+        #        = off + (c-1-t') + s  with  off = block_q - c*(i+1)
+        off = block_q - c * (i + 1)
+        sub = qe[i * c:(i + 1) * c, off:off + sub_w]
+        p = (c - 1) - jax.lax.broadcasted_iota(jnp.int32, sub.shape, 0)
+        b = 1
+        while b < c:
+            rolled = pltpu.roll(sub, sub_w - b, 1)
+            sub = jnp.where((p & b) != 0, rolled, sub)
+            b *= 2
+        outs.append(sub[:, :block_k])
+    return jnp.concatenate(outs, axis=0)
 
 
 def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
@@ -70,15 +99,37 @@ def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
 
     Row t right-shifts by p = block_q-1-t; the final span [p, p+BK) stays
     inside [0, w) for w >= block_q+block_k-1, and every wrapped element
-    comes from the zero right-padding, so the result is exact."""
-    x = jnp.pad(ds, ((0, 0), (0, w - ds.shape[1])))
-    p = (block_q - 1) - jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    b = 1
-    while b < block_q:
-        rolled = pltpu.roll(x, b, 1)  # right-shift by b
-        x = jnp.where((p & b) != 0, rolled, x)
-        b *= 2
-    return x
+    comes from the zero right-padding, so the result is exact.
+
+    Mirrors _shear's hierarchical split for block_q > 128: the
+    multiple-of-128 shift lands via a static 128-aligned left-pad per
+    128-row chunk; rolls only cover the residual 0..127 shift."""
+    block_k = ds.shape[1]
+    if block_q <= _SHEAR_CHUNK:
+        x = jnp.pad(ds, ((0, 0), (0, w - block_k)))
+        p = (block_q - 1) - jax.lax.broadcasted_iota(jnp.int32, x.shape,
+                                                     0)
+        b = 1
+        while b < block_q:
+            rolled = pltpu.roll(x, b, 1)  # right-shift by b
+            x = jnp.where((p & b) != 0, rolled, x)
+            b *= 2
+        return x
+
+    c = _SHEAR_CHUNK
+    sub_w = c + block_k
+    outs = []
+    for i in range(block_q // c):
+        off = block_q - c * (i + 1)
+        sub = jnp.pad(ds[i * c:(i + 1) * c], ((0, 0), (0, c)))
+        p = (c - 1) - jax.lax.broadcasted_iota(jnp.int32, sub.shape, 0)
+        b = 1
+        while b < c:
+            rolled = pltpu.roll(sub, b, 1)
+            sub = jnp.where((p & b) != 0, rolled, sub)
+            b *= 2
+        outs.append(jnp.pad(sub, ((0, 0), (off, w - off - sub_w))))
+    return jnp.concatenate(outs, axis=0)
 
 
 def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
@@ -223,12 +274,38 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
     return out.reshape(b, h, l, dh), lse
 
 
-def autotuned_bwd_blocks(l: int) -> tuple:
-    """Backward block sizes measured on v5e (dh=64, bf16, B6H4, one-pass
-    fused backward; /tmp-sweep recorded in BASELINE.md): a narrow query
-    block with the widest kv block that divides L wins at every L —
-    (128, 512) beats 256x256 by 4-24% and the XLA path by 1.35x (L=2048)
-    to 2.85x (L=4096)."""
+def autotuned_fwd_blocks(l: int, dh: int) -> tuple:
+    """Forward block sizes measured on v5e (bf16, L=2048, round 4,
+    with the chunked hierarchical shear — which is what makes big
+    query blocks win: the old full-width roll chain cost O(log2(bq))
+    passes over [bq, bq+bk] and had pinned the optimum at 128x128).
+
+    dh=128 (production shape, B6H8): (512,512) 3.65 ms vs (128,128)
+    7.95 ms.  dh=64 (reference shape, B6H4): (256,256) 3.29 ms vs
+    (128,128) 8.65 ms — the per-tile VPU chain (softmax + shear set-up)
+    amortizes over 4x the MXU work."""
+    if dh >= 128:
+        for bq, bk in ((512, 512), (256, 256)):
+            if l % bq == 0 and l % bk == 0:
+                return bq, bk
+    else:
+        if l % 256 == 0:
+            return 256, 256
+    return 128, 128
+
+
+def autotuned_bwd_blocks(l: int, dh: int = 64) -> tuple:
+    """Backward block sizes measured on v5e (bf16, one-pass fused
+    backward; sweeps recorded in BASELINE.md).
+
+    Round 4, with the chunked hierarchical _unshear, (512,512) wins at
+    BOTH head sizes at L=2048: dh=128 B6H8 fwd+bwd 8.16 ms vs 9.07 at
+    the old (128,512); dh=64 B6H4 5.19 ms vs 5.54.  For L not divisible
+    by 512, fall back to the round-2 rule (narrow query block, widest
+    dividing kv block) — (128,512) still beats (256,256) at both head
+    sizes, so the old rule stays right whenever 512 doesn't divide L."""
+    if l % 512 == 0:
+        return 512, 512
     for bk in (512, 256, 128):
         if l % bk == 0 and l % 128 == 0:
             return 128, bk
@@ -248,9 +325,10 @@ def fused_relative_attention(q, k, v, e, key_pad=None,
     (1.0 = padded key, reference mask convention). Causal by default
     (the reference model is decoder-only). Returns [B, H, L, dh].
 
-    Forward blocks 128x128 measured fastest on v5e at dh=64; backward
-    blocks default to the per-L autotune table (pass bwd_block_q/k > 0
-    to override).
+    Callers should pick forward blocks with autotuned_fwd_blocks(l, dh)
+    (the 128x128 parameter default is the safe always-divides choice);
+    backward blocks default to the autotune table (pass bwd_block_q/k
+    > 0 to override).
     """
     out, _ = _fused_fwd_impl(q, k, v, e, key_pad, block_q, block_k,
                              causal, interpret)
@@ -465,7 +543,8 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
     del fwd_block_q, fwd_block_k
     q, k, v, e, key_pad, out, lse = res
     if bwd_block_q <= 0 or bwd_block_k <= 0:
-        bwd_block_q, bwd_block_k = autotuned_bwd_blocks(q.shape[2])
+        bwd_block_q, bwd_block_k = autotuned_bwd_blocks(q.shape[2],
+                                                        q.shape[3])
     block_q, block_k = bwd_block_q, bwd_block_k
     if q.shape[2] % block_q or q.shape[2] % block_k:
         block_q = block_k = 128  # fall back for short/odd lengths

@@ -29,14 +29,79 @@ def _qkve(b=2, h=2, l=256, dh=64, max_seq=512, seed=0):
 
 
 @pytest.mark.parametrize("block_q,block_k", [(128, 128), (128, 256),
-                                             (256, 128)])
+                                             (256, 128), (256, 256),
+                                             (512, 512)])
 def test_matches_xla_path(block_q, block_k):
+    """block_q > 128 exercises the chunked hierarchical shear."""
     q, k, v, e = _qkve(l=512)
     out = fused_relative_attention(q, k, v, e, None, block_q, block_k,
                                    True, INTERPRET)
     ref = _xla_equivalent(q, k, v, e, None, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_shear_bit_equal():
+    """The hierarchical (chunked) shear is the same permutation as the
+    log2(block_q) roll chain: (512,512) output must be BIT-equal to a
+    kernel whose only difference is the shear decomposition — compare
+    against (128,*) runs is inexact (different softmax tiling), so lock
+    the permutation directly on _shear/_unshear."""
+    from musicgeneration_tpu.ops.pallas_attention import (
+        _SHEAR_CHUNK, _shear, _unshear,
+    )
+
+    def shear_ref(qe, bq, bk):
+        rows = [qe[t, (bq - 1 - t):(bq - 1 - t) + bk] for t in
+                range(bq)]
+        return jnp.stack(rows)
+
+    for bq, bk in ((256, 128), (512, 512), (256, 512)):
+        w = bq + bk
+        qe = jax.random.normal(jax.random.PRNGKey(bq + bk), (bq, w))
+        got = np.asarray(jax.jit(
+            lambda x: _shear(x, bq, bk))(qe))
+        want = np.asarray(shear_ref(qe, bq, bk))
+        np.testing.assert_array_equal(got, want)
+
+        ds = jax.random.normal(jax.random.PRNGKey(bq - bk), (bq, bk))
+        got_u = np.asarray(jax.jit(
+            lambda x: _unshear(x, bq, w))(ds))
+        want_u = np.zeros((bq, w), np.float32)
+        for t in range(bq):
+            want_u[t, (bq - 1 - t):(bq - 1 - t) + bk] = np.asarray(ds[t])
+        np.testing.assert_array_equal(got_u, want_u)
+    assert _SHEAR_CHUNK == 128
+
+
+def test_autotuned_fwd_blocks():
+    from musicgeneration_tpu.ops.pallas_attention import (
+        autotuned_fwd_blocks,
+    )
+    assert autotuned_fwd_blocks(2048, 64) == (256, 256)
+    assert autotuned_fwd_blocks(2048, 128) == (512, 512)
+    assert autotuned_fwd_blocks(256, 128) == (256, 256)
+    assert autotuned_fwd_blocks(128, 128) == (128, 128)
+    assert autotuned_fwd_blocks(128, 64) == (128, 128)
+
+
+def test_gradients_big_bwd_blocks():
+    """bwd block_q=256 exercises the chunked _unshear inside the fused
+    one-pass backward kernel."""
+    q, k, v, e = _qkve(l=512)
+
+    def loss_pallas(q, k, v, e):
+        return jnp.sum(fused_relative_attention(
+            q, k, v, e, None, 128, 128, True, INTERPRET, 256, 256) ** 2)
+
+    def loss_xla(q, k, v, e):
+        return jnp.sum(_xla_equivalent(q, k, v, e, None, True) ** 2)
+
+    g_p = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, e)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, e)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_matches_naive_oracle():
