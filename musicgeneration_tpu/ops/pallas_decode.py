@@ -122,33 +122,43 @@ def _layer_step(x, li, t, n_live, e_ref,
         v_cur = v_new.astype(vbuf.dtype).astype(jnp.float32)
         q_heads = [q[:, h * dh:(h + 1) * dh] for h in range(num_heads)]
 
-        # double-buffered KV streaming over the live prefix [0, t)
-        def _start(j, slot, which=None):
+        # K-deep multi-buffered KV streaming over the live prefix
+        # [0, t): depth = kbuf.shape[0] block-pair DMAs ride in flight
+        # (round 4 — the remaining ~130 us/step at B8 was the
+        # double-buffered wait chain; deeper rotation hides the
+        # per-DMA latency behind more blocks of compute)
+        depth = kbuf.shape[0]
+
+        def _start(j, which=None):
             if which is None:
                 which = cache_li
+            slot = jax.lax.rem(j, depth)
             pltpu.make_async_copy(
                 kc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
                 kbuf.at[slot], sems.at[slot]).start()
             pltpu.make_async_copy(
                 vc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
-                vbuf.at[slot], sems.at[2 + slot]).start()
+                vbuf.at[slot], sems.at[depth + slot]).start()
 
         if warmup:
             # cross-layer pipelining (warmup=False): the CALLER started
-            # this layer's block 0 earlier, hiding the DMA latency
-            # behind the previous layer's tail compute / the embedding
-            @pl.when(n_live > 0)
-            def _warmup():
-                _start(0, 0)
+            # this layer's first depth-1 blocks earlier, hiding the DMA
+            # latency behind the previous layer's tail compute / embed
+            for jj in range(depth - 1):
+                @pl.when(jj < n_live)
+                def _warmup(jj=jj):
+                    _start(jj)
 
         def body(j, carry):
             ms, ls, accs = carry
-            slot = jax.lax.rem(j, 2)
+            slot = jax.lax.rem(j, depth)
             s0 = j * block_k
 
-            @pl.when(j + 1 < n_live)
+            # keep `depth` block pairs in flight: block j+depth-1 lands
+            # in slot (j-1) % depth, consumed last iteration
+            @pl.when(j + (depth - 1) < n_live)
             def _prefetch():
-                _start(j + 1, 1 - slot)
+                _start(j + (depth - 1))
 
             # relative bias rows: q . E[li, max_seq-1-t+s] for s <= t
             # (ops/relative_attention.relative_decode_bias); rows past
@@ -163,7 +173,7 @@ def _layer_step(x, li, t, n_live, e_ref,
                 kbuf.at[slot], sems.at[slot]).wait()
             pltpu.make_async_copy(
                 vc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
-                vbuf.at[slot], sems.at[2 + slot]).wait()
+                vbuf.at[slot], sems.at[depth + slot]).wait()
             k_all_blk = kbuf[slot].astype(jnp.float32)    # [B, BK, d]
             v_all_blk = vbuf[slot].astype(jnp.float32)
             new_ms, new_ls, new_accs = [], [], []
@@ -199,12 +209,13 @@ def _layer_step(x, li, t, n_live, e_ref,
         ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
 
         if prefetch_li is not None:
-            # start the NEXT layer's block 0 now: both stream buffers
-            # are consumed, and the DMA overlaps this layer's tail
-            # (current-token term, output projection, LN, FFN)
-            @pl.when(n_live > 0)
-            def _prefetch_next_layer():
-                _start(0, 0, which=prefetch_li)
+            # start the NEXT layer's first depth-1 blocks now: all
+            # stream buffers are consumed, and the DMAs overlap this
+            # layer's tail (current-token term, output proj, LN, FFN)
+            for jj in range(depth - 1):
+                @pl.when(jj < n_live)
+                def _prefetch_next_layer(jj=jj):
+                    _start(jj, which=prefetch_li)
 
         if chunk is not None:
             # VMEM-resident rows for positions [t0, t0+i) — the current
@@ -278,15 +289,25 @@ def _layer_step(x, li, t, n_live, e_ref,
     return x, k_new, v_new
 
 
-def start_block0(kc_ref, vc_ref, li, kbuf, vbuf, sems, block_k):
-    """Kick off layer li's first KV block DMA — used by the kernels'
-    entry/step preambles so the copy overlaps non-stream compute."""
-    pltpu.make_async_copy(
-        kc_ref.at[li, :, pl.ds(0, block_k), :], kbuf.at[0],
-        sems.at[0]).start()
-    pltpu.make_async_copy(
-        vc_ref.at[li, :, pl.ds(0, block_k), :], vbuf.at[0],
-        sems.at[2]).start()
+def start_block0(kc_ref, vc_ref, li, kbuf, vbuf, sems, block_k,
+                 n_live):
+    """Kick off layer li's first depth-1 KV block DMAs (depth =
+    kbuf.shape[0]) — used by the kernels' entry/step preambles so the
+    copies overlap non-stream compute. The callers' `n_live > 0` gate
+    covers block 0; deeper blocks guard on n_live here."""
+    depth = kbuf.shape[0]
+    for jj in range(depth - 1):
+        def _go(jj=jj):
+            pltpu.make_async_copy(
+                kc_ref.at[li, :, pl.ds(jj * block_k, block_k), :],
+                kbuf.at[jj], sems.at[jj]).start()
+            pltpu.make_async_copy(
+                vc_ref.at[li, :, pl.ds(jj * block_k, block_k), :],
+                vbuf.at[jj], sems.at[depth + jj]).start()
+        if jj == 0:
+            _go()
+        else:
+            pl.when(jj < n_live)(_go)
 
 
 def _kernel(x_ref, t_ref, e_ref,
@@ -308,7 +329,8 @@ def _kernel(x_ref, t_ref, e_ref,
     # of serializing 6x per step
     @pl.when(n_live > 0)
     def _entry():
-        start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k)
+        start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k,
+                     n_live)
 
     x = x_ref[...].astype(jnp.float32)                    # [B, d]
     for li in range(num_layers):
@@ -557,6 +579,18 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                mode_fixed + 4 * b * block_k * d * bytes_kv
                > 14 * 1024 * 1024):
             block_k //= 2
+    # KV stream buffer DEPTH (round 4): deepen the block rotation past
+    # double-buffering when spare scoped VMEM allows — more DMAs in
+    # flight shortens the per-layer wait chain. block_k selection above
+    # is unchanged (sized for depth 2); depth only grows into slack.
+    depth = int(os.environ.get("MG_DECODE_DEPTH", "0"))
+    if depth < 2:
+        depth = 2
+        n_blocks = max(s // block_k, 1)
+        while (depth < min(4, n_blocks) and
+               mode_fixed + 2 * (depth + 1) * b * block_k * d * bytes_kv
+               <= 14 * 1024 * 1024):
+            depth += 1
     # slack so the bias slice never reads past the table (masked anyway)
     e_pad = jnp.pad(e_all.astype(jnp.float32),
                     ((0, 0), (0, block_k), (0, 0)))
@@ -585,9 +619,9 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                 jax.ShapeDtypeStruct((num_layers, b, d), v_cache.dtype),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
-                pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((depth, b, block_k, d), k_cache.dtype),
+                pltpu.VMEM((depth, b, block_k, d), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2 * depth,)),
             ],
             interpret=interpret,
         )(x, t_arr, e_pad, *[weights[k] for k in WEIGHT_KEYS],
@@ -632,9 +666,9 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
         in_specs += [hbm, hbm]
         scratch = [
             pltpu.VMEM((b, d), jnp.float32),
-            pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
-            pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((depth, b, block_k, d), k_cache.dtype),
+            pltpu.VMEM((depth, b, block_k, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2 * depth,)),
         ]
         if stream:
             kernel = functools.partial(

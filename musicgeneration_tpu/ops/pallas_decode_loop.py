@@ -190,7 +190,8 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
         # layer 0's first KV block streams in while we sample and embed
         @pl.when(n_live > 0)
         def _entry():
-            start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k)
+            start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k,
+                         n_live)
 
         # ---- sample ----
         if greedy:

@@ -103,6 +103,67 @@ def test_fused_block_k_odd_cache_length():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_deep_prefix_multibuffer_matches_xla_path():
+    """A live prefix spanning several KV blocks exercises the k-deep
+    (depth > 2) stream-buffer rotation: cache 512 rows, block_k 128,
+    decode steps at t in [380, 390) -> n_live = 3-4 blocks in flight."""
+    import os
+
+    m_x, m_f, params = _pair(max_seq=512)
+    assert os.environ.get("MG_DECODE_DEPTH") is None
+    b = 2
+    cache_x = m_x.apply({"params": params}, b, 512,
+                        method=m_x.init_cache)
+    cache_f = m_f.apply({"params": params}, b, 512,
+                        method=m_f.init_cache)
+    # fill the prefix through a long prefill so the caches agree
+    x = jax.random.randint(jax.random.PRNGKey(11), (b, 380), 0,
+                           VOCAB - 1)
+    _, cache_x = m_x.apply({"params": params}, x, 512,
+                           method=m_x.prefill)
+    _, cache_f = m_f.apply({"params": params}, x, 512,
+                           method=m_f.prefill)
+    toks = jax.random.randint(jax.random.PRNGKey(12), (6, b), 0,
+                              VOCAB - 1)
+    for i in range(6):
+        t = 380 + i
+        lx, cache_x = m_x.apply({"params": params}, toks[i], cache_x,
+                                jnp.int32(t), method=m_x.decode_step)
+        lf, cache_f = m_f.apply({"params": params}, toks[i], cache_f,
+                                jnp.int32(t), method=m_f.decode_step)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_depth_env_override():
+    """MG_DECODE_DEPTH pins the stream depth (sweep/tuning hook);
+    depth 3 must produce the same logits."""
+    import os
+
+    m_x, m_f, params = _pair(max_seq=512)
+    b = 1
+    x = jax.random.randint(jax.random.PRNGKey(13), (b, 300), 0,
+                           VOCAB - 1)
+    _, cache_f = m_f.apply({"params": params}, x, 512,
+                           method=m_f.prefill)
+    lx, _ = m_x.apply(
+        {"params": params}, jnp.asarray([7], jnp.int32),
+        jax.tree_util.tree_map(
+            lambda a: a,
+            m_x.apply({"params": params}, x, 512,
+                      method=m_x.prefill)[1]),
+        jnp.int32(300), method=m_x.decode_step)
+    os.environ["MG_DECODE_DEPTH"] = "3"
+    try:
+        lf, _ = m_f.apply({"params": params}, jnp.asarray([7], jnp.int32),
+                          cache_f, jnp.int32(300),
+                          method=m_f.decode_step)
+    finally:
+        del os.environ["MG_DECODE_DEPTH"]
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_cp_decode_step_matches_xla_path():
     """CPTransformer under the same fused whole-stack kernel: per-field
     logits equality vs the XLA layer.decode path from a fresh cache."""
