@@ -223,8 +223,9 @@ def main():
     if os.environ.get("MG_BENCH_SCALE"):
         # decode model-size scaling (BASELINE.md scale rows): fused
         # kernels auto-select resident (d256) / grid (d512) / stream
-        # (d1024) vs the XLA decode path
-        for d in (512, 1024):
+        # (d1024) vs the XLA decode path; the fused rows also report
+        # the VMEM-limited serving-peak batch (round-4 sweep)
+        for d, peak_b in ((512, 128), (1024, 64)):
             for impl in ("fused", "xla"):
                 try:
                     m = MusicTransformer(vocab_size=309, num_layers=6,
@@ -232,9 +233,11 @@ def main():
                                          dtype=dtype, decode_impl=impl)
                     p = m.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 8), jnp.int32))["params"]
-                    tps, _ = bench_decode(m, p)
-                    print(f"# decode d{d} {impl}: {tps:.0f} tok/s",
-                          file=sys.stderr)
+                    batches = (8, peak_b) if impl == "fused" else (8,)
+                    for b in batches:
+                        tps, _ = bench_decode(m, p, batch=b)
+                        print(f"# decode d{d} {impl} B{b}: "
+                              f"{tps:.0f} tok/s", file=sys.stderr)
                 except Exception as e:  # noqa: BLE001
                     print(f"# decode d{d} {impl} skipped: {e}",
                           file=sys.stderr)

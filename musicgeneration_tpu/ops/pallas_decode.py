@@ -489,6 +489,108 @@ def decode_stream_vmem_bytes(d: int, max_seq: int, dh: int,
     return wbufs + e + bufs
 
 
+# scoped-VMEM budget every selection below must fit (conservative: v5e
+# grants 16 MiB scoped; 2 MiB headroom for Mosaic's own spills)
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
+                         block_k: int = 128, grid=None, w_tile: int = 128,
+                         depth=None):
+    """Joint (mode, block_k, depth) selection for fused_decode_step.
+
+    Picks the FIRST mode in preference order resident -> layer-grid ->
+    weight-streaming that fits the scoped-VMEM budget at SOME block_k
+    (halving from `block_k` down to 16), and within a mode the LARGEST
+    fitting block_k. Measured on v5e (round 4, mode_probe): preferring
+    the smaller-footprint mode at a bigger block loses to the
+    lower-overhead mode at a shrunken block — resident bk16 beats
+    stream bk32 at d256 B128 (124.6k vs 117.9k tok/s), grid beats
+    stream at d512 B32/B64; so mode is chosen against the post-shrink
+    footprint, not the requested block_k's (the round-3 gate used the
+    initial block_k and over-eagerly streamed).
+
+    `grid` pins the mode (False/True/"stream"), skipping the search but
+    keeping the block_k shrink; `depth` pins the KV ring depth.
+    Returns (mode, block_k, depth).
+    """
+    num_layers, max_seq, e_dh = e_shape
+    d = weights["wq"].shape[-1]
+    bytes_w = weights["wq"].dtype.itemsize
+    # weights + E are the fixed part of the scoped-VMEM budget; the E
+    # term uses the requested block_k's padding (conservative constant)
+    fixed = (sum(w.size * w.dtype.itemsize for w in weights.values())
+             + (max_seq + block_k) * e_dh * 4 * num_layers
+             + 3 * b * d * 4)
+    # 2-layer double-buffered footprint of the grid variant
+    per_layer = (sum(w.size * w.dtype.itemsize for w in weights.values()
+                     if w.ndim == 3) // num_layers
+                 + (max_seq + block_k) * e_dh * 4)
+    grid_fixed = 2 * per_layer + 3 * b * d * 4
+    # stream: only the shared weight tiles + per-layer E/biases resident
+    stream_fixed = (2 * d * w_tile * bytes_w
+                    + 2 * (d // 2) * w_tile * bytes_w
+                    + 2 * (max_seq + block_k) * e_dh * 4
+                    + 16 * num_layers * d * 4
+                    + 3 * b * d * 4)
+    by_mode = {False: fixed, True: grid_fixed, "stream": stream_fixed}
+
+    def best_block(mode_fixed):
+        # largest block_k (halving, floor 16 — d1024 B64 NEEDS 16) that
+        # divides s and fits; None if even 16 overflows
+        if s % block_k:
+            bk = s  # degrade to one block for odd cache lengths
+            return bk if (mode_fixed + 4 * b * bk * d * bytes_kv
+                          <= _VMEM_BUDGET) else None
+        bk = block_k
+        while True:
+            if mode_fixed + 4 * b * bk * d * bytes_kv <= _VMEM_BUDGET:
+                return bk
+            if bk <= 16 or s % (bk // 2):
+                return None
+            bk //= 2
+
+    if grid is None:
+        modes = [False, True] + (["stream"] if d % 256 == 0 else [])
+        for mode in modes:
+            bk = best_block(by_mode[mode])
+            if bk is not None:
+                grid = mode
+                block_k = bk
+                break
+        else:
+            # an odd d_model whose resident/grid footprints also
+            # overflow has no fused kernel — fail clearly instead of
+            # handing Mosaic an over-budget program (the model-level
+            # _decode_fused gate protects the auto path; this protects
+            # direct callers)
+            raise ValueError(
+                f"fused_decode_step: no kernel mode fits d_model={d} "
+                f"batch={b} — resident set {fixed} B / layer-grid "
+                f"double buffer {grid_fixed} B leave no room for KV "
+                f"blocks within {_VMEM_BUDGET} B"
+                + ("" if d % 256 == 0 else
+                   ", and the weight-streaming kernel needs "
+                   "d_model % 256 == 0")
+                + ". Use the XLA decode path for this configuration")
+    else:
+        bk = best_block(by_mode[grid])
+        block_k = bk if bk is not None else (
+            s if s % block_k else block_k)
+    # KV stream buffer DEPTH (round 4): deepen the block rotation past
+    # double-buffering when spare scoped VMEM allows — more DMAs in
+    # flight shortens the per-layer wait chain. block_k selection above
+    # is unchanged (sized for depth 2); depth only grows into slack.
+    if depth is None or depth < 2:
+        depth = 2
+        n_blocks = max(s // block_k, 1)
+        while (depth < min(4, n_blocks) and
+               by_mode[grid] + 2 * (depth + 1) * b * block_k * d * bytes_kv
+               <= _VMEM_BUDGET):
+            depth += 1
+    return grid, block_k, depth
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "block_k", "interpret", "grid"))
@@ -509,48 +611,16 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     s = k_cache.shape[2]
     max_seq = e_all.shape[1]
     bytes_kv = k_cache.dtype.itemsize
-    bytes_w = weights["wq"].dtype.itemsize
-    # weights + E are the fixed part of the scoped-VMEM budget (used by
-    # both the block_k shrink loop and the resident/grid auto gate)
-    fixed = (sum(w.size * w.dtype.itemsize for w in weights.values())
-             + (max_seq + block_k) * e_all.shape[-1] * 4 * num_layers
-             + 3 * b * d * 4)
-    # 2-layer double-buffered footprint of the grid variant
-    per_layer = (sum(w.size * w.dtype.itemsize for w in weights.values()
-                     if w.ndim == 3) // num_layers
-                 + (max_seq + block_k) * e_all.shape[-1] * 4)
-    grid_fixed = 2 * per_layer + 3 * b * d * 4
-    if grid is None:
-        # pick the cheapest kernel whose RESIDENT set fits scoped VMEM
-        # (14 MB = the block_k shrink loop's budget): everything
-        # resident -> _kernel; per-layer double-buffer -> _kernel_grid;
-        # else stream the weight matrices (_kernel_grid_stream, any d).
-        kv0 = 4 * b * block_k * d * bytes_kv
-        if fixed + kv0 <= 14 * 1024 * 1024:
-            grid = False
-        elif grid_fixed + kv0 <= 16 * 1024 * 1024:
-            grid = True
-        elif d % 256:
-            # stream tiling needs d and d//2 divisible by the 128-wide
-            # column tiles; an odd width whose grid double-buffer also
-            # overflows has no fused kernel — fail clearly instead of
-            # handing Mosaic an over-budget program (the model-level
-            # _decode_fused gate protects the auto path; this protects
-            # direct callers)
-            raise ValueError(
-                f"fused_decode_step: no kernel mode fits d_model={d} — "
-                f"resident set {fixed + kv0} B > 14 MiB, layer-grid "
-                f"double buffer {grid_fixed + kv0} B > 16 MiB, and the "
-                f"weight-streaming kernel needs d_model % 256 == 0. "
-                "Use the XLA decode path for this configuration")
-        else:
-            grid = "stream"
+    import os
     # column-tile width for the streaming matmuls (MG_DECODE_WTILE
     # overrides for tuning; measured at d1024 B8 on v5e: 128 -> 14.3k
     # tok/s, 256 -> 13.7k, 512 -> 13.0k — smaller tiles overlap the
     # tile-0 waits better at decode's tiny [B, d] compute)
-    import os
     w_tile = int(os.environ.get("MG_DECODE_WTILE", "0")) or 128
+    grid, block_k, depth = select_decode_config(
+        weights, e_all.shape, b, s, bytes_kv, block_k=block_k, grid=grid,
+        w_tile=w_tile,
+        depth=int(os.environ.get("MG_DECODE_DEPTH", "0")) or None)
     if grid == "stream" and (d % w_tile or (d // 2) % w_tile):
         # the streaming matmuls tile output columns in w_tile chunks of
         # BOTH d and d//2 wide matrices; a remainder would silently drop
@@ -558,39 +628,6 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
         raise ValueError(
             f"stream decode needs d_model ({d}) and d_model//2 divisible "
             f"by w_tile ({w_tile})")
-    if grid == "stream":
-        # only the shared weight tiles + per-layer E/biases are resident
-        stream_fixed = (2 * d * w_tile * bytes_w
-                        + 2 * (d // 2) * w_tile * bytes_w
-                        + 2 * (max_seq + block_k) * e_all.shape[-1] * 4
-                        + 16 * num_layers * d * 4
-                        + 3 * b * d * 4)
-        mode_fixed = stream_fixed
-    elif grid:
-        mode_fixed = grid_fixed
-    else:
-        mode_fixed = fixed
-    if s % block_k:
-        block_k = s  # degrade to one block for odd cache lengths
-    else:
-        # the double-buffered KV scratch scales with B*block_k; shrink
-        # the block so batch-32/64 decode fits the 16 MB scoped VMEM
-        while (block_k > 32 and s % (block_k // 2) == 0 and
-               mode_fixed + 4 * b * block_k * d * bytes_kv
-               > 14 * 1024 * 1024):
-            block_k //= 2
-    # KV stream buffer DEPTH (round 4): deepen the block rotation past
-    # double-buffering when spare scoped VMEM allows — more DMAs in
-    # flight shortens the per-layer wait chain. block_k selection above
-    # is unchanged (sized for depth 2); depth only grows into slack.
-    depth = int(os.environ.get("MG_DECODE_DEPTH", "0"))
-    if depth < 2:
-        depth = 2
-        n_blocks = max(s // block_k, 1)
-        while (depth < min(4, n_blocks) and
-               mode_fixed + 2 * (depth + 1) * b * block_k * d * bytes_kv
-               <= 14 * 1024 * 1024):
-            depth += 1
     # slack so the bias slice never reads past the table (masked anyway)
     e_pad = jnp.pad(e_all.astype(jnp.float32),
                     ((0, 0), (0, block_k), (0, 0)))

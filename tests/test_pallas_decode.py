@@ -501,6 +501,67 @@ def test_loop_kernel_gate_counts_all_residents():
             > decode_vmem_bytes(6, 256, 309, 2048, 64))
 
 
+def _fake_weights(num_layers, d, dtype=jnp.bfloat16):
+    import numpy as np
+
+    from musicgeneration_tpu.ops.pallas_decode import WEIGHT_KEYS
+    l_ = num_layers
+    shapes = {"wq": (l_, d, d), "wk": (l_, d, d), "wv": (l_, d, d),
+              "wfc": (l_, d, d), "ffn1_w": (l_, d, d // 2),
+              "ffn2_w": (l_, d // 2, d)}
+    # numpy zeros: the selector only reads .size/.dtype.itemsize
+    return {k: np.zeros(shapes.get(k, (l_, d)), jnp.dtype(dtype))
+            for k in WEIGHT_KEYS}
+
+
+def test_select_decode_config_serving_shapes():
+    """Joint (mode, block_k, depth) auto-selection at the serving sweep
+    shapes, locked to the round-4 mode_probe measurements on v5e: the
+    mode must be judged at the post-shrink block_k (resident bk16 beats
+    stream at d256 B128), and the shrink floor must reach 16 (d1024 B64
+    crashes the compile helper at bk32, runs at bk16)."""
+    from musicgeneration_tpu.ops.pallas_decode import select_decode_config
+
+    expect = {
+        # (d, batch): (mode, block_k) at a 2048-row bf16 cache
+        (256, 8): (False, 128),     # flagship headline — unchanged
+        (256, 32): (False, 64),
+        (256, 64): (False, 32),
+        (256, 128): (False, 16),    # 124.6k tok/s > stream's 117.9k
+        (512, 8): (True, 128),
+        (512, 32): (True, 32),      # round-3 gate streamed (crashed)
+        (512, 64): (True, 16),
+        (512, 128): ("stream", 16),
+        (1024, 8): ("stream", 128),
+        (1024, 32): ("stream", 32),
+        (1024, 64): ("stream", 16), # bk32 overflows scoped VMEM
+    }
+    for (d, b), (mode, bk) in expect.items():
+        w = _fake_weights(6, d)
+        got = select_decode_config(w, (6, 2048, 64), b, 2048, 2)
+        assert got[:2] == (mode, bk), ((d, b), got, (mode, bk))
+        assert 2 <= got[2] <= 4
+
+
+def test_select_decode_config_pins():
+    """Explicit grid= keeps the mode but still shrinks block_k into
+    budget; explicit depth>=2 is honored verbatim."""
+    from musicgeneration_tpu.ops.pallas_decode import select_decode_config
+
+    w = _fake_weights(6, 512)
+    # pin stream at d512 B32 (auto would pick grid): block still shrinks
+    mode, bk, depth = select_decode_config(
+        w, (6, 2048, 64), 32, 2048, 2, grid="stream")
+    assert mode == "stream" and bk == 64
+    _, _, depth = select_decode_config(
+        w, (6, 2048, 64), 8, 2048, 2, depth=2)
+    assert depth == 2
+    # odd cache length degrades to a single block
+    mode, bk, _ = select_decode_config(_fake_weights(6, 256),
+                                       (6, 2048, 64), 8, 96, 2)
+    assert bk == 96
+
+
 def test_decode_kernel_mode_gates():
     """The resident/grid/stream auto selection picks the expected mode
     per config (the ADVICE r2 medium finding: gate and kernel must
