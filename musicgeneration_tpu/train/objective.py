@@ -34,15 +34,23 @@ def smooth_cross_entropy(
     """
     logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    onehot = jax.nn.one_hot(targets, vocab_size, dtype=jnp.float32)
-    q = (1.0 - label_smoothing) * onehot + label_smoothing / vocab_size
+    # gather form of -(q * log_probs).sum(-1) with
+    # q = (1-eps) * onehot(t) + eps/V: never materializes the [N, V]
+    # one-hot/q arrays (at a 32k vocab they dominate the loss's HBM
+    # traffic). in_range reproduces one_hot's all-zero row for
+    # out-of-range targets; ignored rows are dropped from both terms.
+    tgt = jnp.clip(targets, 0, vocab_size - 1)[..., None]
+    tgt_lp = jnp.take_along_axis(log_probs, tgt, axis=-1)[..., 0]
+    in_range = ((targets >= 0) & (targets < vocab_size)).astype(
+        jnp.float32)
+    ce = -((1.0 - label_smoothing) * tgt_lp * in_range
+           + (label_smoothing / vocab_size) * log_probs.sum(axis=-1))
     if ignore_index is not None:
         keep = (targets != ignore_index).astype(jnp.float32)
-        q = q * keep[..., None]
+        ce = ce * keep
         denom = jnp.maximum(keep.sum(), 1.0)
     else:
         denom = jnp.float32(targets.size)
-    ce = -(q * log_probs).sum(axis=-1)
     return ce.sum() / denom
 
 
