@@ -50,6 +50,16 @@ NEG_INF = -1e9  # reference mask value (layers.py:98-100)
 _SHEAR_CHUNK = 128  # lane width: chunk offsets stay 128-aligned
 
 
+def _shear_sub_rows() -> int:
+    """Shear sub-chunk height (rows per roll group). Default 128 keeps
+    every chunk offset 128-aligned (pure static slices). Smaller
+    powers of two trade ONE extra uniform realign roll per chunk for
+    log2(sub) instead of 7 variable rolls on a (sub/128)x narrower
+    slab — less total VPU roll work. MG_SHEAR_SUB tunes it (0 = 128)."""
+    import os
+    return int(os.environ.get("MG_SHEAR_SUB", "0")) or _SHEAR_CHUNK
+
+
 def _shear(qe: jnp.ndarray, block_q: int, block_k: int) -> jnp.ndarray:
     """srel[t, s] = qe[t, (block_q - 1 - t) + s].
 
@@ -58,15 +68,16 @@ def _shear(qe: jnp.ndarray, block_q: int, block_k: int) -> jnp.ndarray:
     the read region [0, block_k) never observes wrapped values:
     c + p <= (block_k-1) + (block_q-1) < W.
 
-    For block_q > 128 the shift is split hierarchically: the multiple-
-    of-128 part of p is a STATIC 128-aligned column slice per 128-row
-    chunk (free — no data movement), leaving only log2(128)=7 rolls on
-    a [128, 128+block_k] slab per chunk instead of log2(block_q) rolls
-    on the full [block_q, block_q+block_k] array.  Exact permutation
-    either way (bit-identical outputs; locked by the oracle tests).
-    """
+    For block_q > sub-chunk size c the shift is split hierarchically:
+    the multiple-of-c part of p lands via a static 128-aligned column
+    slice (c = 128, free) or one uniform realign roll (c < 128),
+    leaving only log2(c) variable rolls on a [c, c+block_k] slab per
+    chunk instead of log2(block_q) rolls on the full
+    [block_q, block_q+block_k] array.  Exact permutation either way
+    (bit-identical outputs; locked by the oracle tests)."""
     w = qe.shape[-1]
-    if block_q <= _SHEAR_CHUNK:
+    c = min(_shear_sub_rows(), block_q)
+    if block_q <= c:
         p = (block_q - 1) - jax.lax.broadcasted_iota(jnp.int32, qe.shape,
                                                      0)
         b = 1
@@ -76,14 +87,19 @@ def _shear(qe: jnp.ndarray, block_q: int, block_k: int) -> jnp.ndarray:
             b *= 2
         return qe[:, :block_k]
 
-    c = _SHEAR_CHUNK
     sub_w = c + block_k
     outs = []
     for i in range(block_q // c):
         # rows t = i*c + t' need column (block_q-1-t) + s
         #        = off + (c-1-t') + s  with  off = block_q - c*(i+1)
         off = block_q - c * (i + 1)
-        sub = qe[i * c:(i + 1) * c, off:off + sub_w]
+        if off % 128 == 0:
+            sub = qe[i * c:(i + 1) * c, off:off + sub_w]
+        else:
+            # realign: one uniform left-roll by off, then the static
+            # slice is 0-based (no wrap: off + sub_w <= w)
+            sub = pltpu.roll(qe[i * c:(i + 1) * c, :], w - off,
+                             1)[:, :sub_w]
         p = (c - 1) - jax.lax.broadcasted_iota(jnp.int32, sub.shape, 0)
         b = 1
         while b < c:
@@ -101,11 +117,13 @@ def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
     inside [0, w) for w >= block_q+block_k-1, and every wrapped element
     comes from the zero right-padding, so the result is exact.
 
-    Mirrors _shear's hierarchical split for block_q > 128: the
-    multiple-of-128 shift lands via a static 128-aligned left-pad per
-    128-row chunk; rolls only cover the residual 0..127 shift."""
+    Mirrors _shear's hierarchical split for block_q > sub-chunk size c:
+    the multiple-of-c shift lands via a static 128-aligned left-pad
+    (c = 128) or a zero-pad plus one uniform right-roll (c < 128);
+    rolls only cover the residual 0..c-1 shift."""
     block_k = ds.shape[1]
-    if block_q <= _SHEAR_CHUNK:
+    c = min(_shear_sub_rows(), block_q)
+    if block_q <= c:
         x = jnp.pad(ds, ((0, 0), (0, w - block_k)))
         p = (block_q - 1) - jax.lax.broadcasted_iota(jnp.int32, x.shape,
                                                      0)
@@ -116,7 +134,6 @@ def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
             b *= 2
         return x
 
-    c = _SHEAR_CHUNK
     sub_w = c + block_k
     outs = []
     for i in range(block_q // c):
@@ -128,7 +145,14 @@ def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
             rolled = pltpu.roll(sub, b, 1)
             sub = jnp.where((p & b) != 0, rolled, sub)
             b *= 2
-        outs.append(jnp.pad(sub, ((0, 0), (off, w - off - sub_w))))
+        if off % 128 == 0:
+            outs.append(jnp.pad(sub, ((0, 0), (off, w - off - sub_w))))
+        else:
+            # pad right to full width (lane-aligned), then one uniform
+            # right-roll by off — every wrapped element comes from the
+            # zero padding (off + sub_w <= w)
+            full = jnp.pad(sub, ((0, 0), (0, w - sub_w)))
+            outs.append(pltpu.roll(full, off, 1))
     return jnp.concatenate(outs, axis=0)
 
 
