@@ -268,6 +268,10 @@ class MusicTransformer(nn.Module):
     #   (layers.py:42-43, h = d_model // 64); 128 fills the MXU
     #   contraction on TPU — the production-shape MFU study knob
     ffn_dim: int = 0  # 0 -> reference default d_model // 2
+    logits_dtype: Any = jnp.float32  # dtype the [B, L, vocab] logits
+    #   materialize in. f32 default (reference numerics); bf16 halves
+    #   the logits/dlogits HBM traffic at large vocabs — the loss still
+    #   upcasts per-element and reduces in f32 (train/objective.py)
     scan_layers: bool = False  # run the trunk as ONE lax.scan over a
     #   stacked [L, ...] layer-param axis instead of L unrolled layers.
     #   The compiled program shrinks ~L-fold — first compiles on this
@@ -333,7 +337,7 @@ class MusicTransformer(nn.Module):
         h = self.dropout(h, deterministic=deterministic)
         if self.scan_layers:
             h, _ = self.scanned(h, mask, deterministic, key_pad)
-            return self.fc(h).astype(jnp.float32)
+            return self.fc(h).astype(self.logits_dtype)
         for layer in self.layers:
             if self.remat:
                 h = nn.remat(type(layer).__call__,
@@ -342,7 +346,7 @@ class MusicTransformer(nn.Module):
             else:
                 h = layer(h, mask, deterministic=deterministic,
                           key_pad=key_pad)
-        return self.fc(h).astype(jnp.float32)
+        return self.fc(h).astype(self.logits_dtype)
 
     # -- incremental decoding -------------------------------------------------
 

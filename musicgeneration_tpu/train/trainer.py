@@ -47,6 +47,15 @@ class TrainerConfig:
     adam_b2: float = 0.98  # reference train.py:143
     adam_eps: float = 1e-9
     peak_lr: Optional[float] = None  # fixed-lr override (RNN trainers)
+    # PRNG for the in-step dropout masks. "rbg" rides the TPU hardware
+    # generator: measured 132.3 -> 128.0 ms/step on the production-shape
+    # study (threefry bit-gen is ~4 ms of VPU per step at 13 mask sites;
+    # BASELINE.md round 4). The checkpointed dropout_rng stays a raw
+    # threefry key either way — the impl only changes how the per-step
+    # fold is expanded to bits, so old checkpoints resume unchanged
+    # (with a different forward dropout stream, like any jax upgrade).
+    # "threefry2x32" restores bit-identical legacy masks.
+    dropout_rng_impl: str = "rbg"
 
 
 def make_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -107,8 +116,19 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn or default_loss, has_aux=True)
 
+    def to_impl(rng):
+        if cfg.dropout_rng_impl in ("threefry2x32", None):
+            return rng
+        # raw uint32[2] legacy keys pass through; typed keys unwrap
+        data = (rng if jnp.issubdtype(rng.dtype, jnp.uint32)
+                else jax.random.key_data(rng))
+        # rbg/unsafe_rbg keys are uint32[4]; duplicating the folded
+        # words keeps one independent stream per (seed, step)
+        return jax.random.wrap_key_data(
+            jnp.concatenate([data, data]), impl=cfg.dropout_rng_impl)
+
     def train_step(state: TrainState, x, y):
-        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        rng = to_impl(jax.random.fold_in(state.dropout_rng, state.step))
         if cfg.accum_steps == 1:
             (loss, acc), grads = grad_fn(state.params, x, y, rng)
         else:
