@@ -67,7 +67,9 @@ def multihost_shard_batch(mesh: Mesh, local_batch):
     input pipeline, SURVEY.md §5: each host reads its own shard of the
     corpus and contributes its slice of the global batch; the returned
     arrays are addressable only where they live). On a single process
-    this equals shard_batch."""
+    this equals shard_batch; real 2-process assembly + a dp train step
+    over one global mesh is locked in tests/test_multihost.py (gloo
+    CPU "cluster")."""
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             batch_sharding(mesh, np.ndim(x)), np.asarray(x)),
