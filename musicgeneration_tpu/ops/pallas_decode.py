@@ -63,7 +63,8 @@ def _layer_step(x, li, t, n_live, e_ref,
                 num_heads: int, block_k: int, max_seq: int, eps: float,
                 io_dtype, hbm_limit=None,
                 chunk=None, warmup: bool = True, prefetch_li=None,
-                bias_li=None, cache_li=None, mm=None):
+                bias_li=None, cache_li=None, mm=None,
+                bulk: bool = False, prefetch_when=None):
     """One EncoderLayer decode step inside a kernel: qkv projections,
     live-prefix KV streaming with the analytic current-token term,
     output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
@@ -84,7 +85,12 @@ def _layer_step(x, li, t, n_live, e_ref,
     mm: optional matmul hook (inp_f32, w_ref, li) -> [B, out] f32 —
     the STREAMING kernel (d_model >= 1024) passes HBM weight refs and
     an mm that manual-DMAs column tiles through a shared double
-    buffer; default reads the (VMEM) ref at [li]."""
+    buffer; default reads the (VMEM) ref at [li].
+    bulk: kbuf/vbuf are WHOLE-CACHE [B, S, d] buffers filled by ONE
+    contiguous DMA per cache (the [L, B, S, d] layout makes the [li]
+    slice contiguous — a single descriptor at full HBM bandwidth,
+    vs the per-block copies' batch-strided descriptors); the compute
+    loop then reads VMEM slices with no per-block waits. sems: 2."""
     if hbm_limit is None:
         hbm_limit = t
     if bias_li is None:
@@ -127,11 +133,17 @@ def _layer_step(x, li, t, n_live, e_ref,
         # (round 4 — the remaining ~130 us/step at B8 was the
         # double-buffered wait chain; deeper rotation hides the
         # per-DMA latency behind more blocks of compute)
-        depth = kbuf.shape[0]
+        depth = 1 if bulk else kbuf.shape[0]
 
         def _start(j, which=None):
             if which is None:
                 which = cache_li
+            if bulk:
+                pltpu.make_async_copy(kc_ref.at[which], kbuf,
+                                      sems.at[0]).start()
+                pltpu.make_async_copy(vc_ref.at[which], vbuf,
+                                      sems.at[1]).start()
+                return
             slot = jax.lax.rem(j, depth)
             pltpu.make_async_copy(
                 kc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
@@ -140,7 +152,22 @@ def _layer_step(x, li, t, n_live, e_ref,
                 vc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
                 vbuf.at[slot], sems.at[depth + slot]).start()
 
-        if warmup:
+        if bulk:
+            if warmup:
+                # cross-layer pipelining (warmup=False): the caller
+                # issued this layer's bulk copy during the previous
+                # layer's tail compute
+                @pl.when(n_live > 0)
+                def _bulk_start():
+                    _start(0)
+
+            @pl.when(n_live > 0)
+            def _bulk_wait():
+                pltpu.make_async_copy(kc_ref.at[cache_li], kbuf,
+                                      sems.at[0]).wait()
+                pltpu.make_async_copy(vc_ref.at[cache_li], vbuf,
+                                      sems.at[1]).wait()
+        elif warmup:
             # cross-layer pipelining (warmup=False): the CALLER started
             # this layer's first depth-1 blocks earlier, hiding the DMA
             # latency behind the previous layer's tail compute / embed
@@ -151,14 +178,16 @@ def _layer_step(x, li, t, n_live, e_ref,
 
         def body(j, carry):
             ms, ls, accs = carry
-            slot = jax.lax.rem(j, depth)
             s0 = j * block_k
 
-            # keep `depth` block pairs in flight: block j+depth-1 lands
-            # in slot (j-1) % depth, consumed last iteration
-            @pl.when(j + (depth - 1) < n_live)
-            def _prefetch():
-                _start(j + (depth - 1))
+            if not bulk:
+                slot = jax.lax.rem(j, depth)
+
+                # keep `depth` block pairs in flight: block j+depth-1
+                # lands in slot (j-1) % depth, consumed last iteration
+                @pl.when(j + (depth - 1) < n_live)
+                def _prefetch():
+                    _start(j + (depth - 1))
 
             # relative bias rows: q . E[li, max_seq-1-t+s] for s <= t
             # (ops/relative_attention.relative_decode_bias); rows past
@@ -168,14 +197,20 @@ def _layer_step(x, li, t, n_live, e_ref,
                 jnp.float32)
             s_ids = s0 + jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_k), 1)
-            pltpu.make_async_copy(
-                kc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
-                kbuf.at[slot], sems.at[slot]).wait()
-            pltpu.make_async_copy(
-                vc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
-                vbuf.at[slot], sems.at[depth + slot]).wait()
-            k_all_blk = kbuf[slot].astype(jnp.float32)    # [B, BK, d]
-            v_all_blk = vbuf[slot].astype(jnp.float32)
+            if bulk:
+                k_all_blk = kbuf[:, pl.ds(s0, block_k), :].astype(
+                    jnp.float32)                          # [B, BK, d]
+                v_all_blk = vbuf[:, pl.ds(s0, block_k), :].astype(
+                    jnp.float32)
+            else:
+                pltpu.make_async_copy(
+                    kc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
+                    kbuf.at[slot], sems.at[slot]).wait()
+                pltpu.make_async_copy(
+                    vc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
+                    vbuf.at[slot], sems.at[depth + slot]).wait()
+                k_all_blk = kbuf[slot].astype(jnp.float32)  # [B, BK, d]
+                v_all_blk = vbuf[slot].astype(jnp.float32)
             new_ms, new_ls, new_accs = [], [], []
             for h in range(num_heads):
                 qh = q_heads[h][:, None, :]               # [B, 1, dh]
@@ -208,7 +243,21 @@ def _layer_step(x, li, t, n_live, e_ref,
                    for _ in range(num_heads))
         ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
 
-        if prefetch_li is not None:
+        if prefetch_li is not None and bulk:
+            # the single bulk buffer is fully consumed after the loop:
+            # start the NEXT layer's whole-cache copies now so they ride
+            # under this layer's tail (output proj, LN, FFN) + the next
+            # layer's qkv projections. prefetch_when gates the last
+            # grid step (no layer follows — an unwaited DMA must not
+            # outlive the kernel)
+            pred = n_live > 0
+            if prefetch_when is not None:
+                pred = pred & prefetch_when
+
+            @pl.when(pred)
+            def _prefetch_next_bulk():
+                _start(0, which=prefetch_li)
+        elif prefetch_li is not None:
             # start the NEXT layer's first depth-1 blocks now: all
             # stream buffers are consumed, and the DMAs overlap this
             # layer's tail (current-token term, output proj, LN, FFN)
@@ -383,6 +432,53 @@ def _kernel_grid(x_ref, t_ref, e_ref,
     out_ref[...] = x.astype(out_ref.dtype)
 
 
+def _kernel_grid_bulk(x_ref, t_ref, e_ref,
+                      wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                      wfc_ref, bfc_ref,
+                      ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      ln2s_ref, ln2b_ref,
+                      kc_ref, vc_ref,
+                      out_ref, knew_ref, vnew_ref,
+                      xcar, kbuf, vbuf, sems, *,
+                      num_layers: int, num_heads: int, block_k: int,
+                      max_seq: int, eps: float):
+    """Layer-grid decode step with BULK whole-cache KV copies: one
+    contiguous [B, S, d] DMA per cache per layer (the [L, B, S, d]
+    layout makes the [li] slice contiguous — one descriptor at full
+    HBM bandwidth, where the live-prefix per-block copies pay a
+    batch-strided descriptor chain each). Layer l+1's copies are
+    issued during layer l's tail compute, so the per-layer wait is
+    ~max(0, transfer - tail compute). Trades read amplification (the
+    whole cache_len, not the live prefix) for wait-chain elimination —
+    the win regime is small B*S*d (VMEM gate in select_decode_config);
+    per-block streaming stays the fallback."""
+    li = pl.program_id(0)
+    t = t_ref[0]
+    n_live = (t + block_k - 1) // block_k
+
+    @pl.when((li == 0) & (n_live > 0))
+    def _first():
+        pltpu.make_async_copy(kc_ref.at[0], kbuf, sems.at[0]).start()
+        pltpu.make_async_copy(vc_ref.at[0], vbuf, sems.at[1]).start()
+
+    x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
+    x, k_new, v_new = _layer_step(
+        x, 0, t, n_live, e_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+        wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+        kc_ref, vc_ref, kbuf, vbuf, sems,
+        num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+        eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
+        bulk=True, warmup=False,
+        prefetch_li=jnp.minimum(li + 1, num_layers - 1),
+        prefetch_when=li + 1 < num_layers)
+    knew_ref[0] = k_new.astype(knew_ref.dtype)
+    vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+    xcar[...] = x
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
 def _kernel_grid_stream(x_ref, t_ref, e_ref,
                         wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                         wfc_ref, bfc_ref,
@@ -533,7 +629,8 @@ def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
                     + 2 * (max_seq + block_k) * e_dh * 4
                     + 16 * num_layers * d * 4
                     + 3 * b * d * 4)
-    by_mode = {False: fixed, True: grid_fixed, "stream": stream_fixed}
+    by_mode = {False: fixed, True: grid_fixed, "stream": stream_fixed,
+               "bulk": grid_fixed}
 
     def best_block(mode_fixed):
         # largest block_k (halving, floor 16 — d1024 B64 NEEDS 16) that
@@ -551,6 +648,18 @@ def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
             bk //= 2
 
     if grid is None:
+        # tiny batches are wait-chain-bound, not bandwidth-bound: the
+        # BULK whole-cache copy (one contiguous DMA per cache per
+        # layer) beats per-block streaming at B1 (89 vs 98 us/step,
+        # d256 S1024, 0.5 MB/copy) and holds parity at B2-B4; at B8
+        # the extra read amplification loses (160 vs 155 at 4 MB/copy)
+        # — so gate on the measured-win regime: small batch AND a
+        # per-cache copy of at most 2 MiB (the B4 S1024 parity point)
+        if (b <= 4 and s % block_k == 0
+                and b * s * d * bytes_kv <= 2 * 1024 * 1024
+                and grid_fixed + 2 * b * s * d * bytes_kv
+                <= _VMEM_BUDGET):
+            return "bulk", block_k, 1
         modes = [False, True] + (["stream"] if d % 256 == 0 else [])
         for mode in modes:
             bk = best_block(by_mode[mode])
@@ -573,6 +682,17 @@ def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
                    ", and the weight-streaming kernel needs "
                    "d_model % 256 == 0")
                 + ". Use the XLA decode path for this configuration")
+    elif grid == "bulk":
+        # bulk holds the WHOLE cache in VMEM: block_k only sets the
+        # compute-loop granularity (no per-block buffers)
+        if s % block_k:
+            block_k = s
+        if grid_fixed + 2 * b * s * d * bytes_kv > _VMEM_BUDGET:
+            raise ValueError(
+                f"bulk decode: whole-cache buffers ({2 * b * s * d * bytes_kv} B)"
+                f" + layer double-buffer ({grid_fixed} B) exceed "
+                f"{_VMEM_BUDGET} B — use the streaming modes")
+        return grid, block_k, 1
     else:
         bk = best_block(by_mode[grid])
         block_k = bk if bk is not None else (
@@ -671,6 +791,7 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
         # 2-layer double buffer overflows): matrices stay in HBM and
         # every matmul streams column tiles (_kernel_grid_stream).
         stream = grid == "stream"
+        bulk = grid == "bulk"
         dh = d // num_heads
         e_rows = e_pad.shape[1]
 
@@ -701,13 +822,26 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                 in_specs.append(vmem())
                 w_args.append(f32b[k])
         in_specs += [hbm, hbm]
-        scratch = [
-            pltpu.VMEM((b, d), jnp.float32),
-            pltpu.VMEM((depth, b, block_k, d), k_cache.dtype),
-            pltpu.VMEM((depth, b, block_k, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2 * depth,)),
-        ]
-        if stream:
+        if bulk:
+            scratch = [
+                pltpu.VMEM((b, d), jnp.float32),
+                pltpu.VMEM((b, s, d), k_cache.dtype),  # whole cache
+                pltpu.VMEM((b, s, d), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            scratch = [
+                pltpu.VMEM((b, d), jnp.float32),
+                pltpu.VMEM((depth, b, block_k, d), k_cache.dtype),
+                pltpu.VMEM((depth, b, block_k, d), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2 * depth,)),
+            ]
+        if bulk:
+            kernel = functools.partial(
+                _kernel_grid_bulk, num_layers=num_layers,
+                num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+                eps=1e-6)
+        elif stream:
             kernel = functools.partial(
                 _kernel_grid_stream, num_layers=num_layers,
                 num_heads=num_heads, block_k=block_k, max_seq=max_seq,

@@ -294,6 +294,63 @@ def test_grid_kernel_matches_resident():
         k_all, v_all = k1, v1
 
 
+def test_bulk_kernel_matches_grid():
+    """The BULK whole-cache variant (one contiguous [B, S, d] DMA per
+    cache per layer, auto-picked at batch<=4 — the single-stream
+    latency winner) must match the layer-grid kernel bit-for-bit,
+    including t=0 (no copies issued) and deep prefixes."""
+    from musicgeneration_tpu.models.music_transformer import (
+        _stacked_decode_weights,
+    )
+    from musicgeneration_tpu.ops.pallas_decode import fused_decode_step
+
+    m = MusicTransformer(decode_impl="fused", vocab_size=VOCAB,
+                         num_layers=2, d_model=128, max_seq=64)
+    params = m.init(jax.random.PRNGKey(2),
+                    jnp.zeros((1, 8), jnp.int32))["params"]
+    bound = m.bind({"params": params})
+    w_all, e_all = _stacked_decode_weights(bound.layers, m.dtype)
+    cache = bound.init_cache(2, 48)
+    k_all, v_all = cache["k"], cache["v"]
+    rng = np.random.RandomState(2)
+    for t in list(range(3)) + [17, 33, 47]:
+        x = jnp.asarray(rng.randn(2, 128) * 0.3, jnp.float32)
+        o1, k1, v1 = fused_decode_step(x, jnp.int32(t), e_all, w_all,
+                                       k_all, v_all, m.num_heads,
+                                       block_k=16,
+                                       interpret=True, grid=True)
+        o2, k2, v2 = fused_decode_step(x, jnp.int32(t), e_all, w_all,
+                                       k_all, v_all, m.num_heads,
+                                       block_k=16,
+                                       interpret=True, grid="bulk")
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2),
+                                      err_msg=f"t={t}")
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        k_all, v_all = k1, v1
+
+
+def test_select_decode_config_bulk():
+    """Auto-selection picks bulk only where measured to win: tiny
+    batches whose whole cache fits VMEM next to the layer double
+    buffer; B8 stays on the resident kernel and big-cache configs fall
+    through to streaming modes."""
+    from musicgeneration_tpu.ops.pallas_decode import select_decode_config
+
+    w = _fake_weights(6, 256)
+    e = (6, 2048, 64)
+    assert select_decode_config(w, e, 1, 1024, 2)[0] == "bulk"
+    assert select_decode_config(w, e, 4, 1024, 2)[0] == "bulk"
+    # B8: read amplification loses (155 vs 160 us/step measured)
+    assert select_decode_config(w, e, 8, 1024, 2)[0] is False
+    # B4 at a 2048-row cache copies the same bytes as the LOSING B8
+    # S1024 case -> byte cap keeps it on the resident kernel
+    assert select_decode_config(w, e, 4, 2048, 2)[0] is False
+    # whole cache too big at d512 B4 S2048 -> grid fallback
+    got = select_decode_config(_fake_weights(6, 512), e, 4, 2048, 2)
+    assert got[0] is True
+
+
 def test_stream_kernel_matches_resident():
     """The weight-STREAMING grid variant (d_model>=1024: matrices stay
     in HBM, matmuls pull column tiles through a shared double buffer)
