@@ -227,20 +227,23 @@ def main():
         # the VMEM-limited serving-peak batch (round-4 sweep)
         for d, peak_b in ((512, 128), (1024, 64)):
             for impl in ("fused", "xla"):
-                try:
-                    m = MusicTransformer(vocab_size=309, num_layers=6,
-                                         d_model=d, max_seq=2048,
-                                         dtype=dtype, decode_impl=impl)
-                    p = m.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 8), jnp.int32))["params"]
-                    batches = (8, peak_b) if impl == "fused" else (8,)
-                    for b in batches:
+                m = MusicTransformer(vocab_size=309, num_layers=6,
+                                     d_model=d, max_seq=2048,
+                                     dtype=dtype, decode_impl=impl)
+                p = None
+                batches = (8, peak_b) if impl == "fused" else (8,)
+                for b in batches:
+                    try:
+                        if p is None:
+                            p = m.init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 8), jnp.int32)
+                                       )["params"]
                         tps, _ = bench_decode(m, p, batch=b)
                         print(f"# decode d{d} {impl} B{b}: "
                               f"{tps:.0f} tok/s", file=sys.stderr)
-                except Exception as e:  # noqa: BLE001
-                    print(f"# decode d{d} {impl} skipped: {e}",
-                          file=sys.stderr)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"# decode d{d} {impl} B{b} skipped: {e}",
+                              file=sys.stderr)
     try:
         files_per_sec = bench_tokenize()
         import multiprocessing

@@ -153,13 +153,10 @@ def _layer_step(x, li, t, n_live, e_ref,
                 vbuf.at[slot], sems.at[depth + slot]).start()
 
         if bulk:
-            if warmup:
-                # cross-layer pipelining (warmup=False): the caller
-                # issued this layer's bulk copy during the previous
-                # layer's tail compute
-                @pl.when(n_live > 0)
-                def _bulk_start():
-                    _start(0)
+            # bulk copies are ALWAYS caller-issued (the grid-bulk
+            # kernel's entry/prefetch hooks); a warmup start here would
+            # double-issue the DMA the previous layer already started
+            assert not warmup, "bulk mode requires caller-issued copies"
 
             @pl.when(n_live > 0)
             def _bulk_wait():
@@ -695,8 +692,19 @@ def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
         return grid, block_k, 1
     else:
         bk = best_block(by_mode[grid])
-        block_k = bk if bk is not None else (
-            s if s % block_k else block_k)
+        if bk is None:
+            # pinned mode that never fits the budget: hand Mosaic the
+            # SMALLEST block (16-floor halvings) — the budget is
+            # conservative and near-boundary configs compile (d512
+            # B128 grid bk16 measured working), while the requested
+            # block would be hopeless
+            if s % block_k:
+                bk = s
+            else:
+                bk = block_k
+                while bk > 16 and s % (bk // 2) == 0:
+                    bk //= 2
+        block_k = bk
     # KV stream buffer DEPTH (round 4): deepen the block rotation past
     # double-buffering when spare scoped VMEM allows — more DMAs in
     # flight shortens the per-layer wait chain. block_k selection above

@@ -74,6 +74,39 @@ def test_chunked_shear_bit_equal():
     assert _SHEAR_CHUNK == 128
 
 
+def test_shear_sub_chunk_bit_equal(monkeypatch):
+    """MG_SHEAR_SUB < 128 takes the realign-roll branches (chunk
+    offsets not 128-aligned: one uniform roll + log2(sub) variable
+    rolls) — must be the SAME permutation. Measured slower on v5e
+    (BASELINE.md round-4 negative result) but the knob stays, so the
+    exactness must stay locked in CI, not just in the one-off probe."""
+    from musicgeneration_tpu.ops.pallas_attention import _shear, _unshear
+
+    def shear_ref(qe, bq, bk):
+        return jnp.stack([qe[t, (bq - 1 - t):(bq - 1 - t) + bk]
+                          for t in range(bq)])
+
+    for sub in (8, 32):
+        monkeypatch.setenv("MG_SHEAR_SUB", str(sub))
+        for bq, bk in ((256, 128), (512, 512)):
+            w = bq + bk
+            qe = jax.random.normal(jax.random.PRNGKey(sub + bq), (bq, w))
+            got = np.asarray(jax.jit(
+                lambda x, bq=bq, bk=bk: _shear(x, bq, bk))(qe))
+            np.testing.assert_array_equal(got,
+                                          np.asarray(shear_ref(qe, bq,
+                                                               bk)))
+            ds = jax.random.normal(jax.random.PRNGKey(sub + bk),
+                                   (bq, bk))
+            got_u = np.asarray(jax.jit(
+                lambda x, bq=bq, w=w: _unshear(x, bq, w))(ds))
+            want_u = np.zeros((bq, w), np.float32)
+            for t in range(bq):
+                want_u[t, (bq - 1 - t):(bq - 1 - t) + bk] = \
+                    np.asarray(ds[t])
+            np.testing.assert_array_equal(got_u, want_u)
+
+
 def test_autotuned_fwd_blocks():
     from musicgeneration_tpu.ops.pallas_attention import (
         autotuned_fwd_blocks,
