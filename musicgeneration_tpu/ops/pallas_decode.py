@@ -64,7 +64,8 @@ def _layer_step(x, li, t, n_live, e_ref,
                 io_dtype, hbm_limit=None,
                 chunk=None, warmup: bool = True, prefetch_li=None,
                 bias_li=None, cache_li=None, mm=None,
-                bulk: bool = False, prefetch_when=None):
+                bulk: bool = False, prefetch_when=None,
+                bulk_ready: bool = False):
     """One EncoderLayer decode step inside a kernel: qkv projections,
     live-prefix KV streaming with the analytic current-token term,
     output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
@@ -157,13 +158,17 @@ def _layer_step(x, li, t, n_live, e_ref,
             # kernel's entry/prefetch hooks); a warmup start here would
             # double-issue the DMA the previous layer already started
             assert not warmup, "bulk mode requires caller-issued copies"
+            if not bulk_ready:
+                # bulk_ready: the buffer was filled ONCE for the whole
+                # call (loop kernel's per-launch prefix copy) — no
+                # per-layer wait to consume
 
-            @pl.when(n_live > 0)
-            def _bulk_wait():
-                pltpu.make_async_copy(kc_ref.at[cache_li], kbuf,
-                                      sems.at[0]).wait()
-                pltpu.make_async_copy(vc_ref.at[cache_li], vbuf,
-                                      sems.at[1]).wait()
+                @pl.when(n_live > 0)
+                def _bulk_wait():
+                    pltpu.make_async_copy(kc_ref.at[cache_li], kbuf,
+                                          sems.at[0]).wait()
+                    pltpu.make_async_copy(vc_ref.at[cache_li], vbuf,
+                                          sems.at[1]).wait()
         elif warmup:
             # cross-layer pipelining (warmup=False): the CALLER started
             # this layer's first depth-1 blocks earlier, hiding the DMA

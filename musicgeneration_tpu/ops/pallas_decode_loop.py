@@ -172,7 +172,7 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
                   chunk: int, num_layers: int, num_heads: int,
                   block_k: int, e_len: int, eps: float, sqrt_d: float,
                   inv_temp: float, greedy: bool, top_k: int,
-                  top_p: float, io_dtype):
+                  top_p: float, io_dtype, bulk: bool = False):
     b, vpad = logits0_ref.shape
     d = embed_ref.shape[1]
     t0 = t0_ref[0]
@@ -186,12 +186,26 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
 
     from .pallas_decode import start_block0
 
-    def step(i, logits):
-        # layer 0's first KV block streams in while we sample and embed
+    if bulk:
+        # the HBM prefix [0, t0) is IMMUTABLE for the whole launch
+        # (fresh rows go to the VMEM chunk buffers): copy ALL layers'
+        # caches in ONE contiguous DMA each, once per `chunk` steps —
+        # every per-step per-layer KV stream DMA disappears. kbuf/vbuf
+        # here are [L, B, S, d] whole-cache buffers.
         @pl.when(n_live > 0)
-        def _entry():
-            start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k,
-                         n_live)
+        def _fill_once():
+            pltpu.make_async_copy(kc_ref, kbuf, sems.at[0]).start()
+            pltpu.make_async_copy(vc_ref, vbuf, sems.at[1]).start()
+            pltpu.make_async_copy(kc_ref, kbuf, sems.at[0]).wait()
+            pltpu.make_async_copy(vc_ref, vbuf, sems.at[1]).wait()
+
+    def step(i, logits):
+        if not bulk:
+            # layer 0's first KV block streams in while we sample/embed
+            @pl.when(n_live > 0)
+            def _entry():
+                start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems,
+                             block_k, n_live)
 
         # ---- sample ----
         if greedy:
@@ -236,11 +250,15 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
                 wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                 wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
                 w2_ref, b2_ref, ln2s_ref, ln2b_ref,
-                kc_ref, vc_ref, kbuf, vbuf, sems,
+                kc_ref, vc_ref,
+                kbuf.at[li] if bulk else kbuf,
+                vbuf.at[li] if bulk else vbuf, sems,
                 num_heads=num_heads, block_k=block_k, max_seq=e_len,
                 eps=eps, io_dtype=io_dtype, hbm_limit=t0,
                 chunk=(ck_ref, cv_ref, i, t0), warmup=False,
-                prefetch_li=li + 1 if li + 1 < num_layers else None)
+                bulk=bulk, bulk_ready=bulk,
+                prefetch_li=(None if bulk else
+                             li + 1 if li + 1 < num_layers else None))
             # append this step's rows to the VMEM chunk for later steps;
             # buffers ride f32 (dynamic sublane stores of bf16 crash
             # Mosaic) but hold CACHE-dtype-rounded values for parity
@@ -259,16 +277,54 @@ def _chunk_kernel(t0_ref, seed_ref, logits0_ref, embed_ref, pos_ref,
                                             logits0_ref[...])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_heads", "chunk", "temperature", "greedy",
-                     "top_k", "top_p", "block_k", "interpret"))
 def fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all, weights,
                        fc_w, fc_b, k_cache, v_cache, num_heads: int,
                        chunk: int, temperature: float = 1.0,
                        greedy: bool = False, top_k: int = 0,
                        top_p: float = 1.0, block_k: int = 128,
                        interpret: bool = False):
+    """Thin wrapper resolving the BULK gate (env + shapes) OUTSIDE the
+    jit so MG_DECODE_LOOP_BULK flips actually retrace (bulk is a
+    static argument of the jitted impl)."""
+    import os
+    b = logits0.shape[0]
+    num_layers, _, s, d = k_cache.shape
+    bk = s if s % block_k else block_k
+    # per-launch BULK prefix residency (MG_DECODE_LOOP_BULK=1): the
+    # whole [L, B, S, d] caches copy into VMEM once per `chunk` steps
+    # (two contiguous DMAs), eliminating every per-step per-layer KV
+    # stream DMA. Measured NEGATIVE on v5e despite the DMA savings —
+    # B1 greedy 65.5 vs 54.2 ms/512, B4 67.5 vs 64.5, B8 parity
+    # (token-equal): the attention loop's dynamic strided VMEM reads
+    # through the [L, B, S, d] view cost more than the stream's
+    # DMA-into-dense-buffer reads. Kept opt-in (equality-locked both
+    # ways) in case a different VMEM layout or Mosaic version flips it.
+    bulk = os.environ.get("MG_DECODE_LOOP_BULK") == "1"
+    if bulk:
+        bulk_bytes = 2 * num_layers * b * s * d * k_cache.dtype.itemsize
+        base = decode_loop_vmem_bytes(
+            num_layers, d, logits0.shape[1], s, d // num_heads, chunk,
+            bk, b, k_cache.dtype.itemsize)
+        stream_bufs = 4 * b * bk * d * k_cache.dtype.itemsize
+        bulk = base - stream_bufs + bulk_bytes <= 14 * 1024 * 1024
+    return _fused_decode_chunk(
+        logits0, t0, seed, embed, pos_tab, e_all, weights, fc_w, fc_b,
+        k_cache, v_cache, num_heads=num_heads, chunk=chunk,
+        temperature=temperature, greedy=greedy, top_k=top_k,
+        top_p=top_p, block_k=block_k, interpret=interpret, bulk=bulk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "chunk", "temperature", "greedy",
+                     "top_k", "top_p", "block_k", "interpret", "bulk"))
+def _fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all,
+                        weights, fc_w, fc_b, k_cache, v_cache,
+                        num_heads: int, chunk: int,
+                        temperature: float = 1.0,
+                        greedy: bool = False, top_k: int = 0,
+                        top_p: float = 1.0, block_k: int = 128,
+                        interpret: bool = False, bulk: bool = False):
     """Generate `chunk` tokens in one kernel call.
 
     logits0: [B, V] f32 (last-position logits); t0: scalar int32 first
@@ -308,7 +364,7 @@ def fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all, weights,
         sqrt_d=float(math.sqrt(d)),
         inv_temp=1.0 / max(float(temperature), 1e-6),
         greedy=bool(greedy), top_k=int(top_k), top_p=float(top_p),
-        io_dtype=k_cache.dtype)
+        io_dtype=k_cache.dtype, bulk=bulk)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
@@ -332,8 +388,10 @@ def fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all, weights,
             jax.ShapeDtypeStruct((b, vpad), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, b, block_k, d), k_cache.dtype),
-            pltpu.VMEM((2, b, block_k, d), v_cache.dtype),
+            pltpu.VMEM((num_layers, b, s, d) if bulk
+                       else (2, b, block_k, d), k_cache.dtype),
+            pltpu.VMEM((num_layers, b, s, d) if bulk
+                       else (2, b, block_k, d), v_cache.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
