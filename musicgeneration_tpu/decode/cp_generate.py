@@ -61,6 +61,15 @@ def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
     max_len = max_len or (p + steps)
     if p + steps > max_len:
         raise ValueError("prompt + steps exceeds max_len")
+    # block-align the KV cache: an odd cache length forces the fused
+    # kernel's selection to a single whole-cache block, which overflows
+    # scoped VMEM past small batches (found at B32: p+steps=520); the
+    # extra rows are never live so only the cache allocation grows.
+    # Never grow past the relative table (tiny test models)
+    if max_len % 128:
+        aligned = -(-max_len // 128) * 128
+        if aligned <= getattr(model, "max_seq", aligned):
+            max_len = aligned
     # temperature is a TRACED operand: new --temperature values must not
     # trigger a full decode-scan recompile (minutes on this backend)
     temp = jnp.float32(max(temperature, 1e-6))

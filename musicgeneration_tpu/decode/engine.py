@@ -133,6 +133,17 @@ def generate(
         raise ValueError(
             f"prompt ({p}) + steps ({dp.steps}) exceeds cache max_len "
             f"({dp.max_len}); the KV cache would overflow")
+    # block-align the KV cache length: an odd cache forces the fused
+    # kernel's block selection to one whole-cache block, which
+    # overflows scoped VMEM past small batches; rows beyond the live
+    # prefix are never read, so only the allocation grows. Never grow
+    # past the model's relative table (the loop kernel slices E to the
+    # cache length — tiny test models have max_seq < 128)
+    cache_len = dp.max_len
+    if cache_len % 128:
+        aligned = -(-cache_len // 128) * 128
+        if aligned <= getattr(model, "max_seq", aligned):
+            cache_len = aligned
     if controls is not None:
         if prompt_len is not None:
             raise ValueError("controls + bucketed prompt_len are not "
@@ -144,17 +155,17 @@ def generate(
         # one-pass parallel prompt ingestion (MusicTransformer)
         if prompt_len is None:
             last_logits, cache = model.apply(
-                {"params": params}, prompt, dp.max_len,
+                {"params": params}, prompt, cache_len,
                 method=model.prefill)
             t = jnp.int32(p)
         else:
             last_logits, cache = model.apply(
-                {"params": params}, prompt, dp.max_len, prompt_len - 1,
+                {"params": params}, prompt, cache_len, prompt_len - 1,
                 method=model.prefill)
             t = jnp.asarray(prompt_len, jnp.int32)
     else:
         cache = (cache0 if cache0 is not None else
-                 model.apply({"params": params}, b, dp.max_len,
+                 model.apply({"params": params}, b, cache_len,
                              method=model.init_cache))
         cache, t, last_logits = _prefill(
             model, params, prompt, cache, jnp.int32(0),
@@ -175,7 +186,7 @@ def generate(
         try:
             return decode_loop_vmem_bytes(
                 model.num_layers, model.d_model, model.vocab_size,
-                dp.max_len, model.d_model // model.num_heads,
+                cache_len, model.d_model // model.num_heads,
                 batch=b) < 14 * 1024 * 1024
         except AttributeError:
             return False
