@@ -636,6 +636,12 @@ def test_select_decode_config_pins():
     mode, bk, _ = select_decode_config(_fake_weights(6, 256),
                                        (6, 2048, 64), 8, 96, 2)
     assert bk == 96
+    # a pinned mode that never fits the budget falls back to the
+    # SMALLEST block (the conservative budget is often beatable — d512
+    # B128 grid bk16 measured working), never the hopeless request
+    _, bk, _ = select_decode_config(w, (6, 2048, 64), 128, 2048, 2,
+                                    grid=True)
+    assert bk == 16
 
 
 def test_decode_kernel_mode_gates():
