@@ -478,6 +478,12 @@ def _generate_arrangement(model, params, cfg, args) -> None:
     from ..tokenizers.mumidi import MuMIDI_EventSeq
 
     melody_events, _ = MuMIDI_EventSeq.extract_split_events(args.prime)
+    if melody_events is None:
+        raise SystemExit(
+            f"prime {args.prime!r} has no extractable melody track — "
+            "PoPMAG needs a multi-track MIDI whose melody/role "
+            "classification succeeds (MuMIDI.extract_split_events "
+            "returned None, the reference's skip condition)")
     melody = MuMIDI_EventSeq.to_array(melody_events).astype(np.int64)
     bars = list(MuMIDI_EventSeq.segmentation(melody))[:cfg.max_bars]
     # truncate at the first overlong bar — clipping inside a bar would cut

@@ -65,10 +65,15 @@ def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
     # kernel's selection to a single whole-cache block, which overflows
     # scoped VMEM past small batches (found at B32: p+steps=520); the
     # extra rows are never live so only the cache allocation grows.
-    # Never grow past the relative table (tiny test models)
+    # Never grow past the relative table (small-max_seq models fall
+    # back to the bf16 sublane tile, 16 — Mosaic rejects DMA slices of
+    # non-16-multiple cache rows on hardware)
     if max_len % 128:
+        max_seq = getattr(model, "max_seq", 1 << 30)
         aligned = -(-max_len // 128) * 128
-        if aligned <= getattr(model, "max_seq", aligned):
+        if aligned > max_seq:
+            aligned = min(-(-max_len // 16) * 16, max_seq)
+        if aligned >= max_len:
             max_len = aligned
     # temperature is a TRACED operand: new --temperature values must not
     # trigger a full decode-scan recompile (minutes on this backend)

@@ -141,8 +141,16 @@ def generate(
     # cache length — tiny test models have max_seq < 128)
     cache_len = dp.max_len
     if cache_len % 128:
+        max_seq = getattr(model, "max_seq", 1 << 30)
         aligned = -(-cache_len // 128) * 128
-        if aligned <= getattr(model, "max_seq", aligned):
+        if aligned > max_seq:
+            # models with a small relative table (max_seq < 128): align
+            # to the bf16 sublane tile instead — Mosaic rejects DMA
+            # slices of non-16-multiple cache rows on hardware (found
+            # via a 56-row CP cache: "Slice shape along dimension 2
+            # must be aligned to tiling")
+            aligned = min(-(-cache_len // 16) * 16, max_seq)
+        if aligned >= cache_len:
             cache_len = aligned
     if controls is not None:
         if prompt_len is not None:
