@@ -166,6 +166,10 @@ def main(argv=None) -> int:
     p.add_argument("--stochastic-beam", action="store_true",
                    help="Gumbel-perturbed beam (reference "
                         "stochastic_beam_search)")
+    p.add_argument("--quant", default="none", choices=("none", "int8"),
+                   help="weight-only int8 STREAMING decode (d_model >= "
+                        "1024 models): halves per-step weight HBM "
+                        "traffic and weight memory at ~1e-2 logit error")
     p.add_argument("--include-prime", action="store_true",
                    help="write prompt + continuation instead of "
                         "continuation only")
@@ -212,8 +216,18 @@ def main(argv=None) -> int:
     scheme = meta.get("scheme", "midilike")
     model_kwargs = dict(meta.get("model_kwargs", {}))
     scanned = bool(model_kwargs.pop("scan_layers", False))
+    if args.quant != "none":
+        if cfg.model not in ("music_transformer", "cp_transformer"):
+            raise SystemExit("--quant applies to the transformer "
+                             "families (fused streaming decode)")
+        model_kwargs["decode_quant"] = args.quant
     model, _tcfg, _apply, _loss, _adapter = build_session(
         cfg, scheme, model_kwargs)
+    if (args.quant != "none"
+            and not getattr(model, "_decode_fused", lambda: False)()):
+        print("WARNING: --quant int8 rides the fused decode kernels "
+              "(TPU backend); this run uses the XLA decode path and "
+              "ignores it")
     params = payload["state"]["params"]
     if scanned:
         # scan_layers checkpoints store one stacked [L, ...] layer

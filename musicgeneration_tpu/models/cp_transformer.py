@@ -43,6 +43,8 @@ class CPTransformer(nn.Module):
     decode_impl: str = "auto"  # "auto" | "fused" | "xla": the same
     #                            whole-stack Pallas decode-step kernel
     #                            MusicTransformer uses (auto on TPU)
+    decode_quant: str = "none"  # "int8" weight-only streaming decode
+    #                             (see music_transformer.decode_quant)
     scan_layers: bool = False  # lax.scan trunk (31x faster compiles at
     #                            step parity — see MusicTransformer);
     #                            train/forward only, cli.generate
@@ -197,7 +199,7 @@ class CPTransformer(nn.Module):
         if self._decode_fused():
             h, k_all, v_all = fused_layer_stack_step(
                 self.layers, h, t, k_all, v_all, self.num_heads,
-                self.dtype)
+                self.dtype, quant=getattr(self, "decode_quant", "none"))
         else:
             for i, layer in enumerate(self.layers):
                 h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)

@@ -487,11 +487,10 @@ def _kernel_grid_stream(x_ref, t_ref, e_ref,
                         ln1s_ref, ln1b_ref, w1_ref, b1_ref,
                         w2_ref, b2_ref, ln2s_ref, ln2b_ref,
                         kc_ref, vc_ref,
-                        out_ref, knew_ref, vnew_ref,
-                        xcar, kbuf, vbuf, sems,
-                        wbuf_a, wbuf_b, wsems, *,
+                        *rest,
                         num_layers: int, num_heads: int, block_k: int,
-                        max_seq: int, eps: float, w_tile: int):
+                        max_seq: int, eps: float, w_tile: int,
+                        quant: bool = False):
     """Layer-grid decode step with STREAMED weight matrices for models
     whose per-layer weights exceed even the grid variant's double
     buffer (d_model >= 1024: ~12.6 MB/layer bf16, 2x > 16 MB VMEM).
@@ -502,16 +501,37 @@ def _kernel_grid_stream(x_ref, t_ref, e_ref,
     the previous tile's [B, d_in] x [d_in, w_tile] compute. Per step
     the full weight set still crosses HBM->VMEM once — that bandwidth
     is the d1024 decode floor — but VMEM holds only 2 tiles of it, and
-    biases/E/caches behave exactly like _kernel_grid."""
+    biases/E/caches behave exactly like _kernel_grid.
+
+    quant=True (weight-only int8, quantize_stream_weights): `rest`
+    leads with six [L, d_out] f32 scale refs (wq/wk/wv/wfc/ffn1/ffn2
+    order); the streamed tiles are int8 (HALF the HBM traffic) and
+    each tile's dot is followed by one [B, w_tile] scale multiply."""
+    if quant:
+        (sq_ref, sk_ref, sv_ref, sfc_ref, s1_ref, s2_ref,
+         out_ref, knew_ref, vnew_ref,
+         xcar, kbuf, vbuf, sems, wbuf_a, wbuf_b, wsems) = rest
+    else:
+        (out_ref, knew_ref, vnew_ref,
+         xcar, kbuf, vbuf, sems, wbuf_a, wbuf_b, wsems) = rest
     li = pl.program_id(0)
     t = t_ref[0]
     n_live = (t + block_k - 1) // block_k
+    scale_of = ({id(wq_ref): sq_ref, id(wk_ref): sk_ref,
+                 id(wv_ref): sv_ref, id(wfc_ref): sfc_ref,
+                 id(w1_ref): s1_ref, id(w2_ref): s2_ref}
+                if quant else {})
 
     def mm(inp, w_ref, _li):
         d_in = w_ref.shape[1]
         d_out = w_ref.shape[2]
         n = d_out // w_tile
         buf = wbuf_a if d_in == wbuf_a.shape[1] else wbuf_b
+        s_ref = scale_of.get(id(w_ref))
+        # whole-row read indexed by program_id (the bias pattern —
+        # a [ds(li,1), ds(col,T)] 2-D dynamic slice crashes the
+        # Mosaic compile helper); tiles take static lane slices
+        srow = s_ref[li] if s_ref is not None else None
 
         def start(j, slot):
             pltpu.make_async_copy(
@@ -527,10 +547,14 @@ def _kernel_grid_stream(x_ref, t_ref, e_ref,
             pltpu.make_async_copy(
                 w_ref.at[li, :, pl.ds(j * w_tile, w_tile)],
                 buf.at[slot], wsems.at[slot]).wait()
-            parts.append(jax.lax.dot_general(
+            y = jax.lax.dot_general(
                 inp, buf[slot].astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+                preferred_element_type=jnp.float32)
+            if srow is not None:
+                y = y * jax.lax.slice(srow, (j * w_tile,),
+                                      ((j + 1) * w_tile,))[None, :]
+            parts.append(y)
         return parts[0] if n == 1 else jnp.concatenate(parts, axis=-1)
 
     x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
@@ -590,6 +614,30 @@ def decode_stream_vmem_bytes(d: int, max_seq: int, dh: int,
 # scoped-VMEM budget every selection below must fit (conservative: v5e
 # grants 16 MiB scoped; 2 MiB headroom for Mosaic's own spills)
 _VMEM_BUDGET = 14 * 1024 * 1024
+
+# the six streamed weight matrices (3-D entries of WEIGHT_KEYS)
+_MATRIX_KEYS = ("wq", "wk", "wv", "wfc", "ffn1_w", "ffn2_w")
+
+
+def quantize_stream_weights(weights):
+    """Weight-only int8 quantization for the STREAMING decode kernel
+    (d_model >= 1024): per-(layer, output-channel) symmetric scales on
+    the six big matrices — halves the HBM->VMEM weight traffic that is
+    the streaming kernel's floor. Biases/LN stay in their dtype.
+    Returns (qweights, scales) where scales[k] is [L, d_out] f32;
+    dequantization (one [B, w_tile] multiply per tile) happens after
+    each in-kernel dot. Logit error is the usual weight-only ~1e-2
+    relative (tests lock tolerance + greedy agreement)."""
+    q = dict(weights)
+    scales = {}
+    for k in _MATRIX_KEYS:
+        w = weights[k].astype(jnp.float32)          # [L, d_in, d_out]
+        s = jnp.max(jnp.abs(w), axis=1) / 127.0     # [L, d_out]
+        s = jnp.maximum(s, 1e-12)
+        q[k] = jnp.clip(jnp.round(w / s[:, None, :]), -127,
+                        127).astype(jnp.int8)
+        scales[k] = s
+    return q, scales
 
 
 def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
@@ -729,7 +777,7 @@ def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
     static_argnames=("num_heads", "block_k", "interpret", "grid"))
 def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                       num_heads: int, block_k: int = 128,
-                      interpret: bool = False, grid=None):
+                      interpret: bool = False, grid=None, scales=None):
     """All-layers decode step, fully fused into one kernel.
 
     x: [B, d] (already embedded + positioned); t: scalar int32 position;
@@ -738,6 +786,12 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     k_cache/v_cache: [L, B, S, d]. Returns (out [B, d], k_cache,
     v_cache) with every layer's new K/V row inserted at position t via
     ONE dynamic_update_slice per cache (in place under jit donation).
+
+    scales: optional {matrix key: [L, d_out] f32} from
+    quantize_stream_weights — the six big matrices are int8 and stream
+    at half the HBM traffic (the d1024 rung's floor); requires the
+    STREAMING mode (auto-selected: int8 weights shrink every footprint
+    estimate, but only the stream kernel dequantizes).
     """
     b, d = x.shape
     num_layers = k_cache.shape[0]
@@ -750,10 +804,18 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     # tok/s, 256 -> 13.7k, 512 -> 13.0k — smaller tiles overlap the
     # tile-0 waits better at decode's tiny [B, d] compute)
     w_tile = int(os.environ.get("MG_DECODE_WTILE", "0")) or 128
+    if scales is not None and grid is None:
+        grid = "stream"  # only the stream kernel dequantizes int8
     grid, block_k, depth = select_decode_config(
         weights, e_all.shape, b, s, bytes_kv, block_k=block_k, grid=grid,
         w_tile=w_tile,
         depth=int(os.environ.get("MG_DECODE_DEPTH", "0")) or None)
+    if scales is not None and grid != "stream":
+        raise ValueError("int8 weights (scales=) require the streaming "
+                         f"kernel; got mode {grid!r}")
+    if scales is None and weights["wq"].dtype == jnp.int8:
+        raise ValueError("int8 weights need their scales= dict "
+                         "(quantize_stream_weights)")
     if grid == "stream" and (d % w_tile or (d // 2) % w_tile):
         # the streaming matmuls tile output columns in w_tile chunks of
         # BOTH d and d//2 wide matrices; a remainder would silently drop
@@ -835,6 +897,12 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                 in_specs.append(vmem())
                 w_args.append(f32b[k])
         in_specs += [hbm, hbm]
+        scale_args = []
+        if scales is not None:
+            # six [L, d_out] f32 scale tables ride VMEM, after caches
+            for k in _MATRIX_KEYS:
+                in_specs.append(vmem())
+                scale_args.append(scales[k].astype(jnp.float32))
         if bulk:
             scratch = [
                 pltpu.VMEM((b, d), jnp.float32),
@@ -858,7 +926,7 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
             kernel = functools.partial(
                 _kernel_grid_stream, num_layers=num_layers,
                 num_heads=num_heads, block_k=block_k, max_seq=max_seq,
-                eps=1e-6, w_tile=w_tile)
+                eps=1e-6, w_tile=w_tile, quant=scales is not None)
             wdt = weights["wq"].dtype
             scratch += [
                 pltpu.VMEM((2, d, w_tile), wdt),       # wbuf_a
@@ -889,7 +957,7 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
             ),
             scratch_shapes=scratch,
             interpret=interpret,
-        )(x, t_arr, e_pad, *w_args, k_cache, v_cache)
+        )(x, t_arr, e_pad, *w_args, k_cache, v_cache, *scale_args)
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, k_news.reshape(num_layers, b, 1, d), (0, 0, t, 0))
     v_cache = jax.lax.dynamic_update_slice(

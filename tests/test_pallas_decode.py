@@ -410,6 +410,79 @@ def test_stream_kernel_matches_resident():
         k_all, v_all = k1, v1
 
 
+def test_int8_stream_matches_dequant_reference():
+    """Weight-only int8 streaming (quantize_stream_weights + scales=)
+    must equal the stream kernel run on the DEQUANTIZED f32 weights to
+    float tolerance — the only difference is where the scale multiply
+    happens (per tile in-kernel vs pre-multiplied)."""
+    from musicgeneration_tpu.ops.pallas_decode import (
+        fused_decode_step,
+        quantize_stream_weights,
+    )
+
+    rng = np.random.RandomState(0)
+    l_, b, s, d, h = 2, 2, 64, 256, 4
+    shapes = {"wq": (l_, d, d), "wk": (l_, d, d), "wv": (l_, d, d),
+              "wfc": (l_, d, d), "ffn1_w": (l_, d, d // 2),
+              "ffn2_w": (l_, d // 2, d), "ffn1_b": (l_, d // 2)}
+    from musicgeneration_tpu.ops.pallas_decode import WEIGHT_KEYS
+    weights = {k: jnp.asarray(rng.randn(*shapes.get(k, (l_, d))) * 0.1,
+                              jnp.float32) for k in WEIGHT_KEYS}
+    qw, sc = quantize_stream_weights(weights)
+    deq = dict(weights)
+    for k in sc:
+        deq[k] = qw[k].astype(jnp.float32) * np.asarray(
+            sc[k])[:, None, :]
+    e_all = jnp.asarray(rng.randn(l_, 128, d // h) * 0.1, jnp.float32)
+    kc = jnp.asarray(rng.randn(l_, b, s, d) * 0.1, jnp.float32)
+    vc = jnp.asarray(rng.randn(l_, b, s, d) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.randn(b, d) * 0.3, jnp.float32)
+    for t in (0, 5, 33):
+        o_q, kq, vq = fused_decode_step(x, jnp.int32(t), e_all, qw, kc,
+                                        vc, num_heads=h, block_k=16,
+                                        interpret=True, scales=sc)
+        o_r, kr, vr = fused_decode_step(x, jnp.int32(t), e_all, deq, kc,
+                                        vc, num_heads=h, block_k=16,
+                                        interpret=True, grid="stream")
+        np.testing.assert_allclose(np.asarray(o_q), np.asarray(o_r),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"t={t}")
+        # quantization quality vs the unquantized weights: weight-only
+        # int8 stays within ~1e-2 relative at this scale
+        o_f, _, _ = fused_decode_step(x, jnp.int32(t), e_all, weights,
+                                      kc, vc, num_heads=h, block_k=16,
+                                      interpret=True, grid="stream")
+        rel = (np.abs(np.asarray(o_q) - np.asarray(o_f)).max()
+               / (np.abs(np.asarray(o_f)).max() + 1e-9))
+        assert rel < 3e-2, rel
+    # int8 weights without scales must fail clearly
+    with pytest.raises(ValueError, match="scales"):
+        fused_decode_step(x, jnp.int32(1), e_all, qw, kc, vc,
+                          num_heads=h, block_k=16, interpret=True)
+
+
+def test_model_decode_quant_int8():
+    """decode_quant='int8' generates through the quantized streaming
+    kernel with logits close to the unquantized model (model-level
+    wiring: MusicTransformer.decode_step -> fused_layer_stack_step)."""
+    kw = dict(vocab_size=VOCAB, num_layers=2, d_model=256, max_seq=64,
+              decode_impl="fused")
+    m_f = MusicTransformer(**kw)
+    m_q = MusicTransformer(**kw, decode_quant="int8")
+    params = m_f.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8), jnp.int32))["params"]
+    cache = m_f.apply({"params": params}, 2, 48,
+                      method=m_f.init_cache)
+    tok = jnp.array([3, 7], jnp.int32)
+    lg_f, _ = m_f.apply({"params": params}, tok, cache, jnp.int32(4),
+                        method=m_f.decode_step)
+    lg_q, _ = m_q.apply({"params": params}, tok, cache, jnp.int32(4),
+                        method=m_q.decode_step)
+    rel = (np.abs(np.asarray(lg_q) - np.asarray(lg_f)).max()
+           / (np.abs(np.asarray(lg_f)).max() + 1e-9))
+    assert rel < 3e-2, rel
+
+
 def test_stream_kernel_bf16():
     """Streamed weights in bf16 (the serving dtype) against the
     resident kernel — exact equality, same quantization points."""
