@@ -61,20 +61,10 @@ def generate_cp(model, params, prompt_rows: jnp.ndarray, rng: jax.Array,
     max_len = max_len or (p + steps)
     if p + steps > max_len:
         raise ValueError("prompt + steps exceeds max_len")
-    # block-align the KV cache: an odd cache length forces the fused
-    # kernel's selection to a single whole-cache block, which overflows
-    # scoped VMEM past small batches (found at B32: p+steps=520); the
-    # extra rows are never live so only the cache allocation grows.
-    # Never grow past the relative table (small-max_seq models fall
-    # back to the bf16 sublane tile, 16 — Mosaic rejects DMA slices of
-    # non-16-multiple cache rows on hardware)
-    if max_len % 128:
-        max_seq = getattr(model, "max_seq", 1 << 30)
-        aligned = -(-max_len // 128) * 128
-        if aligned > max_seq:
-            aligned = min(-(-max_len // 16) * 16, max_seq)
-        if aligned >= max_len:
-            max_len = aligned
+    # block-align the KV cache for the fused kernels (shared policy —
+    # found at B32: an odd p+steps=520 forced one whole-cache block)
+    from .engine import align_cache_len
+    max_len = align_cache_len(model, max_len)
     # temperature is a TRACED operand: new --temperature values must not
     # trigger a full decode-scan recompile (minutes on this backend)
     temp = jnp.float32(max(temperature, 1e-6))

@@ -47,6 +47,35 @@ class DecodeParams:
     # a different stream than jax.random.categorical, so the same rng
     # key yields different (identically distributed) tokens.
     use_loop_kernel: bool = False
+    # per-launch bulk KV prefix for the loop kernel (measured NEGATIVE
+    # on v5e — see ops/pallas_decode_loop.py; None = off). Threaded
+    # here (a static jit arg) so flips genuinely retrace: an env-only
+    # switch read at trace time is invisible to generate()'s jit cache
+    loop_bulk: Optional[bool] = None
+
+
+def align_cache_len(model, max_len: int) -> int:
+    """Block-align a KV-cache length for the fused decode kernels.
+
+    An odd cache length forces the kernel selection to a single
+    whole-cache block, which overflows scoped VMEM past small batches
+    (found at CP B32: p+steps=520) and is slow where it fits. Round up
+    to a 128-row multiple; models whose relative table is smaller fall
+    back to the bf16 sublane tile (16 — Mosaic rejects DMA slices of
+    non-16-multiple cache rows on hardware; the max_seq clamp itself
+    rounds DOWN to 16 so a non-16-multiple max_seq cannot reintroduce
+    the crash). Models decoding through the XLA path are returned
+    unchanged — that path reads every cache row per step, so padding
+    is pure waste there."""
+    if max_len % 128 == 0:
+        return max_len
+    if not getattr(model, "_decode_fused", lambda: False)():
+        return max_len
+    max_seq = getattr(model, "max_seq", 1 << 30)
+    aligned = -(-max_len // 128) * 128
+    if aligned > max_seq:
+        aligned = min(-(-max_len // 16) * 16, max_seq - max_seq % 16)
+    return aligned if aligned >= max_len else max_len
 
 
 def expand_controls(controls: jnp.ndarray, steps: int) -> jnp.ndarray:
@@ -133,25 +162,9 @@ def generate(
         raise ValueError(
             f"prompt ({p}) + steps ({dp.steps}) exceeds cache max_len "
             f"({dp.max_len}); the KV cache would overflow")
-    # block-align the KV cache length: an odd cache forces the fused
-    # kernel's block selection to one whole-cache block, which
-    # overflows scoped VMEM past small batches; rows beyond the live
-    # prefix are never read, so only the allocation grows. Never grow
-    # past the model's relative table (the loop kernel slices E to the
-    # cache length — tiny test models have max_seq < 128)
-    cache_len = dp.max_len
-    if cache_len % 128:
-        max_seq = getattr(model, "max_seq", 1 << 30)
-        aligned = -(-cache_len // 128) * 128
-        if aligned > max_seq:
-            # models with a small relative table (max_seq < 128): align
-            # to the bf16 sublane tile instead — Mosaic rejects DMA
-            # slices of non-16-multiple cache rows on hardware (found
-            # via a 56-row CP cache: "Slice shape along dimension 2
-            # must be aligned to tiling")
-            aligned = min(-(-cache_len // 16) * 16, max_seq)
-        if aligned >= cache_len:
-            cache_len = aligned
+    # block-align the KV cache length for the fused kernels (no-op for
+    # the XLA decode path; see align_cache_len)
+    cache_len = align_cache_len(model, dp.max_len)
     if controls is not None:
         if prompt_len is not None:
             raise ValueError("controls + bucketed prompt_len are not "
@@ -216,7 +229,7 @@ def generate(
         tokens, _ = model.apply(
             {"params": params}, last_logits, t, rng, cache, dp.steps,
             sp.temperature, sp.greedy, sp.top_k, sp.top_p,
-            method=model.decode_loop)
+            bulk=dp.loop_bulk, method=model.decode_loop)
         return tokens
 
     def body(carry, inp):

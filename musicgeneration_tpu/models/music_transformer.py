@@ -424,7 +424,7 @@ class MusicTransformer(nn.Module):
                     rng, cache: Cache, steps: int,
                     temperature: float = 1.0, greedy: bool = False,
                     top_k: int = 0, top_p: float = 1.0,
-                    chunk: int = 32):
+                    chunk: int = 32, bulk=None):
         """Generate `steps` tokens in ceil(steps/chunk) Pallas
         megakernel launches (ops/pallas_decode_loop.py): each launch
         runs `chunk` whole sampling steps on-core with weights/tables
@@ -463,7 +463,7 @@ class MusicTransformer(nn.Module):
                 k_all, v_all, self.num_heads, c,
                 temperature=temperature, greedy=greedy,
                 top_k=top_k, top_p=top_p,
-                interpret=interpret)
+                interpret=interpret, bulk=bulk)
             k_all = jax.lax.dynamic_update_slice(
                 k_all, ck.astype(k_all.dtype), (0, 0, t, 0))
             v_all = jax.lax.dynamic_update_slice(

@@ -282,24 +282,30 @@ def fused_decode_chunk(logits0, t0, seed, embed, pos_tab, e_all, weights,
                        chunk: int, temperature: float = 1.0,
                        greedy: bool = False, top_k: int = 0,
                        top_p: float = 1.0, block_k: int = 128,
-                       interpret: bool = False):
-    """Thin wrapper resolving the BULK gate (env + shapes) OUTSIDE the
-    jit so MG_DECODE_LOOP_BULK flips actually retrace (bulk is a
-    static argument of the jitted impl)."""
-    import os
+                       interpret: bool = False, bulk=None):
+    """Thin wrapper resolving the BULK gate so it is a static argument
+    of the jitted impl.
+
+    bulk=None resolves from MG_DECODE_LOOP_BULK — but NOTE that callers
+    above this are themselves jitted on static decode params
+    (decode/engine.generate), so a mid-process env flip does NOT
+    retrace through that path; pass DecodeParams(loop_bulk=...) for a
+    reliable same-process A/B (it is part of the jit key)."""
     b = logits0.shape[0]
     num_layers, _, s, d = k_cache.shape
     bk = s if s % block_k else block_k
-    # per-launch BULK prefix residency (MG_DECODE_LOOP_BULK=1): the
-    # whole [L, B, S, d] caches copy into VMEM once per `chunk` steps
-    # (two contiguous DMAs), eliminating every per-step per-layer KV
-    # stream DMA. Measured NEGATIVE on v5e despite the DMA savings —
-    # B1 greedy 65.5 vs 54.2 ms/512, B4 67.5 vs 64.5, B8 parity
-    # (token-equal): the attention loop's dynamic strided VMEM reads
-    # through the [L, B, S, d] view cost more than the stream's
-    # DMA-into-dense-buffer reads. Kept opt-in (equality-locked both
-    # ways) in case a different VMEM layout or Mosaic version flips it.
-    bulk = os.environ.get("MG_DECODE_LOOP_BULK") == "1"
+    # per-launch BULK prefix residency: the whole [L, B, S, d] caches
+    # copy into VMEM once per `chunk` steps (two contiguous DMAs),
+    # eliminating every per-step per-layer KV stream DMA. Measured
+    # NEGATIVE on v5e despite the DMA savings — B1 greedy 65.5 vs
+    # 54.2 ms/512, B4 67.5 vs 64.5, B8 parity (token-equal): the
+    # attention loop's dynamic strided VMEM reads through the
+    # [L, B, S, d] view cost more than the stream's DMA-into-dense-
+    # buffer reads. Kept opt-in (equality-locked both ways) in case a
+    # different VMEM layout or Mosaic version flips it.
+    if bulk is None:
+        import os
+        bulk = os.environ.get("MG_DECODE_LOOP_BULK") == "1"
     if bulk:
         bulk_bytes = 2 * num_layers * b * s * d * k_cache.dtype.itemsize
         base = decode_loop_vmem_bytes(

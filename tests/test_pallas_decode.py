@@ -218,23 +218,26 @@ def test_decode_loop_greedy_matches_scan_path():
     np.testing.assert_array_equal(toks_scan, toks_loop)
 
 
-def test_decode_loop_bulk_variants_match(monkeypatch):
+def test_decode_loop_bulk_variants_match():
     """The per-launch BULK prefix residency (whole caches copied into
     VMEM once per chunk) must emit token-identical greedy sequences to
-    the per-step streaming variant of the SAME megakernel."""
+    the per-step streaming variant of the SAME megakernel. The switch
+    rides DecodeParams (part of generate()'s static jit key) — an env
+    flip alone would silently hit the jit cache and compare the
+    streaming variant against itself."""
     m_x, m_f, params = _pair()
     b, p, steps = 2, 6, 12
     prompt = jax.random.randint(jax.random.PRNGKey(3), (b, p), 0,
                                 VOCAB - 1)
-    dp = DecodeParams(max_len=32, steps=steps,
-                      sampling=SamplingParams(greedy=True),
-                      use_loop_kernel=True)
     toks = {}
-    for flag in ("0", "1"):
-        monkeypatch.setenv("MG_DECODE_LOOP_BULK", flag)
+    for flag in (False, True):
+        dp = DecodeParams(max_len=32, steps=steps,
+                          sampling=SamplingParams(greedy=True),
+                          use_loop_kernel=True, loop_bulk=flag)
         toks[flag] = np.asarray(generate(m_f, params, prompt,
                                          jax.random.PRNGKey(2), dp))
-    np.testing.assert_array_equal(toks["0"], toks["1"])
+    assert toks[False].shape == (b, steps)
+    np.testing.assert_array_equal(toks[False], toks[True])
 
 
 def test_decode_loop_sampling_falls_back_off_tpu():
