@@ -198,6 +198,18 @@ def main(argv=None) -> int:
                         "decode on a ('data',...) mesh; --batch must be "
                         "divisible by N; greedy output is identical to "
                         "--dp 1, sampled runs use per-shard rng streams)")
+    p.add_argument("--spec", default=None, metavar="lookup|DRAFT_CKPT",
+                   help="speculative decoding (music_transformer): "
+                        "'lookup' = draft-free n-gram prompt-lookup "
+                        "proposals; otherwise a smaller "
+                        "music_transformer checkpoint drafts. Exact: "
+                        "greedy output is token-identical to plain "
+                        "decoding; a small-batch LATENCY feature "
+                        "(decode/speculative.py)")
+    p.add_argument("--spec-chunk", type=int, default=8,
+                   help="tokens per speculative verify forward")
+    p.add_argument("--spec-ngram", type=int, default=3,
+                   help="lookup match length (--spec lookup)")
     args = p.parse_args(argv)
 
     import jax
@@ -246,6 +258,14 @@ def main(argv=None) -> int:
     if cfg.model == "cp_transformer":
         _generate_cp(model, params, cfg, args)
         return 0
+
+    if args.spec is not None:
+        if cfg.model != "music_transformer":
+            raise SystemExit("--spec needs a music_transformer target "
+                             "(chunked verify forward)")
+        if args.dp > 1 or args.beam > 1:
+            raise SystemExit("--spec is mutually exclusive with --dp "
+                             "and --beam")
 
     controls = cache0 = None
     if args.control is not None:
@@ -313,9 +333,10 @@ def main(argv=None) -> int:
                            controls=controls, cache0=cache0)
     elif (cfg.model == "music_transformer"
           and len(prime) + args.steps > model.max_seq):
-        if nb > 1 or args.dp > 1:
-            raise SystemExit("--batch/--dp with a continuation beyond "
-                             "max_seq (sliding window) is not supported")
+        if nb > 1 or args.dp > 1 or args.spec is not None:
+            raise SystemExit("--batch/--dp/--spec with a continuation "
+                             "beyond max_seq (sliding window) is not "
+                             "supported")
         # continuation longer than the relative table: sliding-window
         # re-priming (the reference's threshold_len behavior done in
         # cached chunks — decode/engine.py)
@@ -333,7 +354,7 @@ def main(argv=None) -> int:
         # reuse ONE compiled decode scan (compiles take minutes on the
         # tunneled TPU); the engine gates the pad positions off the cache
         prompt_len = None
-        if controls is None:
+        if controls is None and args.spec is None:
             bucket = 16
             while bucket < prompt.shape[1]:
                 bucket *= 2
@@ -352,7 +373,10 @@ def main(argv=None) -> int:
             max_len = min(max(cfg.seq_len, max_len), model.max_seq)
         dp = DecodeParams(max_len=max_len, steps=args.steps,
                           sampling=sampling)
-        if args.dp > 1:
+        if args.spec is not None:
+            outs = _speculative_decode(model, params, prompt, dp, args,
+                                       scheme)
+        elif args.dp > 1:
             # batch-sharded decode over the 'data' mesh axis
             # (decode/engine.py generate_dp)
             from ..decode.engine import generate_dp
@@ -382,6 +406,57 @@ def main(argv=None) -> int:
     _write_midi(scheme, tokens, args.output)
     print(f"wrote {args.output} ({len(tokens)} tokens)")
     return 0
+
+
+def _speculative_decode(model, params, prompt: np.ndarray, dp, args,
+                        scheme: str) -> np.ndarray:
+    """--spec dispatch: lookup drafting or a draft checkpoint
+    (decode/speculative.py). Prints acceptance stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode import SpecParams, generate_speculative
+
+    draft_model = draft_params = None
+    if args.spec != "lookup":
+        from ..cli.train import TrainCLIConfig, build_session
+        from ..utils.checkpoint import restore_checkpoint
+
+        payload = restore_checkpoint(args.spec)
+        meta = payload.get("config", {})
+        if "cli" not in meta:
+            raise SystemExit("--spec draft checkpoint has no CLI config")
+        dcfg = TrainCLIConfig.from_dict(meta["cli"])
+        if dcfg.model != "music_transformer":
+            raise SystemExit("--spec draft must be a music_transformer "
+                             "checkpoint (or 'lookup')")
+        dkwargs = dict(meta.get("model_kwargs", {}))
+        dscanned = bool(dkwargs.pop("scan_layers", False))
+        draft_model, _, _, _, _ = build_session(
+            dcfg, meta.get("scheme", scheme), dkwargs)
+        draft_params = payload["state"]["params"]
+        if dscanned:
+            from ..models.music_transformer import unstack_scanned_params
+            draft_params = unstack_scanned_params(
+                dict(draft_params), draft_model.num_layers)
+        if draft_model.vocab_size != model.vocab_size:
+            raise SystemExit(
+                f"draft vocab ({draft_model.vocab_size}) != target vocab "
+                f"({model.vocab_size}) — train the draft on the same "
+                "scheme")
+    spec = SpecParams(chunk=args.spec_chunk, ngram=args.spec_ngram)
+    try:
+        outs, stats = generate_speculative(
+            model, params, jnp.asarray(prompt), jax.random.PRNGKey(
+                args.seed), dp, draft_model=draft_model,
+            draft_params=draft_params, spec=spec, with_stats=True)
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
+    print(f"speculative: {stats['iterations']} verify forwards for "
+          f"{args.steps} tokens "
+          f"(mean accepted {stats['mean_accepted']:.2f}/"
+          f"{spec.chunk - 1})")
+    return np.asarray(outs)
 
 
 def _beam_decode(model, params, prompt: np.ndarray, args,

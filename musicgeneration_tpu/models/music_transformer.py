@@ -31,6 +31,7 @@ from flax import linen as nn
 
 from ..ops.relative_attention import (
     causal_pad_mask,
+    relative_chunk_bias,
     relative_decode_bias,
     relative_global_attention,
     sinusoid_position_encoding,
@@ -148,6 +149,57 @@ class RelativeGlobalAttentionBlock(nn.Module):
         return self.fc(out), k_all, v_all
 
 
+    def decode_chunk(self, x: jnp.ndarray, k_all: jnp.ndarray,
+                     v_all: jnp.ndarray, li: int, t: jnp.ndarray,
+                     fused_layout: bool):
+        """C-token verify step (speculative decoding): the C queries at
+        absolute positions t..t+C-1 attend jointly against the cache —
+        one forward instead of C sequential ``decode`` calls, exactly
+        equal to them position by position (causal within the chunk).
+
+        x: [B, C, d_model]; k_all/v_all: full stacked caches in either
+        layout ([L, B, S, d] fused / [L, B, H, S, dh] XLA), updated in
+        place at rows t..t+C-1 of layer li."""
+        b, c, _ = x.shape
+        dh = self.d_model // self.num_heads
+        q = self._heads(self.wq(x))             # [B, H, C, dh]
+        k_new = self.wk(x)
+        v_new = self.wv(x)                       # [B, C, d_model]
+        if fused_layout:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[None].astype(k_all.dtype), (li, 0, t, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[None].astype(v_all.dtype), (li, 0, t, 0))
+            k_cache, v_cache = k_all[li], v_all[li]     # [B, S, d]
+            s = k_cache.shape[1]
+            k_cache = k_cache.reshape(
+                b, s, self.num_heads, dh).transpose(0, 2, 1, 3)
+            v_cache = v_cache.reshape(
+                b, s, self.num_heads, dh).transpose(0, 2, 1, 3)
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, self._heads(k_new)[None].astype(k_all.dtype),
+                (li, 0, 0, t, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, self._heads(v_new)[None].astype(v_all.dtype),
+                (li, 0, 0, t, 0))
+            k_cache, v_cache = k_all[li], v_all[li]  # [B, H, S, dh]
+            s = k_cache.shape[2]
+        qk = jnp.einsum("bhcd,bhsd->bhcs", q, k_cache,
+                        preferred_element_type=jnp.float32)
+        bias = relative_chunk_bias(q, self.e.astype(jnp.float32), t, s)
+        logits = (qk + bias) / jnp.sqrt(jnp.float32(dh))
+        future = (jnp.arange(s)[None, None, None, :]
+                  > (t + jnp.arange(c))[None, None, :, None])
+        logits = jnp.where(future, -1e9, logits)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhcs,bhsd->bhcd", w.astype(v_cache.dtype),
+                         v_cache, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(
+            b, c, self.d_model).astype(self.dtype)
+        return self.fc(out), k_all, v_all
+
+
 class EncoderLayer(nn.Module):
     """RGA + FFN with post-LN (layers.py:136-161).
 
@@ -187,6 +239,13 @@ class EncoderLayer(nn.Module):
 
     def decode(self, x, k_all, v_all, li: int, t):
         attn, k_all, v_all = self.rga.decode(x, k_all, v_all, li, t)
+        out1 = self.ln1(attn + x)
+        ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
+        return self.ln2(out1 + ffn), k_all, v_all
+
+    def decode_chunk(self, x, k_all, v_all, li: int, t, fused_layout):
+        attn, k_all, v_all = self.rga.decode_chunk(
+            x, k_all, v_all, li, t, fused_layout)
         out1 = self.ln1(attn + x)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
         return self.ln2(out1 + ffn), k_all, v_all
@@ -417,6 +476,34 @@ class MusicTransformer(nn.Module):
         else:
             for i, layer in enumerate(self.layers):
                 h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
+        logits = self.fc(h).astype(jnp.float32)
+        return logits, {"k": k_all, "v": v_all}
+
+    def decode_chunk(self, tokens: jnp.ndarray, cache: Cache,
+                     t: jnp.ndarray):
+        """Verify forward for speculative decoding: process C tokens at
+        absolute positions t..t+C-1 against the existing cache in ONE
+        joint forward — position-by-position equal to C sequential
+        ``decode_step`` calls (causal inside the chunk), but one weight
+        pass instead of C. At B=1 the step is weight-bandwidth-bound,
+        so the chunk costs ~one step; the accepted-token count is the
+        speedup (decode/speculative.py).
+
+        tokens: [B, C] int32 -> (logits [B, C, vocab] f32, new cache):
+        logits[:, i] is the next-token distribution AFTER tokens[:, i].
+        Requires t + C <= max_seq (position/E-table rows in range)."""
+        b, c = tokens.shape
+        h = self.embedding(tokens) * jnp.sqrt(
+            jnp.float32(self.d_model)).astype(self.dtype)
+        pos = jax.lax.dynamic_slice(
+            jnp.asarray(self.pos_table, self.dtype), (t, 0),
+            (c, self.d_model))
+        h = h + pos[None]
+        k_all, v_all = cache["k"], cache["v"]
+        fused = self._decode_fused()
+        for i, layer in enumerate(self.layers):
+            h, k_all, v_all = layer.decode_chunk(h, k_all, v_all, i, t,
+                                                 fused)
         logits = self.fc(h).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 

@@ -128,6 +128,26 @@ def relative_decode_bias(
                       preferred_element_type=jnp.float32)
 
 
+def relative_chunk_bias(
+    q: jnp.ndarray, e: jnp.ndarray, t: jnp.ndarray, kv_len: int
+) -> jnp.ndarray:
+    """Relative bias for a CHUNK of C queries at absolute positions
+    t..t+C-1 against a KV cache (speculative-decoding verify forward).
+    q: [B, H, C, dh]; returns [B, H, C, kv_len] f32.
+
+    Row c is exactly ``relative_decode_bias`` at position t+c:
+    Srel[t+c, j] = q_c . E[max_seq - 1 - (t + c - j)] for j <= t+c;
+    other slots are hidden by the caller's causal mask.
+    """
+    max_seq = e.shape[0]
+    ci = jnp.arange(q.shape[2])[:, None]
+    j = jnp.arange(kv_len)[None, :]
+    idx = jnp.clip(max_seq - 1 - t - ci + j, 0, max_seq - 1)  # [C, S]
+    e_rows = jnp.take(e, idx, axis=0)  # [C, S, dh]
+    return jnp.einsum("bhcd,csd->bhcs", q, e_rows,
+                      preferred_element_type=jnp.float32)
+
+
 def causal_pad_mask(x: jnp.ndarray, pad_id: int) -> jnp.ndarray:
     """Look-ahead | pad mask, 1.0 = masked (reference
     MusicTransformer/utils.py:58-83). x: [B, L] int tokens ->

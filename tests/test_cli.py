@@ -66,6 +66,29 @@ def test_generate_from_checkpoint(tok_dir, tmp_path):
     MidiFile(out_mid)
 
 
+def test_generate_speculative_greedy_byte_identical(tok_dir, tmp_path):
+    """--spec lookup and --spec <draft ckpt> at temperature 0 write the
+    exact same MIDI as plain greedy decoding (exact-match verification
+    preserves the target's greedy chain)."""
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64"])
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    plain = str(tmp_path / "plain.mid")
+    assert gen_main([ckpt, plain, "--steps", "32",
+                     "--temperature", "0"]) == 0
+    spec_lookup = str(tmp_path / "spec_lookup.mid")
+    assert gen_main([ckpt, spec_lookup, "--steps", "32",
+                     "--temperature", "0", "--spec", "lookup",
+                     "--spec-chunk", "4", "--spec-ngram", "2"]) == 0
+    assert open(plain, "rb").read() == open(spec_lookup, "rb").read()
+    # the target checkpoint doubles as its own draft (full acceptance)
+    spec_draft = str(tmp_path / "spec_draft.mid")
+    assert gen_main([ckpt, spec_draft, "--steps", "32",
+                     "--temperature", "0", "--spec", ckpt,
+                     "--spec-chunk", "4"]) == 0
+    assert open(plain, "rb").read() == open(spec_draft, "rb").read()
+
+
 @pytest.mark.slow
 def test_train_event_rnn(tok_dir, tmp_path):
     _train(tok_dir, tmp_path, "event_rnn",
