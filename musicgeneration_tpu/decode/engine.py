@@ -162,6 +162,16 @@ def generate(
         raise ValueError(
             f"prompt ({p}) + steps ({dp.steps}) exceeds cache max_len "
             f"({dp.max_len}); the KV cache would overflow")
+    max_seq = getattr(model, "max_seq", None)
+    if max_seq is not None and p + dp.steps > max_seq:
+        # positional/relative tables end at max_seq; past it the fused
+        # kernel would DMA out-of-range E rows (a chip fault on TPU,
+        # found the hard way) and the XLA path would silently clamp
+        # positions. Long continuations go through generate_sliding.
+        raise ValueError(
+            f"prompt ({p}) + steps ({dp.steps}) exceeds the model's "
+            f"max_seq ({max_seq}); use generate_sliding for unbounded "
+            "continuations")
     # block-align the KV cache length for the fused kernels (no-op for
     # the XLA decode path; see align_cache_len)
     cache_len = align_cache_len(model, dp.max_len)

@@ -170,12 +170,13 @@ class RelativeGlobalAttentionBlock(nn.Module):
                 k_all, k_new[None].astype(k_all.dtype), (li, 0, t, 0))
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v_new[None].astype(v_all.dtype), (li, 0, t, 0))
-            k_cache, v_cache = k_all[li], v_all[li]     # [B, S, d]
-            s = k_cache.shape[1]
-            k_cache = k_cache.reshape(
-                b, s, self.num_heads, dh).transpose(0, 2, 1, 3)
-            v_cache = v_cache.reshape(
-                b, s, self.num_heads, dh).transpose(0, 2, 1, 3)
+            # einsum consumes the [B, S, H, dh] VIEW of the [B, S, d]
+            # cache directly — a bhsd form would materialize two full
+            # cache transposes per layer per verify
+            s = k_all.shape[2]
+            k_cache = k_all[li].reshape(b, s, self.num_heads, dh)
+            v_cache = v_all[li].reshape(b, s, self.num_heads, dh)
+            kv_eq, out_eq = "bhcd,bshd->bhcs", "bhcs,bshd->bchd"
         else:
             k_all = jax.lax.dynamic_update_slice(
                 k_all, self._heads(k_new)[None].astype(k_all.dtype),
@@ -185,7 +186,8 @@ class RelativeGlobalAttentionBlock(nn.Module):
                 (li, 0, 0, t, 0))
             k_cache, v_cache = k_all[li], v_all[li]  # [B, H, S, dh]
             s = k_cache.shape[2]
-        qk = jnp.einsum("bhcd,bhsd->bhcs", q, k_cache,
+            kv_eq, out_eq = "bhcd,bhsd->bhcs", "bhcs,bhsd->bchd"
+        qk = jnp.einsum(kv_eq, q, k_cache,
                         preferred_element_type=jnp.float32)
         bias = relative_chunk_bias(q, self.e.astype(jnp.float32), t, s)
         logits = (qk + bias) / jnp.sqrt(jnp.float32(dh))
@@ -193,10 +195,9 @@ class RelativeGlobalAttentionBlock(nn.Module):
                   > (t + jnp.arange(c))[None, None, :, None])
         logits = jnp.where(future, -1e9, logits)
         w = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhcs,bhsd->bhcd", w.astype(v_cache.dtype),
+        out = jnp.einsum(out_eq, w.astype(v_cache.dtype),
                          v_cache, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(
-            b, c, self.d_model).astype(self.dtype)
+        out = out.reshape(b, c, self.d_model).astype(self.dtype)
         return self.fc(out), k_all, v_all
 
 
@@ -480,7 +481,7 @@ class MusicTransformer(nn.Module):
         return logits, {"k": k_all, "v": v_all}
 
     def decode_chunk(self, tokens: jnp.ndarray, cache: Cache,
-                     t: jnp.ndarray):
+                     t: jnp.ndarray, use_kernel=None):
         """Verify forward for speculative decoding: process C tokens at
         absolute positions t..t+C-1 against the existing cache in ONE
         joint forward — position-by-position equal to C sequential
@@ -488,6 +489,13 @@ class MusicTransformer(nn.Module):
         pass instead of C. At B=1 the step is weight-bandwidth-bound,
         so the chunk costs ~one step; the accepted-token count is the
         speedup (decode/speculative.py).
+
+        When the fused decode kernels are active, the whole chunk runs
+        as ONE Pallas kernel (ops/pallas_decode.fused_decode_chunk —
+        the XLA chunk pays the same ~20-tiny-ops-per-layer latency tax
+        the step kernel was built to remove); use_kernel=False forces
+        the XLA path (None = auto: fused impl + power-of-two C >= 8 +
+        max_seq >= 128).
 
         tokens: [B, C] int32 -> (logits [B, C, vocab] f32, new cache):
         logits[:, i] is the next-token distribution AFTER tokens[:, i].
@@ -501,9 +509,32 @@ class MusicTransformer(nn.Module):
         h = h + pos[None]
         k_all, v_all = cache["k"], cache["v"]
         fused = self._decode_fused()
-        for i, layer in enumerate(self.layers):
-            h, k_all, v_all = layer.decode_chunk(h, k_all, v_all, i, t,
-                                                 fused)
+        if use_kernel is None:
+            use_kernel = (fused and c & (c - 1) == 0 and 8 <= c <= 128
+                          and self.max_seq >= 128)
+        if use_kernel:
+            if not fused:
+                raise ValueError("decode_chunk(use_kernel=True) needs "
+                                 "the fused cache layout (decode_impl)")
+            from ..ops.pallas_decode import (
+                fused_decode_chunk,
+                quantize_stream_weights,
+            )
+
+            w_all, e_all = _stacked_decode_weights(self.layers,
+                                                   self.dtype)
+            scales = None
+            quant = getattr(self, "decode_quant", "none")
+            if quant == "int8":
+                w_all, scales = quantize_stream_weights(w_all)
+            h, k_all, v_all = fused_decode_chunk(
+                h, t, e_all, w_all, k_all, v_all, self.num_heads,
+                chunk_c=c, interpret=jax.default_backend() != "tpu",
+                scales=scales)
+        else:
+            for i, layer in enumerate(self.layers):
+                h, k_all, v_all = layer.decode_chunk(h, k_all, v_all,
+                                                     i, t, fused)
         logits = self.fc(h).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 

@@ -340,6 +340,271 @@ def _layer_step(x, li, t, n_live, e_ref,
     return x, k_new, v_new
 
 
+# trace-time ablation knob for the chunk kernel (perf debugging only):
+# "norolls" keeps the QE dot but skips the band shifts; "nobias" skips
+# the relative bias entirely; "noqe" skips only the wide QE dots
+import os as _os
+
+_CHUNK_ABLATE = _os.environ.get("MG_CHUNK_ABLATE", "")
+
+
+def _band_left_roll(x, c: int, extra: int):
+    """Left-roll row r of x by extra + (c-1 - r%c) lanes — the banded
+    relative-bias extraction for CHUNK attention (one wide QE dot, then
+    per-row shifts align each query's E window; exact circular rolls
+    with bit-masked selects, the pallas_attention shear pattern).
+    x: [R, W] f32 with R a multiple of c; c a power of two."""
+    if _CHUNK_ABLATE == "norolls":
+        return x
+    w = x.shape[1]
+    if extra:
+        x = pltpu.roll(x, w - extra, 1)
+    shift = (c - 1) - jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, x.shape, 0), c)
+    b = 1
+    while b < c:
+        rolled = pltpu.roll(x, w - b, 1)
+        x = jnp.where((shift & b) != 0, rolled, x)
+        b *= 2
+    return x
+
+
+def _layer_chunk_step(x, li, t, n_live, e_ref,
+                      wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                      wfc_ref, bfc_ref,
+                      ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      ln2s_ref, ln2b_ref,
+                      kc_ref, vc_ref, kbuf, vbuf, sems, *,
+                      num_heads: int, block_k: int, max_seq: int,
+                      eps: float, io_dtype, chunk_c: int,
+                      warmup: bool = True, prefetch_li=None,
+                      bias_li=None, cache_li=None, mm=None):
+    """One EncoderLayer CHUNK-VERIFY step inside a kernel (speculative
+    decoding): C=chunk_c queries per batch element at absolute positions
+    t..t+C-1 attend jointly over the live cache prefix [0, t) plus the
+    chunk's own keys (causal within the chunk) — position-by-position
+    equal to C sequential `_layer_step` calls, one weight pass total.
+
+    x: [B*C, d] (b-major rows); same weight/cache/stream-buffer
+    arguments and DMA machinery as _layer_step. The relative bias rides
+    ONE wide QE dot per head per block, then _band_left_roll aligns each
+    query row's E window (rows r use shift c-1 - r%c). Requires
+    max_seq >= 128, t + C <= max_seq (caller-enforced) and C a power of
+    two in [8, 128] (f32 sublane tile floor). Returns
+    (x_out_f32 [B*C, d], k_new, v_new)."""
+    if bias_li is None:
+        bias_li = li
+    if cache_li is None:
+        cache_li = li
+    r, d = x.shape
+    c = chunk_c
+    b = r // c
+    dh = d // num_heads
+    scale = 1.0 / math.sqrt(dh)
+
+    def layer_norm(y, s_, bias):
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+        return (y - mu) * jax.lax.rsqrt(var + eps) * s_ + bias
+
+    if mm is None:
+        def mm(inp, w_ref, li_):
+            return jax.lax.dot_general(
+                inp, w_ref[li_].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    def proj(w_ref_, bias):
+        y = mm(x, w_ref_, li) + bias
+        return y.astype(io_dtype).astype(jnp.float32)
+
+    q = proj(wq_ref, bq_ref[bias_li])
+    k_new = proj(wk_ref, bk_ref[bias_li])
+    v_new = proj(wv_ref, bv_ref[bias_li])
+    k_cur = k_new.astype(kbuf.dtype).astype(jnp.float32)
+    v_cur = v_new.astype(vbuf.dtype).astype(jnp.float32)
+
+    def dot_t(a, bm):
+        # [m, dh] x [n, dh] -> [m, n] (contract the trailing dim)
+        return jax.lax.dot_general(
+            a, bm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dot_n(a, bm):
+        # [m, k] x [k, n] -> [m, n]
+        return jax.lax.dot_general(
+            a, bm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    depth = kbuf.shape[0]
+
+    def _start(j, which=None):
+        if which is None:
+            which = cache_li
+        slot = jax.lax.rem(j, depth)
+        pltpu.make_async_copy(
+            kc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
+            kbuf.at[slot], sems.at[slot]).start()
+        pltpu.make_async_copy(
+            vc_ref.at[which, :, pl.ds(j * block_k, block_k), :],
+            vbuf.at[slot], sems.at[depth + slot]).start()
+
+    if warmup:
+        for jj in range(depth - 1):
+            @pl.when(jj < n_live)
+            def _warmup(jj=jj):
+                _start(jj)
+
+    wide = block_k + 128  # QE window: band shifts stay within +127
+
+    def body(j, carry):
+        ms, ls, accs = carry
+        s0 = j * block_k
+        slot = jax.lax.rem(j, depth)
+
+        @pl.when(j + (depth - 1) < n_live)
+        def _prefetch():
+            _start(j + (depth - 1))
+
+        # wide E window starting c-1 rows EARLY: row r's band is the
+        # per-row left shift (c-1 - r%c) of one shared QE dot
+        base = max_seq - 1 - t + s0 - (c - 1)
+        e_blk = e_ref[li, pl.ds(base, wide), :].astype(jnp.float32)
+        s_ids = s0 + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        pltpu.make_async_copy(
+            kc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
+            kbuf.at[slot], sems.at[slot]).wait()
+        pltpu.make_async_copy(
+            vc_ref.at[cache_li, :, pl.ds(s0, block_k), :],
+            vbuf.at[slot], sems.at[depth + slot]).wait()
+        k_all_blk = kbuf[slot].astype(jnp.float32)        # [B, BK, d]
+        v_all_blk = vbuf[slot].astype(jnp.float32)
+        if _CHUNK_ABLATE in ("nobias", "noqe"):
+            bands = None
+        else:
+            # one roll set for ALL heads: the per-head QE tiles ride
+            # side by side along LANES (rolls cost per OP, so H tiles
+            # -> 1 wide tile cuts the band cost ~H-fold; shifts <= c-1
+            # never cross the W-lane tile boundaries since the band
+            # keeps only BK <= W - c + 1 lanes per tile)
+            qe = jnp.concatenate(
+                [dot_t(q[:, h * dh:(h + 1) * dh], e_blk)
+                 for h in range(num_heads)], axis=1)      # [R, H*W]
+            bands = _band_left_roll(qe, c, 0)
+        new_ms, new_ls, new_accs = [], [], []
+        for h in range(num_heads):
+            qh = q[:, h * dh:(h + 1) * dh]                # [R, dh]
+            if bands is None:
+                bias = 0.0
+            else:
+                bias = bands[:, h * wide:h * wide + block_k]  # [R, BK]
+            if b == 1:
+                logits = dot_t(qh, k_all_blk[0, :, h * dh:(h + 1) * dh])
+            else:
+                logits = jnp.concatenate([
+                    dot_t(qh[bi * c:(bi + 1) * c],
+                          k_all_blk[bi, :, h * dh:(h + 1) * dh])
+                    for bi in range(b)], axis=0)          # [R, BK]
+            logits = (logits + bias) * scale
+            logits = jnp.where(s_ids >= t, NEG_INF, logits)
+            m_new = jnp.maximum(
+                ms[h], jnp.max(logits, axis=-1, keepdims=True))
+            alpha = jnp.exp(ms[h] - m_new)
+            p = jnp.exp(logits - m_new)
+            l_new = (ls[h] * alpha
+                     + jnp.sum(p, axis=-1, keepdims=True))
+            p_c = p.astype(vbuf.dtype).astype(jnp.float32)
+            if b == 1:
+                pv = dot_n(p_c, v_all_blk[0, :, h * dh:(h + 1) * dh])
+            else:
+                pv = jnp.concatenate([
+                    dot_n(p_c[bi * c:(bi + 1) * c],
+                          v_all_blk[bi, :, h * dh:(h + 1) * dh])
+                    for bi in range(b)], axis=0)          # [R, dh]
+            new_ms.append(m_new)
+            new_ls.append(l_new)
+            new_accs.append(accs[h] * alpha + pv)
+        return tuple(new_ms), tuple(new_ls), tuple(new_accs)
+
+    m0 = tuple(jnp.full((r, 1), NEG_INF, jnp.float32)
+               for _ in range(num_heads))
+    l0 = tuple(jnp.zeros((r, 1), jnp.float32) for _ in range(num_heads))
+    a0 = tuple(jnp.zeros((r, dh), jnp.float32)
+               for _ in range(num_heads))
+    ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+
+    if prefetch_li is not None:
+        for jj in range(depth - 1):
+            @pl.when(jj < n_live)
+            def _prefetch_next_layer(jj=jj):
+                _start(jj, which=prefetch_li)
+
+    # in-chunk attention: keys/values are THIS chunk's own rows; query
+    # row c sees keys j <= c (its own token included — E row max_seq-1
+    # at j == c, exactly the step kernel's current-token term). The
+    # roll's lane wrap-around only lands in the j > c masked region.
+    e_tail = e_ref[li, pl.ds(max_seq - 128, 128), :].astype(jnp.float32)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+    c_ids = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (r, c), 0), c)
+    if _CHUNK_ABLATE in ("nobias", "noqe"):
+        bands_in = None
+    else:
+        # lane-concat + one roll set, as in the prefix band; the extra
+        # (128-c)-lane shift crosses tile boundaries only in the
+        # j > c_r region the causal mask hides
+        qe_in = jnp.concatenate(
+            [dot_t(q[:, h * dh:(h + 1) * dh], e_tail)
+             for h in range(num_heads)], axis=1)          # [R, H*128]
+        bands_in = _band_left_roll(qe_in, c, 128 - c)
+    heads_out = []
+    for h in range(num_heads):
+        qh = q[:, h * dh:(h + 1) * dh]
+        if bands_in is None:
+            bias = 0.0
+        else:
+            bias = bands_in[:, h * 128:h * 128 + c]
+        if b == 1:
+            logits = dot_t(qh, k_cur[:, h * dh:(h + 1) * dh])
+        else:
+            logits = jnp.concatenate([
+                dot_t(qh[bi * c:(bi + 1) * c],
+                      k_cur[bi * c:(bi + 1) * c, h * dh:(h + 1) * dh])
+                for bi in range(b)], axis=0)              # [R, C]
+        logits = (logits + bias) * scale
+        logits = jnp.where(j_ids > c_ids, NEG_INF, logits)
+        m_new = jnp.maximum(
+            ms[h], jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(ms[h] - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = ls[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p_c = p.astype(vbuf.dtype).astype(jnp.float32)
+        if b == 1:
+            pv = dot_n(p_c, v_cur[:, h * dh:(h + 1) * dh])
+        else:
+            pv = jnp.concatenate([
+                dot_n(p_c[bi * c:(bi + 1) * c],
+                      v_cur[bi * c:(bi + 1) * c, h * dh:(h + 1) * dh])
+                for bi in range(b)], axis=0)
+        acc = accs[h] * alpha + pv
+        heads_out.append(acc / jnp.maximum(l_new, 1e-30))
+    attn = jnp.concatenate(heads_out, axis=-1)            # [R, d]
+    attn = attn.astype(io_dtype).astype(jnp.float32)
+
+    attn = mm(attn, wfc_ref, li) + bfc_ref[bias_li]
+    attn = attn.astype(io_dtype).astype(jnp.float32)
+    out1 = layer_norm(attn + x, ln1s_ref[bias_li], ln1b_ref[bias_li])
+    out1 = out1.astype(io_dtype).astype(jnp.float32)
+    hh = mm(out1, w1_ref, li) + b1_ref[bias_li]
+    hh = jnp.maximum(hh.astype(io_dtype).astype(jnp.float32), 0.0)
+    ffn = mm(hh, w2_ref, li) + b2_ref[bias_li]
+    ffn = ffn.astype(io_dtype).astype(jnp.float32)
+    x = layer_norm(out1 + ffn, ln2s_ref[bias_li], ln2b_ref[bias_li])
+    x = x.astype(io_dtype).astype(jnp.float32)
+    return x, k_new, v_new
+
+
 def start_block0(kc_ref, vc_ref, li, kbuf, vbuf, sems, block_k,
                  n_live):
     """Kick off layer li's first depth-1 KV block DMAs (depth =
@@ -481,6 +746,52 @@ def _kernel_grid_bulk(x_ref, t_ref, e_ref,
     out_ref[...] = x.astype(out_ref.dtype)
 
 
+def _make_stream_mm(li, w_tile, wbuf_a, wbuf_b, wsems, scale_of):
+    """The weight-STREAMING matmul hook shared by _kernel_grid_stream
+    and its chunk-verify twin: every matmul pulls [d_in, w_tile] column
+    tiles of an HBM weight ref through one shared double buffer
+    (wbuf_a for d-row tiles, wbuf_b for the ffn2's d/2-row tiles),
+    overlapped with the previous tile's compute. scale_of: optional
+    {id(w_ref): scale_ref} for int8 weight-only dequantization."""
+
+    def mm(inp, w_ref, _li):
+        d_in = w_ref.shape[1]
+        d_out = w_ref.shape[2]
+        n = d_out // w_tile
+        buf = wbuf_a if d_in == wbuf_a.shape[1] else wbuf_b
+        s_ref = scale_of.get(id(w_ref))
+        # whole-row read indexed by program_id (the bias pattern —
+        # a [ds(li,1), ds(col,T)] 2-D dynamic slice crashes the
+        # Mosaic compile helper); tiles take static lane slices
+        srow = s_ref[li] if s_ref is not None else None
+
+        def start(j, slot):
+            pltpu.make_async_copy(
+                w_ref.at[li, :, pl.ds(j * w_tile, w_tile)],
+                buf.at[slot], wsems.at[slot]).start()
+
+        start(0, 0)
+        parts = []
+        for j in range(n):
+            slot = j % 2
+            if j + 1 < n:
+                start(j + 1, 1 - slot)
+            pltpu.make_async_copy(
+                w_ref.at[li, :, pl.ds(j * w_tile, w_tile)],
+                buf.at[slot], wsems.at[slot]).wait()
+            y = jax.lax.dot_general(
+                inp, buf[slot].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if srow is not None:
+                y = y * jax.lax.slice(srow, (j * w_tile,),
+                                      ((j + 1) * w_tile,))[None, :]
+            parts.append(y)
+        return parts[0] if n == 1 else jnp.concatenate(parts, axis=-1)
+
+    return mm
+
+
 def _kernel_grid_stream(x_ref, t_ref, e_ref,
                         wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                         wfc_ref, bfc_ref,
@@ -521,41 +832,7 @@ def _kernel_grid_stream(x_ref, t_ref, e_ref,
                  id(wv_ref): sv_ref, id(wfc_ref): sfc_ref,
                  id(w1_ref): s1_ref, id(w2_ref): s2_ref}
                 if quant else {})
-
-    def mm(inp, w_ref, _li):
-        d_in = w_ref.shape[1]
-        d_out = w_ref.shape[2]
-        n = d_out // w_tile
-        buf = wbuf_a if d_in == wbuf_a.shape[1] else wbuf_b
-        s_ref = scale_of.get(id(w_ref))
-        # whole-row read indexed by program_id (the bias pattern —
-        # a [ds(li,1), ds(col,T)] 2-D dynamic slice crashes the
-        # Mosaic compile helper); tiles take static lane slices
-        srow = s_ref[li] if s_ref is not None else None
-
-        def start(j, slot):
-            pltpu.make_async_copy(
-                w_ref.at[li, :, pl.ds(j * w_tile, w_tile)],
-                buf.at[slot], wsems.at[slot]).start()
-
-        start(0, 0)
-        parts = []
-        for j in range(n):
-            slot = j % 2
-            if j + 1 < n:
-                start(j + 1, 1 - slot)
-            pltpu.make_async_copy(
-                w_ref.at[li, :, pl.ds(j * w_tile, w_tile)],
-                buf.at[slot], wsems.at[slot]).wait()
-            y = jax.lax.dot_general(
-                inp, buf[slot].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if srow is not None:
-                y = y * jax.lax.slice(srow, (j * w_tile,),
-                                      ((j + 1) * w_tile,))[None, :]
-            parts.append(y)
-        return parts[0] if n == 1 else jnp.concatenate(parts, axis=-1)
+    mm = _make_stream_mm(li, w_tile, wbuf_a, wbuf_b, wsems, scale_of)
 
     x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
     x, k_new, v_new = _layer_step(
@@ -963,3 +1240,292 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     v_cache = jax.lax.dynamic_update_slice(
         v_cache, v_news.reshape(num_layers, b, 1, d), (0, 0, t, 0))
     return out, k_cache, v_cache
+
+
+def _kernel_chunk(x_ref, t_ref, e_ref,
+                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                  wfc_ref, bfc_ref,
+                  ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  ln2s_ref, ln2b_ref,
+                  kc_ref, vc_ref,
+                  out_ref, knew_ref, vnew_ref,
+                  kbuf, vbuf, sems, *,
+                  num_layers: int, num_heads: int, block_k: int,
+                  max_seq: int, eps: float, chunk_c: int):
+    """Resident chunk-verify kernel: _kernel's twin over B*C rows."""
+    t = t_ref[0]
+    n_live = (t + block_k - 1) // block_k
+
+    @pl.when(n_live > 0)
+    def _entry():
+        start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k,
+                     n_live)
+
+    x = x_ref[...].astype(jnp.float32)                    # [B*C, d]
+    for li in range(num_layers):
+        x, k_new, v_new = _layer_chunk_step(
+            x, li, t, n_live, e_ref,
+            wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+            wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+            w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+            kc_ref, vc_ref, kbuf, vbuf, sems,
+            num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+            eps=eps, io_dtype=out_ref.dtype, chunk_c=chunk_c,
+            warmup=False,
+            prefetch_li=li + 1 if li + 1 < num_layers else None)
+        knew_ref[li] = k_new.astype(knew_ref.dtype)
+        vnew_ref[li] = v_new.astype(vnew_ref.dtype)
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
+def _kernel_chunk_grid(x_ref, t_ref, e_ref,
+                       wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                       wfc_ref, bfc_ref,
+                       ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       ln2s_ref, ln2b_ref,
+                       kc_ref, vc_ref,
+                       out_ref, knew_ref, vnew_ref,
+                       xcar, kbuf, vbuf, sems, *,
+                       num_layers: int, num_heads: int, block_k: int,
+                       max_seq: int, eps: float, chunk_c: int):
+    """Layer-grid chunk-verify kernel (_kernel_grid's twin)."""
+    li = pl.program_id(0)
+    t = t_ref[0]
+    n_live = (t + block_k - 1) // block_k
+    x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
+    x, k_new, v_new = _layer_chunk_step(
+        x, 0, t, n_live, e_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+        wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+        kc_ref, vc_ref, kbuf, vbuf, sems,
+        num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+        eps=eps, io_dtype=out_ref.dtype, chunk_c=chunk_c,
+        bias_li=li, cache_li=li)
+    knew_ref[0] = k_new.astype(knew_ref.dtype)
+    vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+    xcar[...] = x
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
+def _kernel_chunk_grid_stream(x_ref, t_ref, e_ref,
+                              wq_ref, bq_ref, wk_ref, bk_ref,
+                              wv_ref, bv_ref, wfc_ref, bfc_ref,
+                              ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+                              w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+                              kc_ref, vc_ref,
+                              *rest,
+                              num_layers: int, num_heads: int,
+                              block_k: int, max_seq: int, eps: float,
+                              w_tile: int, chunk_c: int,
+                              quant: bool = False):
+    """Weight-streaming chunk-verify kernel (_kernel_grid_stream's
+    twin; d_model >= 1024)."""
+    if quant:
+        (sq_ref, sk_ref, sv_ref, sfc_ref, s1_ref, s2_ref,
+         out_ref, knew_ref, vnew_ref,
+         xcar, kbuf, vbuf, sems, wbuf_a, wbuf_b, wsems) = rest
+    else:
+        (out_ref, knew_ref, vnew_ref,
+         xcar, kbuf, vbuf, sems, wbuf_a, wbuf_b, wsems) = rest
+    li = pl.program_id(0)
+    t = t_ref[0]
+    n_live = (t + block_k - 1) // block_k
+    scale_of = ({id(wq_ref): sq_ref, id(wk_ref): sk_ref,
+                 id(wv_ref): sv_ref, id(wfc_ref): sfc_ref,
+                 id(w1_ref): s1_ref, id(w2_ref): s2_ref}
+                if quant else {})
+    mm = _make_stream_mm(li, w_tile, wbuf_a, wbuf_b, wsems, scale_of)
+    x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
+    x, k_new, v_new = _layer_chunk_step(
+        x, 0, t, n_live, e_ref,
+        wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+        wfc_ref, bfc_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+        kc_ref, vc_ref, kbuf, vbuf, sems,
+        num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+        eps=eps, io_dtype=out_ref.dtype, chunk_c=chunk_c,
+        bias_li=li, cache_li=li, mm=mm)
+    knew_ref[0] = k_new.astype(knew_ref.dtype)
+    vnew_ref[0] = v_new.astype(vnew_ref.dtype)
+    xcar[...] = x
+    out_ref[...] = x.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "chunk_c", "block_k", "interpret",
+                     "grid"))
+def fused_decode_chunk(x, t, e_all, weights, k_cache, v_cache,
+                       num_heads: int, chunk_c: int,
+                       block_k: int = 128, interpret: bool = False,
+                       grid=None, scales=None):
+    """All-layers CHUNK-VERIFY forward, fully fused into one kernel
+    (speculative decoding, decode/speculative.py): C tokens at absolute
+    positions t..t+C-1 process against the live cache prefix in one
+    weight pass — position-by-position equal to C sequential
+    fused_decode_step calls at a cost close to ONE (the step is
+    weight/latency-bound; see BASELINE.md round-4 speculative rows).
+
+    x: [B, C, d] (already embedded + positioned); t: scalar int32;
+    other arguments exactly as fused_decode_step. Mode selection
+    (resident / layer-grid / weight-streaming + block_k + depth) reuses
+    select_decode_config; the bulk mode does not apply (per-block
+    streaming only). Requires C a power of two in [8, 128] (f32 sublane
+    tile floor), max_seq >= 128 and t + C <= max_seq (the speculative
+    engine enforces the headroom).
+
+    Returns (out [B, C, d], k_cache, v_cache) with all layers' C new
+    K/V rows inserted at [t, t+C) via one dynamic_update_slice per
+    cache."""
+    b, c, d = x.shape
+    if c & (c - 1) or not 8 <= c <= 128:
+        raise ValueError(f"chunk_c must be a power of two in [8, 128], "
+                         f"got {c}")
+    num_layers = k_cache.shape[0]
+    s = k_cache.shape[2]
+    max_seq = e_all.shape[1]
+    if max_seq < 128:
+        raise ValueError(f"chunk kernel needs max_seq >= 128 "
+                         f"(in-chunk E window), got {max_seq}")
+    bytes_kv = k_cache.dtype.itemsize
+    import os
+    w_tile = int(os.environ.get("MG_DECODE_WTILE", "0")) or 128
+    if scales is not None and grid is None:
+        grid = "stream"
+    grid, block_k, depth = select_decode_config(
+        weights, e_all.shape, b, s, bytes_kv, block_k=block_k,
+        grid=grid, w_tile=w_tile,
+        depth=int(os.environ.get("MG_DECODE_DEPTH", "0")) or None)
+    if grid == "bulk":  # chunk kernel has no bulk variant
+        grid, block_k, depth = select_decode_config(
+            weights, e_all.shape, b, s, bytes_kv, block_k=block_k,
+            grid=True, w_tile=w_tile, depth=None)
+        grid = True
+    if scales is not None and grid != "stream":
+        raise ValueError("int8 weights (scales=) require the streaming "
+                         f"kernel; got mode {grid!r}")
+    if grid == "stream" and (d % w_tile or (d // 2) % w_tile):
+        raise ValueError(
+            f"stream decode needs d_model ({d}) and d_model//2 "
+            f"divisible by w_tile ({w_tile})")
+    # wide-band slack: the QE window reads block_k + 128 rows starting
+    # c-1 rows early; worst-case end is max_seq + block_k + 128 - c
+    e_pad = jnp.pad(e_all.astype(jnp.float32),
+                    ((0, 0), (0, block_k + 128), (0, 0)))
+    t_arr = jnp.asarray(t, jnp.int32).reshape(1)
+    x_flat = x.reshape(b * c, d)
+    r = b * c
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    if not grid:
+        kernel = functools.partial(
+            _kernel_chunk, num_layers=num_layers, num_heads=num_heads,
+            block_k=block_k, max_seq=max_seq, eps=1e-6, chunk_c=c)
+        out, k_news, v_news = pl.pallas_call(
+            kernel,
+            in_specs=[
+                vmem(),                                     # x
+                pl.BlockSpec(memory_space=pltpu.SMEM),      # t
+                vmem(),                                     # e_pad
+                *([vmem()] * 16),                           # weights
+                hbm, hbm,                                   # caches
+            ],
+            out_specs=(vmem(), vmem(), vmem()),
+            out_shape=(
+                jax.ShapeDtypeStruct((r, d), x.dtype),
+                jax.ShapeDtypeStruct((num_layers, r, d), k_cache.dtype),
+                jax.ShapeDtypeStruct((num_layers, r, d), v_cache.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((depth, b, block_k, d), k_cache.dtype),
+                pltpu.VMEM((depth, b, block_k, d), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2 * depth,)),
+            ],
+            interpret=interpret,
+        )(x_flat, t_arr, e_pad, *[weights[k] for k in WEIGHT_KEYS],
+          k_cache, v_cache)
+    else:
+        stream = grid == "stream"
+        dh = d // num_heads
+        e_rows = e_pad.shape[1]
+
+        def wspec(*shape):
+            return pl.BlockSpec((1,) + shape,
+                                lambda l: (l,) + (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        f32b = {k: weights[k].astype(jnp.float32)
+                for k in WEIGHT_KEYS
+                if weights[k].ndim == 2}
+        in_specs = [
+            pl.BlockSpec((r, d), lambda l: (0, 0),
+                         memory_space=pltpu.VMEM),          # x
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # t
+            wspec(e_rows, dh),                              # e_pad
+        ]
+        w_args = []
+        for k in WEIGHT_KEYS:
+            w = weights[k]
+            if w.ndim == 3:
+                in_specs.append(hbm if stream
+                                else wspec(w.shape[1], w.shape[2]))
+                w_args.append(w)
+            else:
+                in_specs.append(vmem())
+                w_args.append(f32b[k])
+        in_specs += [hbm, hbm]
+        scale_args = []
+        if scales is not None:
+            for k in _MATRIX_KEYS:
+                in_specs.append(vmem())
+                scale_args.append(scales[k].astype(jnp.float32))
+        scratch = [
+            pltpu.VMEM((r, d), jnp.float32),
+            pltpu.VMEM((depth, b, block_k, d), k_cache.dtype),
+            pltpu.VMEM((depth, b, block_k, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2 * depth,)),
+        ]
+        if stream:
+            kernel = functools.partial(
+                _kernel_chunk_grid_stream, num_layers=num_layers,
+                num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+                eps=1e-6, w_tile=w_tile, chunk_c=c,
+                quant=scales is not None)
+            wdt = weights["wq"].dtype
+            scratch += [
+                pltpu.VMEM((2, d, w_tile), wdt),
+                pltpu.VMEM((2, d // 2, w_tile), wdt),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kernel = functools.partial(
+                _kernel_chunk_grid, num_layers=num_layers,
+                num_heads=num_heads, block_k=block_k, max_seq=max_seq,
+                eps=1e-6, chunk_c=c)
+        out, k_news, v_news = pl.pallas_call(
+            kernel,
+            grid=(num_layers,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((r, d), lambda l: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r, d), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, r, d), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((r, d), x.dtype),
+                jax.ShapeDtypeStruct((num_layers, r, d), k_cache.dtype),
+                jax.ShapeDtypeStruct((num_layers, r, d), v_cache.dtype),
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(x_flat, t_arr, e_pad, *w_args, k_cache, v_cache, *scale_args)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_news.reshape(num_layers, b, c, d), (0, 0, t, 0))
+    v_cache = jax.lax.dynamic_update_slice(
+        v_cache, v_news.reshape(num_layers, b, c, d), (0, 0, t, 0))
+    return out.reshape(b, c, d), k_cache, v_cache

@@ -38,6 +38,40 @@ def simple_piano_midi(path, seed=0, n_notes=64, tempo=120.0):
     return path
 
 
+def motif_piano_midi(path, seed=0, n_bars=48, tempo=120.0):
+    """Highly repetitive piece: one per-seed 8-note motif loops bar
+    after bar with a 4-bar I-I-IV-V-ish transposition cycle and sparse
+    ornament substitutions. Sequentially PREDICTABLE (unlike
+    simple_piano_midi's random walk) — the training corpus for
+    speculative-decoding acceptance measurements, standing in for real
+    music's bar/phrase-level repetition."""
+    rng = np.random.RandomState(seed)
+    midi = MidiFile(ticks_per_beat=TPB)
+    midi.tempo_changes = [TempoChange(tempo=tempo, time=0)]
+    midi._tempo_raw = [(0, int(round(60e6 / tempo)))]
+    midi.time_signature_changes = [TimeSignature(4, 4, 0)]
+    inst = Instrument(program=0, is_drum=False, name="piano")
+    motif = rng.randint(55, 76, size=8)
+    durs = rng.choice([120, 240, 240, 480], size=8)
+    vels = rng.randint(60, 100, size=8)
+    steps = (TPB * 4) // 8
+    cycle = [0, 0, 5, 7]
+    tick = 0
+    for bar in range(n_bars):
+        shift = cycle[bar % 4]
+        for i in range(8):
+            pitch = int(motif[i]) + shift
+            if rng.rand() < 0.05:  # sparse ornament
+                pitch += int(rng.choice([-2, 2]))
+            inst.notes.append(Note(
+                velocity=int(vels[i]), pitch=pitch, start=tick,
+                end=tick + int(durs[i])))
+            tick += steps
+    midi.instruments.append(inst)
+    midi.dump(path)
+    return path
+
+
 def polyphonic_midi(path, seed=1, n_chords=24, tempo=96.0):
     """Chordal piece: stacked triads so chord inference has signal."""
     rng = np.random.RandomState(seed)

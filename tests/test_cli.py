@@ -74,16 +74,16 @@ def test_generate_speculative_greedy_byte_identical(tok_dir, tmp_path):
                      ["model.num_layers=1", "model.d_model=64"])
     from musicgeneration_tpu.cli.generate import main as gen_main
     plain = str(tmp_path / "plain.mid")
-    assert gen_main([ckpt, plain, "--steps", "32",
+    assert gen_main([ckpt, plain, "--steps", "24",
                      "--temperature", "0"]) == 0
     spec_lookup = str(tmp_path / "spec_lookup.mid")
-    assert gen_main([ckpt, spec_lookup, "--steps", "32",
+    assert gen_main([ckpt, spec_lookup, "--steps", "24",
                      "--temperature", "0", "--spec", "lookup",
                      "--spec-chunk", "4", "--spec-ngram", "2"]) == 0
     assert open(plain, "rb").read() == open(spec_lookup, "rb").read()
     # the target checkpoint doubles as its own draft (full acceptance)
     spec_draft = str(tmp_path / "spec_draft.mid")
-    assert gen_main([ckpt, spec_draft, "--steps", "32",
+    assert gen_main([ckpt, spec_draft, "--steps", "24",
                      "--temperature", "0", "--spec", ckpt,
                      "--spec-chunk", "4"]) == 0
     assert open(plain, "rb").read() == open(spec_draft, "rb").read()

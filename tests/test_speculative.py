@@ -30,14 +30,18 @@ def _init(model, seed=0, batch=2, length=8):
     return model.init(jax.random.PRNGKey(seed), x)["params"]
 
 
-@pytest.mark.parametrize("decode_impl", ["xla", "fused"])
-def test_decode_chunk_matches_sequential_steps(decode_impl):
+@pytest.mark.parametrize("decode_impl,kernel,c", [
+    ("xla", False, 5),
+    ("fused", False, 5),
+    ("fused", True, 8),   # Pallas chunk kernel (interpret off-TPU)
+])
+def test_decode_chunk_matches_sequential_steps(decode_impl, kernel, c):
     """decode_chunk over C tokens == C sequential decode_steps,
     position by position (logits + written cache rows), in both cache
-    layouts."""
+    layouts and through the fused chunk kernel."""
     model = _model(decode_impl)
     params = _init(model)
-    b, p, c = 2, 8, 5
+    b, p = 2, 8
     rng = np.random.RandomState(0)
     prompt = jnp.asarray(rng.randint(0, VOCAB - 1, (b, p)), jnp.int32)
     toks = jnp.asarray(rng.randint(0, VOCAB - 1, (b, c)), jnp.int32)
@@ -56,7 +60,7 @@ def test_decode_chunk_matches_sequential_steps(decode_impl):
     seq_logits = jnp.stack(seq_logits, axis=1)  # [B, C, V]
 
     chunk_logits, cache_chunk = model.apply(
-        {"params": params}, toks, cache, jnp.int32(p),
+        {"params": params}, toks, cache, jnp.int32(p), kernel,
         method=model.decode_chunk)
     np.testing.assert_allclose(np.asarray(chunk_logits),
                                np.asarray(seq_logits),
@@ -69,6 +73,44 @@ def test_decode_chunk_matches_sequential_steps(decode_impl):
         bb = np.take(np.asarray(cache_seq[key]),
                      np.arange(p, p + c), axis=row_axis)
         np.testing.assert_allclose(a, bb, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("grid", [True, "stream"])
+def test_fused_decode_chunk_grid_modes_match_resident(grid):
+    """The layer-grid and weight-streaming chunk-kernel variants agree
+    with the resident mode (interpret; d=256 so the stream tiling
+    divides)."""
+    from musicgeneration_tpu.models.music_transformer import (
+        _stacked_decode_weights,
+    )
+    from musicgeneration_tpu.ops.pallas_decode import fused_decode_chunk
+
+    model = _model("fused", d_model=256, num_layers=2)
+    params = _init(model)
+    b, p, c = 1, 16, 8
+    rng = np.random.RandomState(1)
+    prompt = jnp.asarray(rng.randint(0, VOCAB - 1, (b, p)), jnp.int32)
+    toks = jnp.asarray(rng.randint(0, VOCAB - 1, (b, c)), jnp.int32)
+    _, cache = model.apply({"params": params}, prompt, 128,
+                           method=model.prefill)
+    bound = model.bind({"params": params})
+    w_all, e_all = _stacked_decode_weights(bound.layers, model.dtype)
+    h = bound.embedding(toks) * jnp.sqrt(jnp.float32(model.d_model))
+    h = (h + jax.lax.dynamic_slice(
+        jnp.asarray(bound.pos_table, model.dtype), (p, 0),
+        (c, model.d_model))[None]).astype(model.dtype)
+    args = (h, jnp.int32(p), e_all, w_all, cache["k"], cache["v"],
+            model.num_heads)
+    want, wk, wv = fused_decode_chunk(*args, chunk_c=c, interpret=True,
+                                      grid=False)
+    got, gk, gv = fused_decode_chunk(*args, chunk_c=c, interpret=True,
+                                     grid=grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                               rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("batch", [1, 3])
@@ -157,6 +199,19 @@ def test_sampled_speculation_valid_and_plumbed():
     assert 0 <= acc <= stats["iterations"] * 3
     assert stats["mean_accepted"] == pytest.approx(
         acc / stats["iterations"])
+
+
+def test_generate_rejects_beyond_max_seq():
+    """Decoding past the positional/relative tables must raise, not
+    clamp (on TPU the fused kernel faults the chip on out-of-range E
+    rows)."""
+    model = _model()
+    params = _init(model)
+    prompt = jnp.zeros((1, 16), jnp.int32)
+    dp = DecodeParams(max_len=160, steps=120,
+                      sampling=SamplingParams(greedy=True))
+    with pytest.raises(ValueError, match="max_seq"):
+        generate(model, params, prompt, jax.random.PRNGKey(0), dp)
 
 
 def test_speculative_validation_errors():
