@@ -117,13 +117,17 @@ class RelativeGlobalAttentionBlock(nn.Module):
         return self.fc(out)
 
     def decode(self, x: jnp.ndarray, k_all: jnp.ndarray,
-               v_all: jnp.ndarray, li: int, t: jnp.ndarray):
+               v_all: jnp.ndarray, li: int, t: jnp.ndarray,
+               start: Optional[jnp.ndarray] = None):
         """One-token step. x: [B, d_model]; k_all/v_all are the FULL
         stacked caches [L, B, H, S, dh] updated in place at (li, ..., t)
         — a single one-row dynamic-update-slice per layer, never a
         restack, so under scan-with-donation XLA keeps the cache
         in-place instead of copying ~MBs per generated token.
-        Returns (out [B, d_model], k_all, v_all)."""
+        Returns (out [B, d_model], k_all, v_all).
+
+        start: optional [B] int32 ragged lower bound — row b attends
+        only to cache rows s >= start[b] (continuous batching)."""
         b = x.shape[0]
         dh = self.d_model // self.num_heads
         q = self.wq(x).reshape(b, self.num_heads, dh)
@@ -142,6 +146,9 @@ class RelativeGlobalAttentionBlock(nn.Module):
         logits = (qk + bias) / jnp.sqrt(jnp.float32(dh))
         future = jnp.arange(s)[None, None, :] > t
         logits = jnp.where(future, -1e9, logits)
+        if start is not None:
+            past = jnp.arange(s)[None, None, :] < start[:, None, None]
+            logits = jnp.where(past, -1e9, logits)
         w = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhs,bhsd->bhd", w.astype(v_cache.dtype), v_cache,
                          preferred_element_type=jnp.float32)
@@ -238,8 +245,9 @@ class EncoderLayer(nn.Module):
         ffn = self.drop2(ffn, deterministic=deterministic)
         return self.ln2(out1 + ffn)
 
-    def decode(self, x, k_all, v_all, li: int, t):
-        attn, k_all, v_all = self.rga.decode(x, k_all, v_all, li, t)
+    def decode(self, x, k_all, v_all, li: int, t, start=None):
+        attn, k_all, v_all = self.rga.decode(x, k_all, v_all, li, t,
+                                             start=start)
         out1 = self.ln1(attn + x)
         ffn = self.ffn_suf(nn.relu(self.ffn_pre(out1)))
         return self.ln2(out1 + ffn), k_all, v_all
@@ -457,26 +465,38 @@ class MusicTransformer(nn.Module):
         }
 
     def decode_step(self, token: jnp.ndarray, cache: Cache,
-                    t: jnp.ndarray):
+                    t: jnp.ndarray, start: Optional[jnp.ndarray] = None):
         """token: [B] int; t: scalar absolute position. Returns
         (logits [B, vocab] f32, new cache).
 
         decode_impl="fused" (auto on TPU) runs each layer's whole step
         as ONE Pallas kernel (ops/pallas_decode.py) — the XLA path's
-        ~20 tiny ops per layer are latency-bound at decode shapes."""
+        ~20 tiny ops per layer are latency-bound at decode shapes.
+
+        start: optional [B] int32 — RAGGED continuous-batching step
+        (decode/serving.py): row b's sequence occupies cache rows
+        [start[b], t], i.e. its own position is t - start[b]. The
+        positional row is gathered per row and attention masks cache
+        rows below start[b]; the relative bias needs no change (it
+        depends only on the shared distance t - s)."""
         h = self.embedding(token) * jnp.sqrt(
             jnp.float32(self.d_model)).astype(self.dtype)
-        pos = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
+        if start is None:
+            pos = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
+        else:
+            pos = jnp.asarray(self.pos_table, self.dtype)[t - start]
         h = h + pos
         k_all, v_all = cache["k"], cache["v"]
         if self._decode_fused():
             h, k_all, v_all = fused_layer_stack_step(
                 self.layers, h, t, k_all, v_all, self.num_heads,
-                self.dtype, quant=getattr(self, "decode_quant", "none"))
+                self.dtype, quant=getattr(self, "decode_quant", "none"),
+                start=start)
         else:
             for i, layer in enumerate(self.layers):
-                h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
+                h, k_all, v_all = layer.decode(h, k_all, v_all, i, t,
+                                               start=start)
         logits = self.fc(h).astype(jnp.float32)
         return logits, {"k": k_all, "v": v_all}
 
@@ -658,7 +678,7 @@ def _stacked_decode_weights(layers, dtype):
 
 
 def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
-                           dtype, quant: str = "none"):
+                           dtype, quant: str = "none", start=None):
     """Run one fused decode step over a stack of EncoderLayers
     (ops/pallas_decode.py) — shared by MusicTransformer and
     CPTransformer.
@@ -682,7 +702,7 @@ def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
         raise ValueError(f"unknown decode_quant {quant!r}")
     return fused_decode_step(h, t, e_all, w_all, k_all, v_all, num_heads,
                              interpret=jax.default_backend() != "tpu",
-                             scales=scales)
+                             scales=scales, start=start)
 
 
 def _layer_decode_weights(layer) -> Dict[str, jnp.ndarray]:

@@ -65,7 +65,7 @@ def _layer_step(x, li, t, n_live, e_ref,
                 chunk=None, warmup: bool = True, prefetch_li=None,
                 bias_li=None, cache_li=None, mm=None,
                 bulk: bool = False, prefetch_when=None,
-                bulk_ready: bool = False):
+                bulk_ready: bool = False, start_col=None):
     """One EncoderLayer decode step inside a kernel: qkv projections,
     live-prefix KV streaming with the analytic current-token term,
     output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
@@ -91,7 +91,13 @@ def _layer_step(x, li, t, n_live, e_ref,
     contiguous DMA per cache (the [L, B, S, d] layout makes the [li]
     slice contiguous — a single descriptor at full HBM bandwidth,
     vs the per-block copies' batch-strided descriptors); the compute
-    loop then reads VMEM slices with no per-block waits. sems: 2."""
+    loop then reads VMEM slices with no per-block waits. sems: 2.
+    start_col: optional [B, 1] int32 — RAGGED (continuous-batching)
+    decode: row b attends only to cache rows s >= start_col[b]. The
+    relative-bias index max_seq-1-t+s depends only on the shared
+    distance t-s, so right-aligned slots (decode/serving.py) need
+    exactly this one extra mask — E rows, DMA bounds and the loop
+    trip count stay shared across rows."""
     if hbm_limit is None:
         hbm_limit = t
     if bias_li is None:
@@ -221,6 +227,10 @@ def _layer_step(x, li, t, n_live, e_ref,
                 bias = jnp.sum(qh * e_blk[None], axis=-1)
                 logits = (logits + bias) * scale
                 logits = jnp.where(s_ids >= hbm_limit, NEG_INF, logits)
+                if start_col is not None:
+                    # ragged lower bound: [B,1] vs [1,BK] -> [B,BK]
+                    logits = jnp.where(s_ids < start_col, NEG_INF,
+                                       logits)
                 m_new = jnp.maximum(
                     ms[h], jnp.max(logits, axis=-1, keepdims=True))
                 alpha = jnp.exp(ms[h] - m_new)
@@ -626,7 +636,7 @@ def start_block0(kc_ref, vc_ref, li, kbuf, vbuf, sems, block_k,
             pl.when(jj < n_live)(_go)
 
 
-def _kernel(x_ref, t_ref, e_ref,
+def _kernel(x_ref, t_ref, start_ref, e_ref,
             wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             wfc_ref, bfc_ref,
             ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -635,8 +645,9 @@ def _kernel(x_ref, t_ref, e_ref,
             out_ref, knew_ref, vnew_ref,
             kbuf, vbuf, sems, *,
             num_layers: int, num_heads: int, block_k: int, max_seq: int,
-            eps: float):
+            eps: float, ragged: bool = False):
     t = t_ref[0]
+    start_col = start_ref[...] if ragged else None
     n_live = (t + block_k - 1) // block_k
 
     # cross-layer DMA pipelining: layer 0's first block starts NOW and
@@ -658,13 +669,14 @@ def _kernel(x_ref, t_ref, e_ref,
             kc_ref, vc_ref, kbuf, vbuf, sems,
             num_heads=num_heads, block_k=block_k, max_seq=max_seq,
             eps=eps, io_dtype=out_ref.dtype, warmup=False,
-            prefetch_li=li + 1 if li + 1 < num_layers else None)
+            prefetch_li=li + 1 if li + 1 < num_layers else None,
+            start_col=start_col)
         knew_ref[li] = k_new.astype(knew_ref.dtype)
         vnew_ref[li] = v_new.astype(vnew_ref.dtype)
     out_ref[...] = x.astype(out_ref.dtype)
 
 
-def _kernel_grid(x_ref, t_ref, e_ref,
+def _kernel_grid(x_ref, t_ref, start_ref, e_ref,
                  wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                  wfc_ref, bfc_ref,
                  ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -673,7 +685,7 @@ def _kernel_grid(x_ref, t_ref, e_ref,
                  out_ref, knew_ref, vnew_ref,
                  xcar, kbuf, vbuf, sems, *,
                  num_layers: int, num_heads: int, block_k: int,
-                 max_seq: int, eps: float):
+                 max_seq: int, eps: float, ragged: bool = False):
     """Layer-GRID decode step for models whose stacked weights exceed
     VMEM residency (d_model >= 512): grid=(L,), Mosaic auto-pipelines
     each layer's weight/E blocks HBM->VMEM while the previous layer
@@ -682,6 +694,7 @@ def _kernel_grid(x_ref, t_ref, e_ref,
     bf16) and the caches stay whole in HBM."""
     li = pl.program_id(0)
     t = t_ref[0]
+    start_col = start_ref[...] if ragged else None
     n_live = (t + block_k - 1) // block_k
     # xcar is uninitialized at li == 0; where() is an elementwise select
     x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
@@ -692,14 +705,15 @@ def _kernel_grid(x_ref, t_ref, e_ref,
         w2_ref, b2_ref, ln2s_ref, ln2b_ref,
         kc_ref, vc_ref, kbuf, vbuf, sems,
         num_heads=num_heads, block_k=block_k, max_seq=max_seq,
-        eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li)
+        eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
+        start_col=start_col)
     knew_ref[0] = k_new.astype(knew_ref.dtype)
     vnew_ref[0] = v_new.astype(vnew_ref.dtype)
     xcar[...] = x
     out_ref[...] = x.astype(out_ref.dtype)
 
 
-def _kernel_grid_bulk(x_ref, t_ref, e_ref,
+def _kernel_grid_bulk(x_ref, t_ref, start_ref, e_ref,
                       wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                       wfc_ref, bfc_ref,
                       ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -708,7 +722,7 @@ def _kernel_grid_bulk(x_ref, t_ref, e_ref,
                       out_ref, knew_ref, vnew_ref,
                       xcar, kbuf, vbuf, sems, *,
                       num_layers: int, num_heads: int, block_k: int,
-                      max_seq: int, eps: float):
+                      max_seq: int, eps: float, ragged: bool = False):
     """Layer-grid decode step with BULK whole-cache KV copies: one
     contiguous [B, S, d] DMA per cache per layer (the [L, B, S, d]
     layout makes the [li] slice contiguous — one descriptor at full
@@ -721,6 +735,7 @@ def _kernel_grid_bulk(x_ref, t_ref, e_ref,
     per-block streaming stays the fallback."""
     li = pl.program_id(0)
     t = t_ref[0]
+    start_col = start_ref[...] if ragged else None
     n_live = (t + block_k - 1) // block_k
 
     @pl.when((li == 0) & (n_live > 0))
@@ -739,7 +754,7 @@ def _kernel_grid_bulk(x_ref, t_ref, e_ref,
         eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
         bulk=True, warmup=False,
         prefetch_li=jnp.minimum(li + 1, num_layers - 1),
-        prefetch_when=li + 1 < num_layers)
+        prefetch_when=li + 1 < num_layers, start_col=start_col)
     knew_ref[0] = k_new.astype(knew_ref.dtype)
     vnew_ref[0] = v_new.astype(vnew_ref.dtype)
     xcar[...] = x
@@ -792,7 +807,7 @@ def _make_stream_mm(li, w_tile, wbuf_a, wbuf_b, wsems, scale_of):
     return mm
 
 
-def _kernel_grid_stream(x_ref, t_ref, e_ref,
+def _kernel_grid_stream(x_ref, t_ref, start_ref, e_ref,
                         wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                         wfc_ref, bfc_ref,
                         ln1s_ref, ln1b_ref, w1_ref, b1_ref,
@@ -801,7 +816,7 @@ def _kernel_grid_stream(x_ref, t_ref, e_ref,
                         *rest,
                         num_layers: int, num_heads: int, block_k: int,
                         max_seq: int, eps: float, w_tile: int,
-                        quant: bool = False):
+                        quant: bool = False, ragged: bool = False):
     """Layer-grid decode step with STREAMED weight matrices for models
     whose per-layer weights exceed even the grid variant's double
     buffer (d_model >= 1024: ~12.6 MB/layer bf16, 2x > 16 MB VMEM).
@@ -827,6 +842,7 @@ def _kernel_grid_stream(x_ref, t_ref, e_ref,
          xcar, kbuf, vbuf, sems, wbuf_a, wbuf_b, wsems) = rest
     li = pl.program_id(0)
     t = t_ref[0]
+    start_col = start_ref[...] if ragged else None
     n_live = (t + block_k - 1) // block_k
     scale_of = ({id(wq_ref): sq_ref, id(wk_ref): sk_ref,
                  id(wv_ref): sv_ref, id(wfc_ref): sfc_ref,
@@ -843,7 +859,7 @@ def _kernel_grid_stream(x_ref, t_ref, e_ref,
         kc_ref, vc_ref, kbuf, vbuf, sems,
         num_heads=num_heads, block_k=block_k, max_seq=max_seq,
         eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
-        mm=mm)
+        mm=mm, start_col=start_col)
     knew_ref[0] = k_new.astype(knew_ref.dtype)
     vnew_ref[0] = v_new.astype(vnew_ref.dtype)
     xcar[...] = x
@@ -1054,7 +1070,8 @@ def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
     static_argnames=("num_heads", "block_k", "interpret", "grid"))
 def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                       num_heads: int, block_k: int = 128,
-                      interpret: bool = False, grid=None, scales=None):
+                      interpret: bool = False, grid=None, scales=None,
+                      start=None):
     """All-layers decode step, fully fused into one kernel.
 
     x: [B, d] (already embedded + positioned); t: scalar int32 position;
@@ -1069,6 +1086,12 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     at half the HBM traffic (the d1024 rung's floor); requires the
     STREAMING mode (auto-selected: int8 weights shrink every footprint
     estimate, but only the stream kernel dequantizes).
+
+    start: optional [B] int32 — RAGGED decode for continuous-batching
+    serving (decode/serving.py): row b attends only to cache rows
+    s in [start[b], t]. Right-aligned slots share t, the E window and
+    the DMA trip count, so raggedness costs one masked compare per
+    block; start=None compiles the exact non-ragged program.
     """
     b, d = x.shape
     num_layers = k_cache.shape[0]
@@ -1104,6 +1127,9 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     e_pad = jnp.pad(e_all.astype(jnp.float32),
                     ((0, 0), (0, block_k), (0, 0)))
     t_arr = jnp.asarray(t, jnp.int32).reshape(1)
+    ragged = start is not None
+    start2d = (jnp.zeros((b, 1), jnp.int32) if start is None
+               else jnp.asarray(start, jnp.int32).reshape(b, 1))
 
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     # caches must stay in HBM: ANY lets the compiler pull them into VMEM
@@ -1111,12 +1137,13 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     if not grid:
         kernel = functools.partial(
             _kernel, num_layers=num_layers, num_heads=num_heads,
-            block_k=block_k, max_seq=max_seq, eps=1e-6)
+            block_k=block_k, max_seq=max_seq, eps=1e-6, ragged=ragged)
         out, k_news, v_news = pl.pallas_call(
             kernel,
             in_specs=[
                 vmem(),                                     # x
                 pl.BlockSpec(memory_space=pltpu.SMEM),      # t
+                vmem(),                                     # start
                 vmem(),                                     # e_pad
                 *([vmem()] * 16),                           # weights
                 hbm, hbm,                                   # caches
@@ -1133,7 +1160,7 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                 pltpu.SemaphoreType.DMA((2 * depth,)),
             ],
             interpret=interpret,
-        )(x, t_arr, e_pad, *[weights[k] for k in WEIGHT_KEYS],
+        )(x, t_arr, start2d, e_pad, *[weights[k] for k in WEIGHT_KEYS],
           k_cache, v_cache)
     else:
         # stacked weights exceed VMEM residency (d_model >= 512): grid
@@ -1161,6 +1188,8 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
             pl.BlockSpec((b, d), lambda l: (0, 0),
                          memory_space=pltpu.VMEM),          # x
             pl.BlockSpec(memory_space=pltpu.SMEM),          # t
+            pl.BlockSpec((b, 1), lambda l: (0, 0),
+                         memory_space=pltpu.VMEM),          # start
             wspec(e_rows, dh),                              # e_pad
         ]
         w_args = []
@@ -1198,12 +1227,13 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
             kernel = functools.partial(
                 _kernel_grid_bulk, num_layers=num_layers,
                 num_heads=num_heads, block_k=block_k, max_seq=max_seq,
-                eps=1e-6)
+                eps=1e-6, ragged=ragged)
         elif stream:
             kernel = functools.partial(
                 _kernel_grid_stream, num_layers=num_layers,
                 num_heads=num_heads, block_k=block_k, max_seq=max_seq,
-                eps=1e-6, w_tile=w_tile, quant=scales is not None)
+                eps=1e-6, w_tile=w_tile, quant=scales is not None,
+                ragged=ragged)
             wdt = weights["wq"].dtype
             scratch += [
                 pltpu.VMEM((2, d, w_tile), wdt),       # wbuf_a
@@ -1214,7 +1244,7 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
             kernel = functools.partial(
                 _kernel_grid, num_layers=num_layers,
                 num_heads=num_heads, block_k=block_k, max_seq=max_seq,
-                eps=1e-6)
+                eps=1e-6, ragged=ragged)
         out, k_news, v_news = pl.pallas_call(
             kernel,
             grid=(num_layers,),
@@ -1234,7 +1264,8 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
             ),
             scratch_shapes=scratch,
             interpret=interpret,
-        )(x, t_arr, e_pad, *w_args, k_cache, v_cache, *scale_args)
+        )(x, t_arr, start2d, e_pad, *w_args, k_cache, v_cache,
+          *scale_args)
     k_cache = jax.lax.dynamic_update_slice(
         k_cache, k_news.reshape(num_layers, b, 1, d), (0, 0, t, 0))
     v_cache = jax.lax.dynamic_update_slice(

@@ -743,3 +743,47 @@ def test_decode_kernel_mode_gates():
     # the resident estimate but the per-layer variants stay viable
     assert decode_vmem_bytes(6, 256, 309, 8192, 64) >= 10 * mb
     assert decode_grid_vmem_bytes(256, 8192, 64) < 13 * mb
+
+
+@pytest.mark.parametrize("impl", ["xla", "fused"])
+def test_ragged_decode_matches_shifted_reference(impl):
+    """RAGGED (continuous-batching) decode: with per-row ``start``
+    offsets, row b stepping through cache rows [start_b, t] must be
+    BIT-IDENTICAL to the same batch running non-ragged from t=0 with
+    row b's stream shifted by start_b — the relative bias depends only
+    on the distance t-s, the positional row is gathered per row, and
+    rows below start_b are exactly masked (garbage tokens fed to
+    not-yet-started rows change nothing). Exercises _layer_step's
+    start_col mask (ops/pallas_decode.py) and the XLA decode mask."""
+    m = MusicTransformer(decode_impl=impl, vocab_size=VOCAB,
+                         num_layers=2, d_model=128, max_seq=64)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8), jnp.int32))["params"]
+    b, cache_len, t_end = 3, 48, 20
+    starts = np.array([0, 5, 11], np.int32)
+    toks = np.asarray(jax.random.randint(
+        jax.random.PRNGKey(1), (t_end, b), 0, VOCAB - 1))
+    cache = m.apply({"params": params}, b, cache_len,
+                    method=m.init_cache)
+    ragged = []
+    for t in range(t_end):
+        l, cache = m.apply({"params": params}, jnp.asarray(toks[t]),
+                           cache, jnp.int32(t), jnp.asarray(starts),
+                           method=m.decode_step)
+        ragged.append(np.asarray(l))
+    ragged = np.stack(ragged)
+    # reference: same batch SHAPE, non-ragged — row b fed its shifted
+    # stream toks[start_b + j, b] at step j
+    n_ref = t_end - int(starts.max())
+    ref_toks = np.stack([toks[starts[r]:starts[r] + n_ref, r]
+                         for r in range(b)], axis=1)
+    cache1 = m.apply({"params": params}, b, cache_len,
+                     method=m.init_cache)
+    for j in range(n_ref):
+        l1, cache1 = m.apply({"params": params},
+                             jnp.asarray(ref_toks[j]), cache1,
+                             jnp.int32(j), method=m.decode_step)
+        for r in range(b):
+            np.testing.assert_allclose(
+                np.asarray(l1)[r], ragged[starts[r] + j, r],
+                rtol=1e-6, atol=1e-6)
