@@ -8,8 +8,10 @@ engine is the 10x-win replacement (BASELINE.md)."""
 from .beam import beam_search, replicate_for_beams
 from .engine import DecodeParams, expand_controls, generate, generate_sliding
 from .sampling import sample_logits
+from .serving import ContinuousBatcher
 from .speculative import SpecParams, generate_speculative
 
 __all__ = ["generate", "generate_sliding", "DecodeParams",
            "expand_controls", "sample_logits", "beam_search",
-           "replicate_for_beams", "SpecParams", "generate_speculative"]
+           "replicate_for_beams", "SpecParams", "generate_speculative",
+           "ContinuousBatcher"]

