@@ -152,7 +152,7 @@ class ContinuousBatcher:
     def __init__(self, model, params, *, slots: int = 8,
                  sampling: SamplingParams = SamplingParams(),
                  seg_len: int = 64, cache_len: Optional[int] = None,
-                 prompt_bucket: int = 64,
+                 prompt_bucket: int = 64, depth: int = 2,
                  rng: Optional[jax.Array] = None):
         self.model = model
         self.params = params
@@ -166,11 +166,21 @@ class ContinuousBatcher:
             raise ValueError(f"cache_len {self.cache_len} must exceed "
                              f"seg_len {seg_len}")
         self.prompt_bucket = prompt_bucket
+        # segments in flight before the host waits for tokens. depth=2
+        # overlaps segment k+1's device compute with the host fetch of
+        # segment k's tokens (one full tunnel round-trip, ~20-28 ms on
+        # this TPU vs ~10 ms of segment compute); scheduling decisions
+        # then lag one segment (a retiring slot idles <= 2*seg_len-1
+        # steps instead of <= seg_len-1). depth=1 is fully synchronous.
+        self.depth = depth
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.cache = model.apply({"params": params}, slots,
                                  self.cache_len, method=model.init_cache)
         self.t = 0                      # host mirror of the clock
         self.start = jnp.zeros((slots,), jnp.int32)
+        # exact host mirror of `start` (admissions/compactions/resets
+        # are all host-decided) — scheduling never reads the device
+        self._start_host = np.zeros((slots,), np.int64)
         self.tok = jnp.zeros((slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(slots)]
         self.pending: List[_Pending] = []
@@ -203,16 +213,12 @@ class ContinuousBatcher:
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.slots) if not s.active]
 
-    def _active_starts(self) -> List[int]:
-        starts = np.asarray(self.start)      # ONE host sync
-        return [int(starts[i]) for i, s in enumerate(self.slots)
-                if s.active]
-
     def _maybe_compact(self, need_rows: int):
         """Ensure the next `need_rows` clock ticks stay in the cache."""
         if self.t + need_rows <= self.cache_len:
             return
-        act = self._active_starts()
+        act = [int(self._start_host[i]) for i, s in
+               enumerate(self.slots) if s.active]
         if not act:
             self.t = 0
             return
@@ -220,6 +226,7 @@ class ContinuousBatcher:
         if shift > 0:
             self.cache, self.start = _compact(
                 self.cache, self.start, jnp.int32(shift))
+            self._start_host -= shift
             self.t -= shift
 
     def _bucket(self, p: int) -> int:
@@ -240,6 +247,7 @@ class ContinuousBatcher:
             self.start, self.tok = _reset_free(
                 self.start, self.tok,
                 jnp.ones((self.b,), bool), jnp.int32(self.t))
+            self._start_host[:] = self.t
         remaining = []
         for q in self.pending:
             p = q.prompt.size
@@ -259,6 +267,7 @@ class ContinuousBatcher:
                 self.model, self.params, self.cache, self.start,
                 self.tok, jnp.asarray(pad), jnp.int32(p),
                 jnp.int32(slot), jnp.int32(self.t))
+            self._start_host[slot] = self.t - (p - 1)
             s = self.slots[slot]
             s.rid, s.active, s.max_new = q.rid, True, q.max_new
             s.eos_id, s.emitted = q.eos_id, []
@@ -274,37 +283,77 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------ step
 
-    def step(self) -> bool:
-        """Admit, run one compiled segment, collect/retire.
-        Returns True while any work remains."""
+    def _dispatch(self):
+        """Admit pending requests, then launch one segment WITHOUT
+        waiting for its tokens. Returns (token futures [seg, B],
+        occupancy [(slot, rid)]) or None if nothing is active."""
         self._try_admit()
         if not any(s.active for s in self.slots):
-            return bool(self.pending)
+            return None
         self._maybe_compact(self.seg_len)
         free_mask = np.array([not s.active for s in self.slots])
         if free_mask.any():
             self.start, self.tok = _reset_free(
                 self.start, self.tok, jnp.asarray(free_mask),
                 jnp.int32(self.t))
+            self._start_host[free_mask] = self.t
         self.rng, seg_rng = jax.random.split(self.rng)
         self.cache, self.tok, _, toks = _run_segment(
             self.model, self.params, self.cache, self.tok, self.start,
             jnp.int32(self.t), seg_rng, self.seg_len, self.sp)
-        toks = np.asarray(toks)          # [seg, B] — the one host sync
         self.t += self.seg_len
-        for i, s in enumerate(self.slots):
-            if not s.active:
-                continue
+        occ = [(i, s.rid) for i, s in enumerate(self.slots) if s.active]
+        return toks, occ
+
+    def _collect(self, item):
+        """Wait for a dispatched segment's tokens; attribute, retire."""
+        toks, occ = item
+        toks = np.asarray(toks)          # [seg, B] — the one host sync
+        for i, rid in occ:
+            s = self.slots[i]
+            if not s.active or s.rid != rid:
+                continue                 # slot retired mid-pipeline
             s.emitted.extend(int(x) for x in toks[:, i])
             hit_eos = (s.eos_id is not None
                        and s.eos_id in s.emitted[:s.max_new])
             if len(s.emitted) >= s.max_new or hit_eos:
                 self._retire(i)
+
+    def step(self) -> bool:
+        """Admit, run one compiled segment synchronously, collect.
+        Returns True while any work remains."""
+        item = self._dispatch()
+        if item is not None:
+            self._collect(item)
         return bool(self.pending) or any(s.active for s in self.slots)
 
     def run(self) -> Dict[int, np.ndarray]:
-        """Drain the queue; returns {rid: generated ids [<= max_new]}."""
-        while self.step():
-            pass
+        """Drain the queue; returns {rid: generated ids [<= max_new]}.
+
+        Keeps up to `depth` segments in flight so the host token fetch
+        (a full tunnel round-trip) overlaps the next segment's device
+        compute."""
+        from collections import deque
+
+        inflight: deque = deque()
+        stalled = 0
+        while True:
+            while len(inflight) < self.depth:
+                item = self._dispatch()
+                if item is None:
+                    break
+                inflight.append(item)
+            if not inflight:
+                if self.pending:     # nothing active, nothing in flight
+                    stalled += 1     # -> idle-pool clock jump admits
+                    if stalled > 2:  # cannot happen for valid submits
+                        raise RuntimeError(
+                            f"{len(self.pending)} pending requests "
+                            "cannot be admitted (prompt exceeds the "
+                            "serve window?)")
+                    continue
+                break
+            stalled = 0
+            self._collect(inflight.popleft())
         out, self.done = self.done, {}
         return out

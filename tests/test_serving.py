@@ -78,10 +78,12 @@ def test_serving_compaction_exact(impl):
     reqs = _requests(3, 10 if impl == "xla" else 7)
     cb = ContinuousBatcher(m, params, slots=2, seg_len=16,
                            cache_len=128, sampling=GREEDY,
-                           prompt_bucket=32)
+                           prompt_bucket=32, depth=3)
     rids = [cb.submit(p, mn) for p, mn in reqs]
     outs = cb.run()
-    assert cb.t + cb.seg_len <= cb.cache_len   # compaction invariant
+    # compaction invariant: every DISPATCH saw t + seg <= cache_len,
+    # so the clock never passes the cache end
+    assert cb.t <= cb.cache_len
     for (p, mn), rid in zip(reqs, rids):
         np.testing.assert_array_equal(outs[rid],
                                       _reference(m, params, p, mn))
