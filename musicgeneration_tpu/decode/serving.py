@@ -53,6 +53,10 @@ from .engine import align_cache_len
 from .sampling import SamplingParams, sample_logits
 
 
+# _dispatch result: cache full until an in-flight retirement lands
+_BLOCKED = object()
+
+
 @dataclasses.dataclass
 class _Slot:
     rid: int = -1
@@ -195,14 +199,17 @@ class ContinuousBatcher:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if prompt.size == 0:
             raise ValueError("empty prompt")
-        cap = prompt.size + max_new + self.seg_len
+        # a slot's row span can overshoot max_new by up to depth+1
+        # segments before the pipelined host notices the retirement
+        cap = prompt.size + max_new + (self.depth + 1) * self.seg_len
         limit = min(self.cache_len,
                     getattr(self.model, "max_seq", self.cache_len))
         if cap > limit:
             raise ValueError(
                 f"prompt ({prompt.size}) + max_new ({max_new}) + "
-                f"seg_len ({self.seg_len}) exceeds the serve window "
-                f"({limit}); shorten the request or raise cache_len")
+                f"(depth {self.depth} + 1) * seg_len ({self.seg_len}) "
+                f"exceeds the serve window ({limit}); shorten the "
+                "request or raise cache_len")
         rid = self._next_rid
         self._next_rid += 1
         self.pending.append(_Pending(rid, prompt, max_new, eos_id))
@@ -286,11 +293,17 @@ class ContinuousBatcher:
     def _dispatch(self):
         """Admit pending requests, then launch one segment WITHOUT
         waiting for its tokens. Returns (token futures [seg, B],
-        occupancy [(slot, rid)]) or None if nothing is active."""
+        occupancy [(slot, rid)]), None if nothing is active, or
+        _BLOCKED if the cache has no room for another segment until an
+        in-flight retirement is collected (a slot the device already
+        finished still grows its row span until the host sees its
+        tokens)."""
         self._try_admit()
         if not any(s.active for s in self.slots):
             return None
         self._maybe_compact(self.seg_len)
+        if self.t + self.seg_len > self.cache_len:
+            return _BLOCKED
         free_mask = np.array([not s.active for s in self.slots])
         if free_mask.any():
             self.start, self.tok = _reset_free(
@@ -323,7 +336,7 @@ class ContinuousBatcher:
         """Admit, run one compiled segment synchronously, collect.
         Returns True while any work remains."""
         item = self._dispatch()
-        if item is not None:
+        if item is not None and item is not _BLOCKED:
             self._collect(item)
         return bool(self.pending) or any(s.active for s in self.slots)
 
@@ -340,7 +353,9 @@ class ContinuousBatcher:
         while True:
             while len(inflight) < self.depth:
                 item = self._dispatch()
-                if item is None:
+                if item is None or item is _BLOCKED:
+                    # _BLOCKED: collecting an in-flight segment frees
+                    # room (it surfaces retirements -> compaction gains)
                     break
                 inflight.append(item)
             if not inflight:

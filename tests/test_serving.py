@@ -75,8 +75,9 @@ def test_serving_compaction_exact(impl):
     all row windows by a common amount changes neither relative
     distances nor per-row positions."""
     m, params = _model(impl)
-    reqs = _requests(3, 10 if impl == "xla" else 7)
-    cb = ContinuousBatcher(m, params, slots=2, seg_len=16,
+    reqs = _requests(3, 10 if impl == "xla" else 7, max_p=20,
+                     max_new=70)
+    cb = ContinuousBatcher(m, params, slots=2, seg_len=8,
                            cache_len=128, sampling=GREEDY,
                            prompt_bucket=32, depth=3)
     rids = [cb.submit(p, mn) for p, mn in reqs]
