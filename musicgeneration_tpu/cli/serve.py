@@ -1,0 +1,133 @@
+"""Batch-serve generation requests with continuous batching.
+
+    python -m musicgeneration_tpu.cli.serve <ckpt> requests.jsonl outdir \
+        --slots 8 --seg-len 64 [--greedy | --temperature/--topk/--topp]
+
+`requests.jsonl`: one JSON object per line —
+    {"id": "a", "prime": "prompt.mid", "max_new": 256}
+    {"id": "b", "tokens": [24, 28, 31], "max_new": 512, "eos": 107}
+(`prime` tokenizes a MIDI through the checkpoint's scheme; `tokens`
+supplies raw ids. `id` defaults to the line number.)
+
+Each request's continuation is written to `outdir/<id>.mid` as soon as
+the whole queue drains. Requests of different prompt and continuation
+lengths share the slot pool via the ragged continuous-batching engine
+(decode/serving.py): no per-request process, no batch drained to its
+slowest member — the TPU-native replacement for running the
+reference's per-request generate.py in a shell loop (its only serving
+option; MusicTransformer/generate.py processes one prompt per
+invocation, re-forwarding the whole prefix per token).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="musicgeneration_tpu.cli.serve", description=__doc__)
+    p.add_argument("checkpoint")
+    p.add_argument("requests", help="JSONL request file")
+    p.add_argument("outdir")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--seg-len", type=int, default=64)
+    p.add_argument("--depth", type=int, default=2,
+                   help="segments in flight (pipelined dispatch)")
+    p.add_argument("--cache-len", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--topk", type=int, default=0)
+    p.add_argument("--topp", type=float, default=1.0)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-new", type=int, default=512,
+                   help="default when a request omits max_new")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from ..decode.sampling import SamplingParams
+    from ..decode.serving import ContinuousBatcher
+    from ..models import MusicTransformer
+    from ..utils.checkpoint import restore_checkpoint
+    from .generate import _prime_tokens, _write_midi
+    from .train import TrainCLIConfig, build_session
+
+    payload = restore_checkpoint(args.checkpoint)
+    meta = payload.get("config", {})
+    if "cli" not in meta:
+        raise SystemExit("checkpoint has no CLI config; re-save with "
+                         "cli.train or load it programmatically")
+    cfg = TrainCLIConfig.from_dict(meta["cli"])
+    scheme = meta.get("scheme", "midilike")
+    model_kwargs = dict(meta.get("model_kwargs", {}))
+    scanned = bool(model_kwargs.pop("scan_layers", False))
+    model, _tcfg, _apply, _loss, _adapter = build_session(
+        cfg, scheme, model_kwargs)
+    if not isinstance(model, MusicTransformer):
+        raise SystemExit(
+            f"cli.serve drives the MusicTransformer families "
+            f"(continuous-batching ragged decode); {cfg.model} decodes "
+            "through cli.generate")
+    params = payload["state"]["params"]
+    if scanned:
+        from ..models.music_transformer import unstack_scanned_params
+        params = unstack_scanned_params(dict(params), model.num_layers)
+    print(f"restored {cfg.model} at step {payload['step']} "
+          f"(scheme={scheme})")
+
+    sampling = SamplingParams(temperature=args.temperature,
+                              top_k=args.topk, top_p=args.topp,
+                              greedy=args.greedy)
+    cb = ContinuousBatcher(model, params, slots=args.slots,
+                           sampling=sampling, seg_len=args.seg_len,
+                           cache_len=args.cache_len, depth=args.depth,
+                           rng=jax.random.PRNGKey(args.seed))
+
+    names, rids, prompts = {}, [], {}
+    with open(args.requests) as fh:
+        for ln, line in enumerate(fh):
+            line = line.strip()
+            if not line:
+                continue
+            req = json.loads(line)
+            name = str(req.get("id", ln))
+            if "tokens" in req:
+                toks = np.asarray(req["tokens"], np.int32)
+            else:
+                toks = np.asarray(_prime_tokens(
+                    scheme, req.get("prime"), req.get("prime_len", 500)),
+                    np.int32)
+            rid = cb.submit(toks, int(req.get("max_new", args.max_new)),
+                            eos_id=req.get("eos"))
+            names[rid] = name
+            prompts[rid] = toks
+            rids.append(rid)
+    if not rids:
+        raise SystemExit(f"no requests in {args.requests}")
+    print(f"serving {len(rids)} requests over {args.slots} slots "
+          f"(seg_len={args.seg_len}, depth={args.depth})")
+
+    t0 = time.perf_counter()
+    outs = cb.run()
+    dt = time.perf_counter() - t0
+    total = sum(len(v) for v in outs.values())
+    print(f"generated {total} tokens in {dt:.1f}s "
+          f"({total / dt:.0f} tok/s goodput)")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    for rid in rids:
+        path = os.path.join(args.outdir, f"{names[rid]}.mid")
+        _write_midi(scheme, outs[rid], path)
+        print(f"wrote {path} ({len(outs[rid])} tokens)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

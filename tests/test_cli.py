@@ -408,3 +408,34 @@ def test_generate_dp_sharded_batch(tok_dir, tmp_path):
         a = open(f"{tmp_path}/dp1-{i:03d}.mid", "rb").read()
         b = open(f"{tmp_path}/dp4-{i:03d}.mid", "rb").read()
         assert a == b, f"row {i} diverged under --dp"
+
+
+def test_serve_continuous_batching(tok_dir, tmp_path):
+    """cli.serve drains a mixed JSONL queue through the continuous
+    batcher; greedy outputs are byte-identical to cli.generate on the
+    same checkpoint/prompt (the serving engine's vs-generate token
+    lock, end to end through the CLI and MIDI writer)."""
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64",
+                      "model.max_seq=256"])
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text(
+        json.dumps({"id": "a", "tokens": [24, 28, 31],
+                    "max_new": 24}) + "\n"
+        + json.dumps({"id": "b", "tokens": [10, 20, 30, 40, 50],
+                      "max_new": 40}) + "\n")
+    outdir = str(tmp_path / "served")
+    from musicgeneration_tpu.cli.serve import main as serve_main
+    assert serve_main([ckpt, str(reqs), outdir, "--slots", "2",
+                       "--seg-len", "8", "--greedy"]) == 0
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ref_mid = str(tmp_path / "ref_a.mid")
+    # cli.generate greedy (temperature 0) from the same 3-token prime:
+    # [24, 28, 31] is exactly generate's default prime
+    assert gen_main([ckpt, ref_mid, "--steps", "24",
+                     "--temperature", "0"]) == 0
+    with open(os.path.join(outdir, "a.mid"), "rb") as f1, \
+            open(ref_mid, "rb") as f2:
+        assert f1.read() == f2.read()
+    from musicgeneration_tpu.midi import MidiFile
+    MidiFile(os.path.join(outdir, "b.mid"))
