@@ -787,3 +787,61 @@ def test_ragged_decode_matches_shifted_reference(impl):
             np.testing.assert_allclose(
                 np.asarray(l1)[r], ragged[starts[r] + j, r],
                 rtol=1e-6, atol=1e-6)
+
+
+def test_ragged_start_all_kernel_modes_agree():
+    """The ragged start_col mask rides every kernel variant (resident /
+    grid / bulk / stream): identical outputs across modes under a mixed
+    start vector, and an all-zero start equals the start=None program
+    (the mask is the only difference). Semantic correctness of the
+    resident mode is locked vs the XLA model path in
+    test_ragged_decode_matches_shifted_reference."""
+    from musicgeneration_tpu.models.music_transformer import (
+        _stacked_decode_weights,
+    )
+    from musicgeneration_tpu.ops.pallas_decode import fused_decode_step
+
+    m = MusicTransformer(decode_impl="fused", vocab_size=VOCAB,
+                         num_layers=2, d_model=256, max_seq=64)
+    params = m.init(jax.random.PRNGKey(4),
+                    jnp.zeros((1, 8), jnp.int32))["params"]
+    bound = m.bind({"params": params})
+    w_all, e_all = _stacked_decode_weights(bound.layers, m.dtype)
+    cache = bound.init_cache(3, 48)
+    k_all, v_all = cache["k"], cache["v"]
+    start = jnp.asarray([0, 7, 19], jnp.int32)
+    rng = np.random.RandomState(4)
+    modes = (False, True, "bulk", "stream")
+    for t in (20, 33, 47):
+        x = jnp.asarray(rng.randn(3, 256) * 0.3, jnp.float32)
+        outs = [fused_decode_step(x, jnp.int32(t), e_all, w_all,
+                                  k_all, v_all, m.num_heads, block_k=16,
+                                  interpret=True, grid=g, start=start)
+                for g in modes]
+        for g, (o, k, v) in zip(modes[1:], outs[1:]):
+            if g == "stream":
+                # column-tiled matmuls reorder the accumulation:
+                # tight allclose instead of bitwise
+                np.testing.assert_allclose(
+                    np.asarray(outs[0][0]), np.asarray(o),
+                    rtol=2e-4, atol=2e-5, err_msg=f"mode={g} t={t}")
+                np.testing.assert_allclose(np.asarray(outs[0][1]),
+                                           np.asarray(k),
+                                           rtol=2e-4, atol=2e-5)
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(outs[0][0]), np.asarray(o),
+                    err_msg=f"mode={g} t={t}")
+                np.testing.assert_array_equal(np.asarray(outs[0][1]),
+                                              np.asarray(k))
+        # all-zero start == the start=None (non-ragged) program
+        o_none, _, _ = fused_decode_step(
+            x, jnp.int32(t), e_all, w_all, k_all, v_all, m.num_heads,
+            block_k=16, interpret=True, grid=False)
+        o_zero, _, _ = fused_decode_step(
+            x, jnp.int32(t), e_all, w_all, k_all, v_all, m.num_heads,
+            block_k=16, interpret=True, grid=False,
+            start=jnp.zeros(3, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(o_none),
+                                      np.asarray(o_zero))
+        k_all, v_all = outs[0][1], outs[0][2]
