@@ -99,6 +99,63 @@ def bench_tokenize(n_files: int = 500, scheme: str = "midilike") -> float:
     return n_files / dt
 
 
+def bench_serve(model, params, slots=32, n_req=256, prompt_len=64,
+                seg_len=32, depth=4, seed=0, static=True):
+    """MG_BENCH_SERVE=1: continuous-batching serving goodput on a
+    mixed-length workload (n_req requests, max_new uniform in
+    [64, 512]) vs the static-batch server — the strongest thing a
+    fixed compiled program can do: batches of `slots` requests all
+    decoded to 512 steps (a jitted decode cannot early-exit per batch
+    without a recompile; that inability is exactly what continuous
+    batching removes). Goodput counts only requested tokens."""
+    import numpy as np
+
+    from musicgeneration_tpu.decode import DecodeParams, generate
+    from musicgeneration_tpu.decode.sampling import SamplingParams
+    from musicgeneration_tpu.decode.serving import ContinuousBatcher
+
+    rng = np.random.RandomState(seed)
+    sp = SamplingParams(temperature=1.0)
+    lens = rng.randint(64, 513, size=n_req)
+    prompts = rng.randint(0, model.vocab_size - 1,
+                          size=(n_req, prompt_len)).astype(np.int32)
+    total = int(lens.sum())
+
+    cb = ContinuousBatcher(model, params, slots=slots, seg_len=seg_len,
+                           depth=depth, sampling=sp,
+                           rng=jax.random.PRNGKey(seed))
+    # warm: compile segment scan + prompt-bucket admit + compaction
+    for i in range(min(slots, 4)):
+        cb.submit(prompts[i % n_req], 32)
+    cb.run()
+    t0 = time.perf_counter()
+    for p, n in zip(prompts, lens):
+        cb.submit(p, int(n))
+    outs = cb.run()
+    dt_cb = time.perf_counter() - t0
+    got = sum(len(v) for v in outs.values())
+    assert got == total, (got, total)
+    goodput_cb = total / dt_cb
+
+    if not static:
+        return goodput_cb, None, None, total, dt_cb, None
+    dp = DecodeParams(max_len=prompt_len + 512, steps=512, sampling=sp)
+    np.asarray(generate(model, params, jnp.asarray(prompts[:slots]),
+                        jax.random.PRNGKey(0), dp))  # compile+warm
+    t0 = time.perf_counter()
+    for i in range(0, n_req, slots):
+        np.asarray(generate(model, params, jnp.asarray(prompts[i:i + slots]),
+                            jax.random.PRNGKey(i), dp))
+    dt_st = time.perf_counter() - t0
+    goodput_st = total / dt_st
+    # oracle static: per-batch max steps (needs one compile per length —
+    # impractical live; derived from the measured per-step rate)
+    step_cost = dt_st / ((n_req // slots) * 512)
+    oracle = total / (step_cost * sum(
+        int(lens[i:i + slots].max()) for i in range(0, n_req, slots)))
+    return goodput_cb, goodput_st, oracle, total, dt_cb, dt_st
+
+
 def bench_train(model, params, batch=8, seq=512) -> float:
     """Fused train step throughput (steps/sec) on the flagship model."""
     import numpy as np
@@ -270,6 +327,17 @@ def main():
                   f"batch 8, {jnp.dtype(dtype).name})", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# rnn decode bench skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_SERVE"):
+        try:
+            cb, st, oracle, total, dt_cb, dt_st = bench_serve(model, params)
+            print(f"# serve: continuous-batching {cb:.0f} tok/s goodput "
+                  f"vs static-512 {st:.0f} ({cb / st:.2f}x) "
+                  f"[oracle per-batch-max static {oracle:.0f}, "
+                  f"{cb / oracle:.2f}x]; {total} tokens, 256 reqs "
+                  f"(max_new U[64,512]), 32 slots seg32 depth4 "
+                  f"({dt_cb:.1f}s vs {dt_st:.1f}s)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# serve bench skipped: {e}", file=sys.stderr)
     if os.environ.get("MG_BENCH_MFU"):
         try:
             bench_mfu()

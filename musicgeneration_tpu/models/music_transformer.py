@@ -465,7 +465,8 @@ class MusicTransformer(nn.Module):
         }
 
     def decode_step(self, token: jnp.ndarray, cache: Cache,
-                    t: jnp.ndarray, start: Optional[jnp.ndarray] = None):
+                    t: jnp.ndarray, start: Optional[jnp.ndarray] = None,
+                    start_min: Optional[jnp.ndarray] = None):
         """token: [B] int; t: scalar absolute position. Returns
         (logits [B, vocab] f32, new cache).
 
@@ -478,7 +479,12 @@ class MusicTransformer(nn.Module):
         [start[b], t], i.e. its own position is t - start[b]. The
         positional row is gathered per row and attention masks cache
         rows below start[b]; the relative bias needs no change (it
-        depends only on the shared distance t - s)."""
+        depends only on the shared distance t - s).
+
+        start_min: optional scalar <= min(start) — live-window floor
+        forwarded to the fused kernels, which then skip the KV blocks
+        below it entirely (they are start-masked for every row). Pure
+        perf hint; ignored by the XLA path."""
         h = self.embedding(token) * jnp.sqrt(
             jnp.float32(self.d_model)).astype(self.dtype)
         if start is None:
@@ -492,7 +498,7 @@ class MusicTransformer(nn.Module):
             h, k_all, v_all = fused_layer_stack_step(
                 self.layers, h, t, k_all, v_all, self.num_heads,
                 self.dtype, quant=getattr(self, "decode_quant", "none"),
-                start=start)
+                start=start, start_min=start_min)
         else:
             for i, layer in enumerate(self.layers):
                 h, k_all, v_all = layer.decode(h, k_all, v_all, i, t,
@@ -678,7 +684,8 @@ def _stacked_decode_weights(layers, dtype):
 
 
 def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
-                           dtype, quant: str = "none", start=None):
+                           dtype, quant: str = "none", start=None,
+                           start_min=None):
     """Run one fused decode step over a stack of EncoderLayers
     (ops/pallas_decode.py) — shared by MusicTransformer and
     CPTransformer.
@@ -702,7 +709,8 @@ def fused_layer_stack_step(layers, h, t, k_all, v_all, num_heads: int,
         raise ValueError(f"unknown decode_quant {quant!r}")
     return fused_decode_step(h, t, e_all, w_all, k_all, v_all, num_heads,
                              interpret=jax.default_backend() != "tpu",
-                             scales=scales, start=start)
+                             scales=scales, start=start,
+                             start_min=start_min)
 
 
 def _layer_decode_weights(layer) -> Dict[str, jnp.ndarray]:

@@ -65,7 +65,7 @@ def _layer_step(x, li, t, n_live, e_ref,
                 chunk=None, warmup: bool = True, prefetch_li=None,
                 bias_li=None, cache_li=None, mm=None,
                 bulk: bool = False, prefetch_when=None,
-                bulk_ready: bool = False, start_col=None):
+                bulk_ready: bool = False, start_col=None, j0=0):
     """One EncoderLayer decode step inside a kernel: qkv projections,
     live-prefix KV streaming with the analytic current-token term,
     output projection, post-LN FFN. Returns (x_out_f32, k_new, v_new) —
@@ -97,7 +97,14 @@ def _layer_step(x, li, t, n_live, e_ref,
     relative-bias index max_seq-1-t+s depends only on the shared
     distance t-s, so right-aligned slots (decode/serving.py) need
     exactly this one extra mask — E rows, DMA bounds and the loop
-    trip count stay shared across rows."""
+    trip count stay shared across rows.
+    j0: first live KV block (ragged serving passes
+    min(start_col)//block_k): blocks below it are start_col-masked for
+    EVERY row, so the stream skips their DMA + compute entirely —
+    without this the shared serving clock makes each step pay for the
+    whole [0, t) prefix while the live window is only t - min(start)
+    (measured 0.35 -> 1.9 ms/step as t grows 100 -> 1800 at B32).
+    Static 0 compiles the exact original program."""
     if hbm_limit is None:
         hbm_limit = t
     if bias_li is None:
@@ -180,9 +187,9 @@ def _layer_step(x, li, t, n_live, e_ref,
             # this layer's first depth-1 blocks earlier, hiding the DMA
             # latency behind the previous layer's tail compute / embed
             for jj in range(depth - 1):
-                @pl.when(jj < n_live)
+                @pl.when(j0 + jj < n_live)
                 def _warmup(jj=jj):
-                    _start(jj)
+                    _start(j0 + jj)
 
         def body(j, carry):
             ms, ls, accs = carry
@@ -253,7 +260,7 @@ def _layer_step(x, li, t, n_live, e_ref,
                    for _ in range(num_heads))
         a0 = tuple(jnp.zeros((b, dh), jnp.float32)
                    for _ in range(num_heads))
-        ms, ls, accs = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+        ms, ls, accs = jax.lax.fori_loop(j0, n_live, body, (m0, l0, a0))
 
         if prefetch_li is not None and bulk:
             # the single bulk buffer is fully consumed after the loop:
@@ -274,9 +281,9 @@ def _layer_step(x, li, t, n_live, e_ref,
             # stream buffers are consumed, and the DMAs overlap this
             # layer's tail (current-token term, output proj, LN, FFN)
             for jj in range(depth - 1):
-                @pl.when(jj < n_live)
+                @pl.when(j0 + jj < n_live)
                 def _prefetch_next_layer(jj=jj):
-                    _start(jj, which=prefetch_li)
+                    _start(j0 + jj, which=prefetch_li)
 
         if chunk is not None:
             # VMEM-resident rows for positions [t0, t0+i) — the current
@@ -616,24 +623,31 @@ def _layer_chunk_step(x, li, t, n_live, e_ref,
 
 
 def start_block0(kc_ref, vc_ref, li, kbuf, vbuf, sems, block_k,
-                 n_live):
+                 n_live, j0=0):
     """Kick off layer li's first depth-1 KV block DMAs (depth =
-    kbuf.shape[0]) — used by the kernels' entry/step preambles so the
-    copies overlap non-stream compute. The callers' `n_live > 0` gate
-    covers block 0; deeper blocks guard on n_live here."""
+    kbuf.shape[0]) starting at block j0 — used by the kernels'
+    entry/step preambles so the copies overlap non-stream compute.
+    With a STATIC j0 of 0 the callers' `n_live > 0` gate covers block
+    0; a traced j0 (ragged serving floor) may equal n_live (empty live
+    window), so every start is gated — an unwaited DMA must not
+    outlive the kernel."""
     depth = kbuf.shape[0]
+    static0 = isinstance(j0, int) and j0 == 0
     for jj in range(depth - 1):
         def _go(jj=jj):
+            # block j0+jj lands in slot rem(j0+jj, depth) — the slot
+            # _layer_step's wait derives from the block index
+            slot = jj if static0 else jax.lax.rem(j0 + jj, depth)
             pltpu.make_async_copy(
-                kc_ref.at[li, :, pl.ds(jj * block_k, block_k), :],
-                kbuf.at[jj], sems.at[jj]).start()
+                kc_ref.at[li, :, pl.ds((j0 + jj) * block_k, block_k), :],
+                kbuf.at[slot], sems.at[slot]).start()
             pltpu.make_async_copy(
-                vc_ref.at[li, :, pl.ds(jj * block_k, block_k), :],
-                vbuf.at[jj], sems.at[depth + jj]).start()
-        if jj == 0:
+                vc_ref.at[li, :, pl.ds((j0 + jj) * block_k, block_k), :],
+                vbuf.at[slot], sems.at[depth + slot]).start()
+        if jj == 0 and static0:
             _go()
         else:
-            pl.when(jj < n_live)(_go)
+            pl.when(j0 + jj < n_live)(_go)
 
 
 def _kernel(x_ref, t_ref, start_ref, e_ref,
@@ -649,6 +663,7 @@ def _kernel(x_ref, t_ref, start_ref, e_ref,
     t = t_ref[0]
     start_col = start_ref[...] if ragged else None
     n_live = (t + block_k - 1) // block_k
+    j0 = t_ref[1] // block_k if ragged else 0
 
     # cross-layer DMA pipelining: layer 0's first block starts NOW and
     # each layer prefetches its successor's first block before its tail
@@ -657,7 +672,7 @@ def _kernel(x_ref, t_ref, start_ref, e_ref,
     @pl.when(n_live > 0)
     def _entry():
         start_block0(kc_ref, vc_ref, 0, kbuf, vbuf, sems, block_k,
-                     n_live)
+                     n_live, j0=j0)
 
     x = x_ref[...].astype(jnp.float32)                    # [B, d]
     for li in range(num_layers):
@@ -670,7 +685,7 @@ def _kernel(x_ref, t_ref, start_ref, e_ref,
             num_heads=num_heads, block_k=block_k, max_seq=max_seq,
             eps=eps, io_dtype=out_ref.dtype, warmup=False,
             prefetch_li=li + 1 if li + 1 < num_layers else None,
-            start_col=start_col)
+            start_col=start_col, j0=j0)
         knew_ref[li] = k_new.astype(knew_ref.dtype)
         vnew_ref[li] = v_new.astype(vnew_ref.dtype)
     out_ref[...] = x.astype(out_ref.dtype)
@@ -696,6 +711,7 @@ def _kernel_grid(x_ref, t_ref, start_ref, e_ref,
     t = t_ref[0]
     start_col = start_ref[...] if ragged else None
     n_live = (t + block_k - 1) // block_k
+    j0 = t_ref[1] // block_k if ragged else 0
     # xcar is uninitialized at li == 0; where() is an elementwise select
     x = jnp.where(li == 0, x_ref[...].astype(jnp.float32), xcar[...])
     x, k_new, v_new = _layer_step(
@@ -706,7 +722,7 @@ def _kernel_grid(x_ref, t_ref, start_ref, e_ref,
         kc_ref, vc_ref, kbuf, vbuf, sems,
         num_heads=num_heads, block_k=block_k, max_seq=max_seq,
         eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
-        start_col=start_col)
+        start_col=start_col, j0=j0)
     knew_ref[0] = k_new.astype(knew_ref.dtype)
     vnew_ref[0] = v_new.astype(vnew_ref.dtype)
     xcar[...] = x
@@ -754,7 +770,8 @@ def _kernel_grid_bulk(x_ref, t_ref, start_ref, e_ref,
         eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
         bulk=True, warmup=False,
         prefetch_li=jnp.minimum(li + 1, num_layers - 1),
-        prefetch_when=li + 1 < num_layers, start_col=start_col)
+        prefetch_when=li + 1 < num_layers, start_col=start_col,
+        j0=t_ref[1] // block_k if ragged else 0)
     knew_ref[0] = k_new.astype(knew_ref.dtype)
     vnew_ref[0] = v_new.astype(vnew_ref.dtype)
     xcar[...] = x
@@ -859,7 +876,8 @@ def _kernel_grid_stream(x_ref, t_ref, start_ref, e_ref,
         kc_ref, vc_ref, kbuf, vbuf, sems,
         num_heads=num_heads, block_k=block_k, max_seq=max_seq,
         eps=eps, io_dtype=out_ref.dtype, bias_li=li, cache_li=li,
-        mm=mm, start_col=start_col)
+        mm=mm, start_col=start_col,
+        j0=t_ref[1] // block_k if ragged else 0)
     knew_ref[0] = k_new.astype(knew_ref.dtype)
     vnew_ref[0] = v_new.astype(vnew_ref.dtype)
     xcar[...] = x
@@ -1071,7 +1089,7 @@ def select_decode_config(weights, e_shape, b, s, bytes_kv, *,
 def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
                       num_heads: int, block_k: int = 128,
                       interpret: bool = False, grid=None, scales=None,
-                      start=None):
+                      start=None, start_min=None):
     """All-layers decode step, fully fused into one kernel.
 
     x: [B, d] (already embedded + positioned); t: scalar int32 position;
@@ -1092,6 +1110,14 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     s in [start[b], t]. Right-aligned slots share t, the E window and
     the DMA trip count, so raggedness costs one masked compare per
     block; start=None compiles the exact non-ragged program.
+
+    start_min: optional scalar int32 <= min(start) — the LIVE-WINDOW
+    floor: KV blocks wholly below it are start-masked for every row,
+    so the kernels skip their DMA + compute (block loop runs
+    [start_min//block_k, ceil(t/block_k))). Pure performance hint:
+    any value in [0, min(start)] yields identical outputs; requires
+    `start`. Without it a serving step pays for the whole [0, t)
+    prefix even when the live window t - min(start) is small.
     """
     b, d = x.shape
     num_layers = k_cache.shape[0]
@@ -1126,8 +1152,12 @@ def fused_decode_step(x, t, e_all, weights, k_cache, v_cache,
     # slack so the bias slice never reads past the table (masked anyway)
     e_pad = jnp.pad(e_all.astype(jnp.float32),
                     ((0, 0), (0, block_k), (0, 0)))
-    t_arr = jnp.asarray(t, jnp.int32).reshape(1)
     ragged = start is not None
+    if start_min is not None and not ragged:
+        raise ValueError("start_min requires start (ragged decode)")
+    t0 = (jnp.int32(0) if start_min is None
+          else jnp.asarray(start_min, jnp.int32))
+    t_arr = jnp.stack([jnp.asarray(t, jnp.int32).reshape(()), t0])
     start2d = (jnp.zeros((b, 1), jnp.int32) if start is None
                else jnp.asarray(start, jnp.int32).reshape(b, 1))
 

@@ -809,7 +809,7 @@ def test_ragged_start_all_kernel_modes_agree():
     w_all, e_all = _stacked_decode_weights(bound.layers, m.dtype)
     cache = bound.init_cache(3, 48)
     k_all, v_all = cache["k"], cache["v"]
-    start = jnp.asarray([0, 7, 19], jnp.int32)
+    start = jnp.asarray([4, 7, 19], jnp.int32)
     rng = np.random.RandomState(4)
     modes = (False, True, "bulk", "stream")
     for t in (20, 33, 47):
@@ -834,6 +834,23 @@ def test_ragged_start_all_kernel_modes_agree():
                     err_msg=f"mode={g} t={t}")
                 np.testing.assert_array_equal(np.asarray(outs[0][1]),
                                               np.asarray(k))
+        # start_min (the live-window floor) is a pure perf hint: any
+        # value in [0, min(start)] — block-aligned or not — leaves
+        # every mode's output unchanged (skipped blocks are fully
+        # masked; the rescale exp(m_old - m_new) zeroes their
+        # contribution exactly)
+        for g in modes:
+            for sm in (0, 3, int(start.min())):
+                o_sm, k_sm, _ = fused_decode_step(
+                    x, jnp.int32(t), e_all, w_all, k_all, v_all,
+                    m.num_heads, block_k=16, interpret=True, grid=g,
+                    start=start, start_min=jnp.int32(sm))
+                ref_o, ref_k = outs[modes.index(g)][:2]
+                np.testing.assert_array_equal(np.asarray(ref_o),
+                                              np.asarray(o_sm),
+                                              err_msg=f"{g} sm={sm}")
+                np.testing.assert_array_equal(np.asarray(ref_k),
+                                              np.asarray(k_sm))
         # all-zero start == the start=None (non-ragged) program
         o_none, _, _ = fused_decode_step(
             x, jnp.int32(t), e_all, w_all, k_all, v_all, m.num_heads,
