@@ -124,10 +124,8 @@ def bench_serve(model, params, slots=32, n_req=256, prompt_len=64,
     cb = ContinuousBatcher(model, params, slots=slots, seg_len=seg_len,
                            depth=depth, sampling=sp,
                            rng=jax.random.PRNGKey(seed))
-    # warm: compile segment scan + prompt-bucket admit + compaction
-    for i in range(min(slots, 4)):
-        cb.submit(prompts[i % n_req], 32)
-    cb.run()
+    # compile segment scan + prompt-bucket admit + compaction roll
+    cb.warm(prompt_len)
     t0 = time.perf_counter()
     for p, n in zip(prompts, lens):
         cb.submit(p, int(n))

@@ -89,6 +89,7 @@ def main(argv=None) -> int:
                            sampling=sampling, seg_len=args.seg_len,
                            cache_len=args.cache_len, depth=args.depth,
                            rng=jax.random.PRNGKey(args.seed))
+    cb.warm()          # segment + admission + compaction compiles
 
     names, rids, prompts = {}, [], {}
     with open(args.requests) as fh:

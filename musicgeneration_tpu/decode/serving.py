@@ -233,6 +233,20 @@ class ContinuousBatcher:
         self._next_rid = 0
         self._pad_id = getattr(model, "pad_id", 0)
 
+    # ------------------------------------------------------------ warm
+
+    def warm(self, prompt_len: int = 1, max_new: Optional[int] = None):
+        """Compile the engine's programs before real traffic: one
+        admission (at prompt_len's bucket) + segment + the compaction
+        roll (a zero-shift roll compiles the same program as any
+        shift — without this the first cache wrap pays the compile
+        mid-serve, ~0.8 s on the tunneled v5e)."""
+        p = np.ones(max(1, prompt_len), np.int32)
+        self.submit(p, max_new or self.seg_len)
+        self.run()
+        self.cache, self.start = _compact(self.cache, self.start,
+                                          jnp.int32(0))
+
     # ---------------------------------------------------------- submit
 
     def submit(self, prompt, max_new: int,
