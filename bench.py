@@ -124,8 +124,9 @@ def bench_serve(model, params, slots=32, n_req=256, prompt_len=64,
     cb = ContinuousBatcher(model, params, slots=slots, seg_len=seg_len,
                            depth=depth, sampling=sp,
                            rng=jax.random.PRNGKey(seed))
-    # compile segment scan + prompt-bucket admit + compaction roll
-    cb.warm(prompt_len)
+    # compile segment scan + prompt-bucket admit + compaction roll +
+    # the drain-tail shrink chain
+    cb.warm(prompt_len, widths=True)
     t0 = time.perf_counter()
     for p, n in zip(prompts, lens):
         cb.submit(p, int(n))

@@ -119,8 +119,13 @@ def main(argv=None) -> int:
     outs = cb.run()
     dt = time.perf_counter() - t0
     total = sum(len(v) for v in outs.values())
+    st = cb.stats()
     print(f"generated {total} tokens in {dt:.1f}s "
-          f"({total / dt:.0f} tok/s goodput)")
+          f"({total / dt:.0f} tok/s goodput); "
+          f"{st['segments']:.0f} segments, "
+          f"occupancy {st['occupancy']:.0%}, "
+          f"{st['admit_calls']:.0f} admission calls, "
+          f"{st['compactions']:.0f} compactions")
 
     os.makedirs(args.outdir, exist_ok=True)
     for rid in rids:

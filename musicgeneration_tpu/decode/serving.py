@@ -156,6 +156,17 @@ def _admit(model, params, cache, tok, packed, t):
     return {"k": k_all, "v": v_all}, new_start, tok
 
 
+@jax.jit
+def _gather_slots(cache, start, tok, idx):
+    """Re-pool: keep slot rows `idx` (batch axis 1). Shrinks the pool
+    for the drain tail (per-step cost scales with B) or grows it back;
+    duplicated rows (growth padding) become free slots. No donation:
+    the output pool is a different width, so the input buffers are
+    never reusable."""
+    cache = {k: jnp.take(v, idx, axis=1) for k, v in cache.items()}
+    return cache, start[idx], tok[idx]
+
+
 @functools.partial(jax.jit, donate_argnames=("cache",))
 def _compact(cache, start, shift):
     """Shift every slot's row window left by `shift` (clock drop).
@@ -189,10 +200,17 @@ class ContinuousBatcher:
                  sampling: SamplingParams = SamplingParams(),
                  seg_len: int = 32, cache_len: Optional[int] = None,
                  prompt_bucket: int = 64, depth: int = 4,
+                 min_slots: int = 8,
                  rng: Optional[jax.Array] = None):
         self.model = model
         self.params = params
         self.b = slots
+        # drain-tail pool shrinking: with the queue empty the pool
+        # halves (down to min_slots) once active requests fit — per-step
+        # cost scales with B, so a 4-survivor tail should not pay the
+        # 32-wide program. min_slots >= slots disables resizing.
+        self._full_b = slots
+        self._min_b = min(min_slots, slots)
         self.sp = sampling
         self.seg_len = seg_len
         max_seq = getattr(model, "max_seq", 2048)
@@ -232,20 +250,65 @@ class ContinuousBatcher:
         self._req: Dict[int, tuple] = {}           # rid -> (max_new, eos)
         self._next_rid = 0
         self._pad_id = getattr(model, "pad_id", 0)
+        # observability: cumulative scheduler counters (stats())
+        self._n_segments = 0
+        self._n_slot_steps = 0
+        self._n_active_slot_steps = 0
+        self._n_admit_calls = 0
+        self._n_admitted = 0
+        self._n_compactions = 0
+        self._n_committed = 0
+
+    def stats(self) -> Dict[str, float]:
+        """Cumulative scheduler counters: segments dispatched, slot-step
+        occupancy (active slot-steps / dispatched slot-steps — the
+        fraction of decode work that belonged to live requests),
+        committed tokens (delivered, post-trim), admission calls/
+        requests, compactions. Resets never; diff across calls for
+        per-window rates."""
+        dispatched = self._n_slot_steps
+        return {
+            "segments": self._n_segments,
+            "slot_steps": dispatched,
+            "active_slot_steps": self._n_active_slot_steps,
+            "occupancy": (self._n_active_slot_steps / dispatched
+                          if dispatched else 0.0),
+            "committed_tokens": self._n_committed,
+            "admit_calls": self._n_admit_calls,
+            "admitted": self._n_admitted,
+            "compactions": self._n_compactions,
+        }
 
     # ------------------------------------------------------------ warm
 
-    def warm(self, prompt_len: int = 1, max_new: Optional[int] = None):
+    def warm(self, prompt_len: int = 1, max_new: Optional[int] = None,
+             widths: bool = False):
         """Compile the engine's programs before real traffic: one
         admission (at prompt_len's bucket) + segment + the compaction
         roll (a zero-shift roll compiles the same program as any
         shift — without this the first cache wrap pays the compile
-        mid-serve, ~0.8 s on the tunneled v5e)."""
+        mid-serve, ~0.8 s on the tunneled v5e). widths=True also
+        compiles the drain-tail shrink chain (gather + segment +
+        compaction per halved width)."""
         p = np.ones(max(1, prompt_len), np.int32)
         self.submit(p, max_new or self.seg_len)
         self.run()
         self.cache, self.start = _compact(self.cache, self.start,
                                           jnp.int32(0))
+        if not widths:
+            return
+        while self.b // 2 >= self._min_b:
+            self._resize(self.b // 2)
+            out = _run_segment(
+                self.model, self.params, self.cache, self.tok,
+                self.start, self._t_device(), self.rng, self.seg_len,
+                self.sp)
+            self.cache, self.tok, self._t_dev, self.rng = out[:4]
+            self.t += self.seg_len
+            np.asarray(out[4])
+            self.cache, self.start = _compact(self.cache, self.start,
+                                              jnp.int32(0))
+        self._resize(self._full_b)
 
     # ---------------------------------------------------------- submit
 
@@ -295,6 +358,50 @@ class ContinuousBatcher:
             self._t_dev = jnp.int32(self.t)
         return self._t_dev
 
+    def _resize(self, width: int):
+        """Re-pool to `width` slots: one jitted gather along the batch
+        axis (active slots first; growth pads by duplicating row 0 —
+        the duplicates become free slots, parked at the clock so they
+        don't drag the live-window floor)."""
+        order = [i for i, s in enumerate(self.slots) if s.active]
+        order += [i for i, s in enumerate(self.slots) if not s.active]
+        idx = order[:width]
+        dup = max(0, width - len(idx))
+        idx = idx + [order[0]] * dup
+        self.cache, self.start, self.tok = _gather_slots(
+            self.cache, self.start, self.tok,
+            jnp.asarray(idx, jnp.int32))
+        self._start_host = self._start_host[idx].copy()
+        new_slots, seen = [], set()
+        for pos, i in enumerate(idx):
+            s = self.slots[i]
+            if i in seen or not s.active:
+                new_slots.append(_Slot())
+                if i in seen:                 # growth duplicate: park
+                    self._start_host[pos] = self.t
+                    self._start_dirty = True
+            else:
+                new_slots.append(s)
+                seen.add(i)
+        self.slots = new_slots
+        self.b = width
+
+    def _maybe_resize(self):
+        """Shrink in the drain tail (no pending, actives fit in half the
+        pool); grow back to full width as soon as work queues."""
+        if self.pending:
+            if self.b < self._full_b:
+                self._resize(self._full_b)
+            return
+        n_act = sum(s.active for s in self.slots)
+        if n_act == 0:
+            return
+        width = self.b
+        while width // 2 >= self._min_b and n_act <= width // 2:
+            width //= 2
+        if width < self.b:
+            self._resize(width)
+
     def _maybe_compact(self, need_rows: int):
         """Ensure the next `need_rows` clock ticks stay in the cache."""
         if self.t + need_rows <= self.cache_len:
@@ -312,6 +419,7 @@ class ContinuousBatcher:
             self._start_host -= shift
             self.t -= shift
             self._t_dev = None
+            self._n_compactions += 1
 
     def _bucket(self, p: int) -> int:
         b = self.prompt_bucket
@@ -383,6 +491,8 @@ class ContinuousBatcher:
             self.cache, self.start, self.tok = _admit(
                 self.model, self.params, self.cache,
                 self.tok, jnp.asarray(packed), self._t_device())
+            self._n_admit_calls += 1
+            self._n_admitted += len(grp)
         self.pending = remaining
 
     def _finalize(self, rid: int):
@@ -391,6 +501,7 @@ class ContinuousBatcher:
         if eos_id is not None and eos_id in toks:
             toks = toks[:toks.index(eos_id)]
         self.done[rid] = np.asarray(toks, np.int32)
+        self._n_committed += len(self.done[rid])
 
     # ------------------------------------------------------------ step
 
@@ -408,6 +519,7 @@ class ContinuousBatcher:
         pipeline-lag waste, and scheduling never blocks on the device.
         Only eos-bearing requests must wait for _collect to inspect
         tokens (their slots idle up to depth segments after the eos)."""
+        self._maybe_resize()
         self._try_admit()
         if not any(s.active for s in self.slots):
             return None
@@ -435,6 +547,9 @@ class ContinuousBatcher:
         except AttributeError:
             pass
         occ = [(i, s.rid) for i, s in enumerate(self.slots) if s.active]
+        self._n_segments += 1
+        self._n_slot_steps += self.b * self.seg_len
+        self._n_active_slot_steps += len(occ) * self.seg_len
         for i, s in enumerate(self.slots):
             if s.active:
                 s.scheduled += self.seg_len
@@ -460,13 +575,16 @@ class ContinuousBatcher:
                 if len(em) >= max_new:
                     self._finalize(rid)
                 continue
-            s = self.slots[i]
             hit_eos = eos_id in em[:max_new]
             if len(em) >= max_new or hit_eos:
-                if s.active and s.rid == rid:
-                    s.rid, s.active = -1, False
-                    self._start_host[i] = self.t  # park the mirror
-                    self._start_dirty = True
+                # resolve by rid, not the segment's slot index — a
+                # pool resize may have moved the slot since dispatch
+                for k, s in enumerate(self.slots):
+                    if s.active and s.rid == rid:
+                        s.rid, s.active = -1, False
+                        self._start_host[k] = self.t  # park the mirror
+                        self._start_dirty = True
+                        break
                 self._finalize(rid)
 
     def step(self) -> bool:

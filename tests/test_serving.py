@@ -107,6 +107,53 @@ def test_serving_eos_truncation():
     assert outs[rid2].shape == (12,)
 
 
+def test_serving_drain_tail_shrink_exact():
+    """A wide pool over few long requests forces drain-tail shrinking
+    (4 slots -> min 1 as actives retire) and a late submit forces the
+    grow-back path; every output still equals its dedicated generate
+    run, and the pool ends narrow."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=4, seg_len=8, min_slots=1,
+                           sampling=GREEDY)
+    long = np.arange(1, 10, dtype=np.int32)
+    short = np.arange(1, 5, dtype=np.int32)
+    rid_a = cb.submit(long, 100)          # outlives everything
+    rid_b = cb.submit(short, 16)
+    outs = cb.run()                       # b retires early -> shrink
+    assert cb.b < 4
+    rid_c = cb.submit(short, 24)          # pending -> grow back
+    outs2 = cb.run()
+    np.testing.assert_array_equal(outs[rid_a],
+                                  _reference(m, params, long, 100))
+    np.testing.assert_array_equal(outs[rid_b],
+                                  _reference(m, params, short, 16))
+    np.testing.assert_array_equal(outs2[rid_c],
+                                  _reference(m, params, short, 24))
+    st = cb.stats()
+    assert st["committed_tokens"] == 140
+
+
+def test_serving_stats_accounting():
+    """Scheduler counters: committed tokens match delivered outputs,
+    active slot-steps bound dispatched slot-steps, occupancy in (0, 1],
+    every request admitted exactly once."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=2, seg_len=8,
+                           sampling=GREEDY)
+    reqs = _requests(5, 5, max_p=15, max_new=40)
+    rids = [cb.submit(p, mn) for p, mn in reqs]
+    outs = cb.run()
+    st = cb.stats()
+    assert st["committed_tokens"] == sum(len(outs[r]) for r in rids)
+    assert st["admitted"] == len(reqs)
+    assert 1 <= st["admit_calls"] <= len(reqs)
+    assert st["slot_steps"] == st["segments"] * 8 * 2
+    assert 0 < st["active_slot_steps"] <= st["slot_steps"]
+    assert 0 < st["occupancy"] <= 1
+    # active slot-steps cover at least the committed tokens
+    assert st["active_slot_steps"] >= st["committed_tokens"]
+
+
 def test_serving_rejects_oversized_request():
     m, params = _model("fused")
     cb = ContinuousBatcher(m, params, slots=2, seg_len=16)
