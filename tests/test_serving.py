@@ -154,6 +154,60 @@ def test_serving_stats_accounting():
     assert st["active_slot_steps"] >= st["committed_tokens"]
 
 
+@pytest.mark.parametrize("seed", [0, pytest.param(1, marks=pytest.mark.slow),
+                                  pytest.param(2, marks=pytest.mark.slow)])
+def test_serving_fuzz_parity(seed):
+    """Property stress: random engine geometry (pool width, segment
+    length, cache budget, shrink floor, pipeline depth) x random
+    request mix (lengths, staggered submits, occasional eos) — every
+    greedy output must equal its dedicated generate run. Exercises the
+    compaction x shrink x eos x pipelining interplay that the targeted
+    tests cover one axis at a time."""
+    rng = np.random.RandomState(100 + seed)
+    m, params = _model("fused", max_seq=256)
+    cb = ContinuousBatcher(
+        m, params,
+        slots=int(rng.choice([2, 3, 4])),
+        seg_len=int(rng.choice([4, 8, 16])),
+        cache_len=int(rng.choice([128, 192, 256])),
+        min_slots=1, depth=int(rng.choice([1, 2, 4])),
+        sampling=GREEDY)
+    reqs, rids = [], []
+
+    def submit_one():
+        p = rng.randint(1, VOCAB - 1,
+                        size=rng.randint(1, 24)).astype(np.int32)
+        mn = int(rng.randint(5, 50))
+        eos = None
+        if rng.rand() < 0.3:
+            # a plausible eos: some token of the dedicated run
+            ref = _reference(m, params, p, mn)
+            eos = int(ref[rng.randint(len(ref))])
+        reqs.append((p, mn, eos))
+        rids.append(cb.submit(p, mn, eos_id=eos))
+
+    for _ in range(rng.randint(2, 6)):
+        submit_one()
+    outs = {}
+    while True:
+        outs.update(cb.run())
+        if len(outs) == len(reqs) and rng.rand() < 0.6:
+            break
+        if len(reqs) < 9:
+            for _ in range(rng.randint(1, 3)):
+                submit_one()
+        else:
+            break
+    outs.update(cb.run())
+    for (p, mn, eos), rid in zip(reqs, rids):
+        ref = _reference(m, params, p, mn)
+        if eos is not None and eos in list(ref):
+            ref = ref[:list(ref).index(eos)]
+        np.testing.assert_array_equal(
+            outs[rid], ref,
+            err_msg=f"seed={seed} rid={rid} p={p.size} mn={mn} eos={eos}")
+
+
 def test_serving_rejects_oversized_request():
     m, params = _model("fused")
     cb = ContinuousBatcher(m, params, slots=2, seg_len=16)
