@@ -5,9 +5,12 @@
 
 `requests.jsonl`: one JSON object per line —
     {"id": "a", "prime": "prompt.mid", "max_new": 256}
-    {"id": "b", "tokens": [24, 28, 31], "max_new": 512, "eos": 107}
+    {"id": "b", "tokens": [24, 28, 31], "max_new": 512, "eos": 107,
+     "temperature": 0.8, "top_k": 20, "top_p": 0.95, "greedy": false}
 (`prime` tokenizes a MIDI through the checkpoint's scheme; `tokens`
-supplies raw ids. `id` defaults to the line number.)
+supplies raw ids. `id` defaults to the line number. Any sampling field
+on any line switches the engine to per-row sampling: each request
+decodes under its own params, defaulting to the CLI-level flags.)
 
 Each request's continuation is written to `outdir/<id>.mid` as soon as
 the whole queue drains. Requests of different prompt and continuation
@@ -85,13 +88,8 @@ def main(argv=None) -> int:
     sampling = SamplingParams(temperature=args.temperature,
                               top_k=args.topk, top_p=args.topp,
                               greedy=args.greedy)
-    cb = ContinuousBatcher(model, params, slots=args.slots,
-                           sampling=sampling, seg_len=args.seg_len,
-                           cache_len=args.cache_len, depth=args.depth,
-                           rng=jax.random.PRNGKey(args.seed))
-    cb.warm()          # segment + admission + compaction compiles
-
-    names, rids, prompts = {}, [], {}
+    samp_fields = ("temperature", "top_k", "top_p", "greedy")
+    parsed = []
     with open(args.requests) as fh:
         for ln, line in enumerate(fh):
             line = line.strip()
@@ -105,13 +103,34 @@ def main(argv=None) -> int:
                 toks = np.asarray(_prime_tokens(
                     scheme, req.get("prime"), req.get("prime_len", 500)),
                     np.int32)
-            rid = cb.submit(toks, int(req.get("max_new", args.max_new)),
-                            eos_id=req.get("eos"))
-            names[rid] = name
-            prompts[rid] = toks
-            rids.append(rid)
-    if not rids:
+            sp = None
+            if any(f in req for f in samp_fields):
+                sp = SamplingParams(
+                    temperature=float(req.get("temperature",
+                                              args.temperature)),
+                    top_k=int(req.get("top_k", args.topk)),
+                    top_p=float(req.get("top_p", args.topp)),
+                    greedy=bool(req.get("greedy", args.greedy)))
+            parsed.append((name, toks, int(req.get("max_new",
+                                                   args.max_new)),
+                           req.get("eos"), sp))
+    if not parsed:
         raise SystemExit(f"no requests in {args.requests}")
+
+    per_row = any(sp is not None for *_, sp in parsed)
+    cb = ContinuousBatcher(model, params, slots=args.slots,
+                           sampling=sampling, seg_len=args.seg_len,
+                           cache_len=args.cache_len, depth=args.depth,
+                           per_row_sampling=per_row,
+                           rng=jax.random.PRNGKey(args.seed))
+    cb.warm()          # segment + admission + compaction compiles
+
+    names, rids, prompts = {}, [], {}
+    for name, toks, max_new, eos, sp in parsed:
+        rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp)
+        names[rid] = name
+        prompts[rid] = toks
+        rids.append(rid)
     print(f"serving {len(rids)} requests over {args.slots} slots "
           f"(seg_len={args.seg_len}, depth={args.depth})")
 

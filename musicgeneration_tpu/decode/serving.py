@@ -50,7 +50,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .engine import align_cache_len
-from .sampling import SamplingParams, sample_logits
+from .sampling import (SamplingParams, pack_sampling, sample_logits,
+                       sample_logits_batched, unpack_sampling)
 
 
 # _dispatch result: cache full until an in-flight retirement lands
@@ -74,6 +75,7 @@ class _Pending:
     eos_id: Optional[int]
     padded: np.ndarray = None     # [Pb] host copy at the bucket width
     pb: int = 0                   # its static bucket width
+    samp: tuple = None            # pack_sampling() ints (per-row mode)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "seg", "sp"),
@@ -100,6 +102,35 @@ def _run_segment(model, params, cache, tok, start, t, rng,
             {"params": params}, tok, cache, t, start, smin,
             method=model.decode_step)
         nxt = sample_logits(rng_i, logits, sp)
+        return (cache, t + 1, nxt), nxt
+
+    rng, sub = jax.random.split(rng)
+    rngs = jax.random.split(sub, seg)
+    (cache, t, tok), toks = jax.lax.scan(
+        body, (cache, jnp.asarray(t, jnp.int32), tok), rngs)
+    return cache, tok, t, rng, toks
+
+
+@functools.partial(jax.jit, static_argnames=("model", "seg"),
+                   donate_argnames=("cache", "rng"))
+def _run_segment_perrow(model, params, cache, tok, start, samp, t, rng,
+                        seg: int):
+    """Per-ROW sampling variant of `_run_segment`: `samp` is a
+    device-resident ``[B, 4]`` int32 array of ``pack_sampling`` rows
+    (temperature/top_p bitcast f32), so every slot decodes under ITS
+    request's sampling params. Identical rng structure to the uniform
+    segment — a greedy row sees the same argmax either way, and a pool
+    whose rows all share the engine default is token-identical to the
+    uniform program (locked in tests/test_serving.py)."""
+    smin = jnp.min(start)
+    sd = unpack_sampling(samp[:, 0], samp[:, 1], samp[:, 2], samp[:, 3])
+
+    def body(carry, rng_i):
+        cache, t, tok = carry
+        logits, cache = model.apply(
+            {"params": params}, tok, cache, t, start, smin,
+            method=model.decode_step)
+        nxt = sample_logits_batched(rng_i, logits, sd)
         return (cache, t + 1, nxt), nxt
 
     rng, sub = jax.random.split(rng)
@@ -194,13 +225,19 @@ class ContinuousBatcher:
     ``submit`` may be called at any time (including between ``step``
     calls); ``run`` drains the queue. Greedy sampling is token-identical
     to per-request ``generate`` runs of the same batch width.
+
+    With ``per_row_sampling=True`` each ``submit`` may carry its own
+    ``SamplingParams`` (greedy and stochastic requests share one pool);
+    the engine-level ``sampling`` remains the default for requests that
+    omit it. Packed per-slot params ride a host mirror shipped only on
+    change, mirroring the ``start`` vector's protocol.
     """
 
     def __init__(self, model, params, *, slots: int = 8,
                  sampling: SamplingParams = SamplingParams(),
                  seg_len: int = 32, cache_len: Optional[int] = None,
                  prompt_bucket: int = 64, depth: int = 4,
-                 min_slots: int = 8,
+                 min_slots: int = 8, per_row_sampling: bool = False,
                  rng: Optional[jax.Array] = None):
         self.model = model
         self.params = params
@@ -242,6 +279,18 @@ class ContinuousBatcher:
         # live-window floor min(start) never drags on a retired span)
         self._start_host = np.zeros((slots,), np.int64)
         self._start_dirty = False
+        # per-row sampling: each slot decodes under its OWN request's
+        # params (packed int32 rows — floats bitcast). Host mirror is
+        # authoritative; the device copy re-ships only when an
+        # admission or resize changed a row (start-style dirty flag),
+        # so the steady state adds zero transfers. Opt-in: the flag
+        # selects the per-row segment program once, at construction —
+        # flipping mid-serve would recompile.
+        self.per_row = per_row_sampling
+        self._samp_host = np.tile(
+            np.asarray(pack_sampling(sampling), np.int32), (slots, 1))
+        self._samp_dev = None
+        self._samp_dirty = True
         self.tok = jnp.zeros((slots,), jnp.int32)
         self.slots = [_Slot() for _ in range(slots)]
         self.pending: List[_Pending] = []
@@ -299,13 +348,7 @@ class ContinuousBatcher:
             return
         while self.b // 2 >= self._min_b:
             self._resize(self.b // 2)
-            out = _run_segment(
-                self.model, self.params, self.cache, self.tok,
-                self.start, self._t_device(), self.rng, self.seg_len,
-                self.sp)
-            self.cache, self.tok, self._t_dev, self.rng = out[:4]
-            self.t += self.seg_len
-            np.asarray(out[4])
+            np.asarray(self._segment())
             self.cache, self.start = _compact(self.cache, self.start,
                                               jnp.int32(0))
         self._resize(self._full_b)
@@ -313,10 +356,16 @@ class ContinuousBatcher:
     # ---------------------------------------------------------- submit
 
     def submit(self, prompt, max_new: int,
-               eos_id: Optional[int] = None) -> int:
+               eos_id: Optional[int] = None,
+               sampling: Optional[SamplingParams] = None) -> int:
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         if prompt.size == 0:
             raise ValueError("empty prompt")
+        if sampling is not None and not self.per_row:
+            raise ValueError(
+                "per-request sampling needs "
+                "ContinuousBatcher(per_row_sampling=True) — the flag "
+                "picks the per-row segment program at construction")
         # span a slot occupies before reuse: count-retired requests
         # (no eos) free their slot AT DISPATCH TIME, overshooting
         # max_new by less than one segment; eos requests stay active
@@ -341,8 +390,9 @@ class ContinuousBatcher:
         pb = self._bucket(prompt.size)
         pad = np.full((pb,), self._pad_id, np.int32)
         pad[:prompt.size] = prompt
-        self.pending.append(_Pending(rid, prompt, max_new, eos_id,
-                                     padded=pad, pb=pb))
+        self.pending.append(_Pending(
+            rid, prompt, max_new, eos_id, padded=pad, pb=pb,
+            samp=pack_sampling(sampling or self.sp)))
         return rid
 
     # ------------------------------------------------------- internals
@@ -372,6 +422,8 @@ class ContinuousBatcher:
             self.cache, self.start, self.tok,
             jnp.asarray(idx, jnp.int32))
         self._start_host = self._start_host[idx].copy()
+        self._samp_host = self._samp_host[idx].copy()
+        self._samp_dirty = True
         new_slots, seen = [], set()
         for pos, i in enumerate(idx):
             s = self.slots[i]
@@ -425,6 +477,27 @@ class ContinuousBatcher:
         b = self.prompt_bucket
         return max(b, -(-p // b) * b)
 
+    def _segment(self):
+        """Launch one compiled segment on the mode's program (uniform
+        static params vs per-row packed rows) and advance the mirrors.
+        Returns the [seg, B] token futures."""
+        if self.per_row:
+            if self._samp_dirty:
+                self._samp_dev = jnp.asarray(self._samp_host)
+                self._samp_dirty = False
+            out = _run_segment_perrow(
+                self.model, self.params, self.cache, self.tok,
+                self.start, self._samp_dev, self._t_device(), self.rng,
+                self.seg_len)
+        else:
+            out = _run_segment(
+                self.model, self.params, self.cache, self.tok,
+                self.start, self._t_device(), self.rng, self.seg_len,
+                self.sp)
+        self.cache, self.tok, self._t_dev, self.rng, toks = out
+        self.t += self.seg_len
+        return toks
+
     def _try_admit(self):
         """Move pending requests into free slots (FIFO, skipping those
         whose prompt does not yet fit under the clock). Admissions are
@@ -466,6 +539,8 @@ class ContinuousBatcher:
             for grp in groups.values():
                 for q, slot in grp:
                     self._start_host[slot] = self.t - (q.prompt.size - 1)
+                    self._samp_host[slot] = q.samp
+                    self._samp_dirty = True
                     s = self.slots[slot]
                     s.rid, s.active, s.max_new = q.rid, True, q.max_new
                     s.eos_id, s.scheduled = q.eos_id, 0
@@ -532,11 +607,7 @@ class ContinuousBatcher:
             # segment's min(start) floor tightens to the live window
             self.start = jnp.asarray(self._start_host.astype(np.int32))
             self._start_dirty = False
-        self.cache, self.tok, t_dev, self.rng, toks = _run_segment(
-            self.model, self.params, self.cache, self.tok, self.start,
-            self._t_device(), self.rng, self.seg_len, self.sp)
-        self.t += self.seg_len
-        self._t_dev = t_dev            # device clock mirror stays warm
+        toks = self._segment()
         # start the device->host token copy NOW: a blocking fetch pays
         # the full ~25 ms tunnel round-trip however deep the pipeline
         # (fetches serialize); the async copy rides ahead so _collect's

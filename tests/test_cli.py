@@ -419,11 +419,18 @@ def test_serve_continuous_batching(tok_dir, tmp_path):
                      ["model.num_layers=1", "model.d_model=64",
                       "model.max_seq=256"])
     reqs = tmp_path / "reqs.jsonl"
+    # request "c" carries its own sampling fields: ANY per-line field
+    # flips the engine to per-row sampling — "a"'s greedy byte-equality
+    # below then also locks that the per-row program leaves greedy rows
+    # untouched while a stochastic neighbour shares the pool
     reqs.write_text(
         json.dumps({"id": "a", "tokens": [24, 28, 31],
                     "max_new": 24}) + "\n"
         + json.dumps({"id": "b", "tokens": [10, 20, 30, 40, 50],
-                      "max_new": 40}) + "\n")
+                      "max_new": 40}) + "\n"
+        + json.dumps({"id": "c", "tokens": [5, 15, 25], "max_new": 16,
+                      "temperature": 0.9, "top_k": 12,
+                      "greedy": False}) + "\n")
     outdir = str(tmp_path / "served")
     from musicgeneration_tpu.cli.serve import main as serve_main
     assert serve_main([ckpt, str(reqs), outdir, "--slots", "2",
@@ -439,3 +446,4 @@ def test_serve_continuous_batching(tok_dir, tmp_path):
         assert f1.read() == f2.read()
     from musicgeneration_tpu.midi import MidiFile
     MidiFile(os.path.join(outdir, "b.mid"))
+    MidiFile(os.path.join(outdir, "c.mid"))

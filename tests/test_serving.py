@@ -233,6 +233,64 @@ def test_serving_sampled_runs():
         assert outs[rid].min() >= 0 and outs[rid].max() < VOCAB
 
 
+def test_serving_per_row_mixed_sampling():
+    """per_row_sampling pool mixing greedy and stochastic requests
+    (engine default = stochastic): the greedy rows stay token-identical
+    to their dedicated generate runs while sharing segments with
+    sampled neighbours, across slot reuse AND a drain-tail resize (the
+    samp mirror rides the gather)."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(
+        m, params, slots=3, seg_len=8, min_slots=1,
+        per_row_sampling=True,
+        sampling=SamplingParams(temperature=0.9, top_k=20),
+        rng=jax.random.PRNGKey(3))
+    reqs = _requests(13, 6, max_p=20, max_new=40)
+    rids, greedy_set = [], set()
+    for j, (p, mn) in enumerate(reqs):
+        if j % 2 == 0:
+            rid = cb.submit(p, mn, sampling=GREEDY)
+            greedy_set.add(rid)
+        else:
+            rid = cb.submit(p, mn)       # engine default (stochastic)
+        rids.append(rid)
+    outs = cb.run()
+    assert cb.b < 3                       # drain tail actually shrank
+    for (p, mn), rid in zip(reqs, rids):
+        assert outs[rid].shape == (mn,)
+        if rid in greedy_set:
+            np.testing.assert_array_equal(outs[rid],
+                                          _reference(m, params, p, mn))
+        else:
+            assert outs[rid].min() >= 0 and outs[rid].max() < VOCAB
+
+
+def test_serving_per_row_uniform_matches_uniform_engine():
+    """All rows sharing the default params: the per-row program is
+    token-identical to the uniform-static program (same rng structure,
+    same masked logits), for BOTH greedy and stochastic defaults."""
+    m, params = _model("fused")
+    for sp in (GREEDY, SamplingParams(temperature=0.8, top_k=16)):
+        reqs = _requests(17, 4, max_p=15, max_new=25)
+        outs = {}
+        for per_row in (False, True):
+            cb = ContinuousBatcher(m, params, slots=2, seg_len=8,
+                                   sampling=sp, per_row_sampling=per_row,
+                                   rng=jax.random.PRNGKey(9))
+            rids = [cb.submit(p, mn) for p, mn in reqs]
+            got = cb.run()
+            outs[per_row] = [got[r] for r in rids]
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_serving_per_row_requires_flag():
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=2)
+    with pytest.raises(ValueError, match="per_row_sampling"):
+        cb.submit(np.arange(1, 5, dtype=np.int32), 8, sampling=GREEDY)
+
+
 def test_serving_long_prompt_waits_for_clock():
     """A prompt longer than the current clock queues until the clock
     advances past it (admission needs p-1 <= t), then completes."""
