@@ -118,14 +118,25 @@ def main(argv=None) -> int:
         raise SystemExit(f"no requests in {args.requests}")
 
     per_row = any(sp is not None for *_, sp in parsed)
+    os.makedirs(args.outdir, exist_ok=True)
+    names, written = {}, []
+
+    def deliver(rid, toks):
+        # streams each result the moment it finalizes (mid-drain, while
+        # later segments are still decoding) instead of after the queue
+        # empties
+        path = os.path.join(args.outdir, f"{names[rid]}.mid")
+        _write_midi(scheme, toks, path)
+        written.append((path, len(toks)))
+
     cb = ContinuousBatcher(model, params, slots=args.slots,
                            sampling=sampling, seg_len=args.seg_len,
                            cache_len=args.cache_len, depth=args.depth,
-                           per_row_sampling=per_row,
+                           per_row_sampling=per_row, on_finalize=deliver,
                            rng=jax.random.PRNGKey(args.seed))
     cb.warm()          # segment + admission + compaction compiles
 
-    names, rids, prompts = {}, [], {}
+    rids, prompts = [], {}
     for name, toks, max_new, eos, sp in parsed:
         rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp)
         names[rid] = name
@@ -139,18 +150,20 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     total = sum(len(v) for v in outs.values())
     st = cb.stats()
+    lat = cb.latency_summary()
     print(f"generated {total} tokens in {dt:.1f}s "
           f"({total / dt:.0f} tok/s goodput); "
           f"{st['segments']:.0f} segments, "
           f"occupancy {st['occupancy']:.0%}, "
           f"{st['admit_calls']:.0f} admission calls, "
-          f"{st['compactions']:.0f} compactions")
-
-    os.makedirs(args.outdir, exist_ok=True)
-    for rid in rids:
-        path = os.path.join(args.outdir, f"{names[rid]}.mid")
-        _write_midi(scheme, outs[rid], path)
-        print(f"wrote {path} ({len(outs[rid])} tokens)")
+          f"{st['compactions']:.0f} compactions; "
+          f"latency p50/p95 {lat['e2e_p50']:.2f}/{lat['e2e_p95']:.2f}s "
+          f"(queue wait {lat['wait_p50']:.2f}/{lat['wait_p95']:.2f}s)")
+    missing = set(rids) - set(outs)
+    if missing:
+        raise SystemExit(f"requests never finalized: {sorted(missing)}")
+    for path, n in written:
+        print(f"wrote {path} ({n} tokens)")
     return 0
 
 

@@ -43,7 +43,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional
+import time
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -238,6 +239,7 @@ class ContinuousBatcher:
                  seg_len: int = 32, cache_len: Optional[int] = None,
                  prompt_bucket: int = 64, depth: int = 4,
                  min_slots: int = 8, per_row_sampling: bool = False,
+                 on_finalize: Optional[Callable] = None,
                  rng: Optional[jax.Array] = None):
         self.model = model
         self.params = params
@@ -297,6 +299,18 @@ class ContinuousBatcher:
         self.done: Dict[int, np.ndarray] = {}
         self._emitted: Dict[int, List[int]] = {}   # rid -> tokens so far
         self._req: Dict[int, tuple] = {}           # rid -> (max_new, eos)
+        # streaming delivery: called (rid, tokens) the moment a request
+        # finalizes — mid-drain, segments ahead still in flight — so
+        # callers ship results without waiting for the queue to empty.
+        # Keep it cheap: it runs on the scheduling thread between
+        # dispatches (warm()'s throwaway request is suppressed).
+        self.on_finalize = on_finalize
+        self._warming = False
+        # per-request wall-clock: rid -> {submit, admit, done} seconds
+        # (perf_counter); admit is the prefill dispatch, done the host
+        # commit — done-submit is the e2e latency a client observes,
+        # admit-submit the queue wait.
+        self.times: Dict[int, Dict[str, float]] = {}
         self._next_rid = 0
         self._pad_id = getattr(model, "pad_id", 0)
         # observability: cumulative scheduler counters (stats())
@@ -328,6 +342,24 @@ class ContinuousBatcher:
             "compactions": self._n_compactions,
         }
 
+    def latency_summary(self) -> Dict[str, float]:
+        """Client-side request latency over every finalized request:
+        e2e (submit -> host commit) and queue wait (submit -> prefill
+        dispatch) p50/p95 in seconds. e2e includes pipeline lag — an
+        eos-bearing request's slot retires up to `depth` segments after
+        its eos, and commit waits for the segment fetch — so this is
+        the number a caller actually observes, not device decode time."""
+        e2e = sorted(t["done"] - t["submit"] for t in self.times.values()
+                     if "done" in t)
+        wait = sorted(t["admit"] - t["submit"] for t in self.times.values()
+                      if "admit" in t and "done" in t)
+        if not e2e:
+            return {"n": 0}
+        q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]
+        return {"n": len(e2e),
+                "e2e_p50": q(e2e, 0.5), "e2e_p95": q(e2e, 0.95),
+                "wait_p50": q(wait, 0.5), "wait_p95": q(wait, 0.95)}
+
     # ------------------------------------------------------------ warm
 
     def warm(self, prompt_len: int = 1, max_new: Optional[int] = None,
@@ -340,8 +372,13 @@ class ContinuousBatcher:
         compiles the drain-tail shrink chain (gather + segment +
         compaction per halved width)."""
         p = np.ones(max(1, prompt_len), np.int32)
-        self.submit(p, max_new or self.seg_len)
-        self.run()
+        self._warming = True
+        try:
+            rid = self.submit(p, max_new or self.seg_len)
+            self.run()
+        finally:
+            self._warming = False
+            self.times.pop(rid, None)
         self.cache, self.start = _compact(self.cache, self.start,
                                           jnp.int32(0))
         if not widths:
@@ -393,6 +430,7 @@ class ContinuousBatcher:
         self.pending.append(_Pending(
             rid, prompt, max_new, eos_id, padded=pad, pb=pb,
             samp=pack_sampling(sampling or self.sp)))
+        self.times[rid] = {"submit": time.perf_counter()}
         return rid
 
     # ------------------------------------------------------- internals
@@ -546,6 +584,7 @@ class ContinuousBatcher:
                     s.eos_id, s.scheduled = q.eos_id, 0
                     self._emitted[q.rid] = []
                     self._req[q.rid] = (q.max_new, q.eos_id)
+                    self.times[q.rid]["admit"] = time.perf_counter()
             self._start_dirty = False
         for pb, grp in groups.items():
             rows = [q.padded for q, _ in grp]
@@ -577,6 +616,9 @@ class ContinuousBatcher:
             toks = toks[:toks.index(eos_id)]
         self.done[rid] = np.asarray(toks, np.int32)
         self._n_committed += len(self.done[rid])
+        self.times[rid]["done"] = time.perf_counter()
+        if self.on_finalize is not None and not self._warming:
+            self.on_finalize(rid, self.done[rid])
 
     # ------------------------------------------------------------ step
 

@@ -291,6 +291,41 @@ def test_serving_per_row_requires_flag():
         cb.submit(np.arange(1, 5, dtype=np.int32), 8, sampling=GREEDY)
 
 
+def test_serving_streaming_delivery_and_latency():
+    """on_finalize fires once per request, mid-drain (short requests
+    deliver while long ones are still decoding), with the same array
+    run() later returns; warm()'s throwaway request is suppressed.
+    Per-request times are monotone submit <= admit <= done and the
+    summary aggregates every finalized request."""
+    m, params = _model("fused")
+    got = {}
+    order = []
+
+    def cb_fn(rid, toks):
+        got[rid] = toks.copy()
+        order.append(rid)
+
+    cb = ContinuousBatcher(m, params, slots=2, seg_len=8,
+                           sampling=GREEDY, on_finalize=cb_fn)
+    cb.warm()
+    assert not got                        # warm request suppressed
+    short = np.arange(1, 5, dtype=np.int32)
+    long = np.arange(1, 9, dtype=np.int32)
+    rid_s = cb.submit(short, 8)
+    rid_l = cb.submit(long, 80)
+    outs = cb.run()
+    assert set(got) == {rid_s, rid_l}
+    assert order[0] == rid_s              # short finalized first
+    for rid in (rid_s, rid_l):
+        np.testing.assert_array_equal(got[rid], outs[rid])
+        t = cb.times[rid]
+        assert t["submit"] <= t["admit"] <= t["done"]
+    lat = cb.latency_summary()
+    assert lat["n"] == 2
+    assert 0 <= lat["wait_p50"] <= lat["e2e_p95"]
+    assert lat["e2e_p50"] <= lat["e2e_p95"]
+
+
 def test_serving_long_prompt_waits_for_clock():
     """A prompt longer than the current clock queues until the clock
     advances past it (admission needs p-1 <= t), then completes."""
