@@ -73,20 +73,22 @@ def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
         raise ValueError(f"cannot write scheme {scheme!r}")
 
 
-def _dp_mesh(dp: int, batch: int):
-    """Shared --dp validation + mesh construction for the engine, CP
-    and PoPMAG decode branches: friendly SystemExit on too-few devices
-    or a non-divisible batch instead of a make_mesh reshape error."""
+def _dp_mesh(dp: int, batch: int, tp: int = 1):
+    """Shared --dp/--tp validation + mesh construction for the engine,
+    CP and PoPMAG decode branches: friendly SystemExit on too-few
+    devices or a non-divisible batch instead of a make_mesh reshape
+    error."""
     import jax
 
     from ..parallel.mesh import make_mesh
 
     if batch % dp:
         raise SystemExit(f"--batch {batch} not divisible by --dp {dp}")
-    if len(jax.devices()) < dp:
-        raise SystemExit(f"--dp {dp} needs {dp} devices, have "
-                         f"{len(jax.devices())}")
-    return make_mesh(dp=dp, tp=1, sp=1, devices=jax.devices()[:dp])
+    need = dp * tp
+    if len(jax.devices()) < need:
+        raise SystemExit(f"--dp {dp} x --tp {tp} needs {need} devices, "
+                         f"have {len(jax.devices())}")
+    return make_mesh(dp=dp, tp=tp, sp=1, devices=jax.devices()[:need])
 
 
 def _parse_control(spec: str, index: Optional[int],
@@ -198,6 +200,13 @@ def main(argv=None) -> int:
                         "decode on a ('data',...) mesh; --batch must be "
                         "divisible by N; greedy output is identical to "
                         "--dp 1, sampled runs use per-shard rng streams)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel decode (music_transformer): "
+                        "attention heads / FFN shard over N devices on "
+                        "the 'model' mesh axis (composes with --dp as a "
+                        "dp x tp mesh; pins the XLA decode path — "
+                        "decode/engine.py generate_tp). Token-identical "
+                        "to --tp 1")
     p.add_argument("--spec", default=None, metavar="lookup|DRAFT_CKPT",
                    help="speculative decoding (music_transformer): "
                         "'lookup' = draft-free n-gram prompt-lookup "
@@ -233,6 +242,14 @@ def main(argv=None) -> int:
             raise SystemExit("--quant applies to the transformer "
                              "families (fused streaming decode)")
         model_kwargs["decode_quant"] = args.quant
+    if args.tp > 1:
+        if cfg.model != "music_transformer":
+            raise SystemExit("--tp applies to model=music_transformer")
+        if args.quant != "none":
+            raise SystemExit("--quant rides the fused kernels; --tp "
+                             "pins the XLA decode path (pick one)")
+        # the fused Pallas kernels are opaque to the SPMD partitioner
+        model_kwargs["decode_impl"] = "xla"
     model, _tcfg, _apply, _loss, _adapter = build_session(
         cfg, scheme, model_kwargs)
     if (args.quant != "none"
@@ -241,9 +258,11 @@ def main(argv=None) -> int:
               "(TPU backend); this run uses the XLA decode path and "
               "ignores it")
     params = payload["state"]["params"]
-    if scanned:
+    if scanned or "layers_scan" in params:
         # scan_layers checkpoints store one stacked [L, ...] layer
-        # subtree; decoding uses the unrolled layout
+        # subtree; decoding uses the unrolled layout. The params probe
+        # also catches stacked trees whose kwargs never said so (e.g.
+        # pp training injects scan_layers at session-build time)
         from ..models.music_transformer import unstack_scanned_params
         params = unstack_scanned_params(dict(params), model.num_layers)
     print(f"restored {cfg.model} at step {payload['step']} "
@@ -326,17 +345,17 @@ def main(argv=None) -> int:
         if nb > 1:
             raise SystemExit("--batch and --beam are mutually exclusive "
                              "(a beam already explores N hypotheses)")
-        if args.dp > 1:
-            raise SystemExit("--dp does not apply to beam search "
+        if args.dp > 1 or args.tp > 1:
+            raise SystemExit("--dp/--tp do not apply to beam search "
                              "(single-hypothesis-set decode)")
         out = _beam_decode(model, params, prompt, args,
                            controls=controls, cache0=cache0)
     elif (cfg.model == "music_transformer"
           and len(prime) + args.steps > model.max_seq):
-        if nb > 1 or args.dp > 1 or args.spec is not None:
-            raise SystemExit("--batch/--dp/--spec with a continuation "
-                             "beyond max_seq (sliding window) is not "
-                             "supported")
+        if nb > 1 or args.dp > 1 or args.tp > 1 or args.spec is not None:
+            raise SystemExit("--batch/--dp/--tp/--spec with a "
+                             "continuation beyond max_seq (sliding "
+                             "window) is not supported")
         # continuation longer than the relative table: sliding-window
         # re-priming (the reference's threshold_len behavior done in
         # cached chunks — decode/engine.py)
@@ -374,8 +393,19 @@ def main(argv=None) -> int:
         dp = DecodeParams(max_len=max_len, steps=args.steps,
                           sampling=sampling)
         if args.spec is not None:
+            if args.tp > 1:
+                raise SystemExit("--spec with --tp is not supported")
             outs = _speculative_decode(model, params, prompt, dp, args,
                                        scheme)
+        elif args.tp > 1:
+            # heads/FFN sharded over the 'model' mesh axis (composed
+            # with --dp batch sharding; decode/engine.py generate_tp)
+            from ..decode.engine import generate_tp
+
+            mesh = _dp_mesh(args.dp, nb, tp=args.tp)
+            outs = np.asarray(generate_tp(
+                model, params, prompt, jax.random.PRNGKey(args.seed),
+                dp, mesh, controls, cache0, prompt_len))
         elif args.dp > 1:
             # batch-sharded decode over the 'data' mesh axis
             # (decode/engine.py generate_dp)
@@ -435,7 +465,7 @@ def _speculative_decode(model, params, prompt: np.ndarray, dp, args,
         draft_model, _, _, _, _ = build_session(
             dcfg, meta.get("scheme", scheme), dkwargs)
         draft_params = payload["state"]["params"]
-        if dscanned:
+        if dscanned or "layers_scan" in draft_params:
             from ..models.music_transformer import unstack_scanned_params
             draft_params = unstack_scanned_params(
                 dict(draft_params), draft_model.num_layers)

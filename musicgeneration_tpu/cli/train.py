@@ -67,6 +67,12 @@ class TrainCLIConfig(Config):
     tp: int = 1
     sp: int = 1
     fsdp: bool = False
+    # pp = pipeline parallel (parallel/pipeline.py): layer stages over a
+    # 'pipe' mesh axis, GPipe microbatching. pp_microbatches = GPipe
+    # microbatches per train(-accum) batch (0 -> pp); batch_size must
+    # divide by it, and the microbatch by dp. Composes with dp only.
+    pp: int = 1
+    pp_microbatches: int = 0
 
 
 def _default_vocab(scheme: str) -> int:
@@ -284,14 +290,31 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
         if mesh is not None and mesh.shape.get("seq", 1) > 1:
             model_kwargs = {**model_kwargs, "attention_impl": "ring",
                             "mesh": mesh}
+        pipe = (mesh.shape.get("pipe", 1) if mesh is not None else 1)
+        if pipe > 1:
+            # pipeline stages consume the stacked scan_layers layout
+            model_kwargs = {**model_kwargs, "scan_layers": True}
         model = cls(**{**defaults(vocab_size=vocab, max_seq=cfg.seq_len),
                        **model_kwargs})
+        apply_fn = None
+        if pipe > 1:
+            from ..parallel.pipeline import make_pipeline_apply
+            n_micro = cfg.pp_microbatches or pipe
+            if cfg.batch_size % n_micro:
+                raise SystemExit(
+                    f"batch_size={cfg.batch_size} must divide by "
+                    f"pp_microbatches={n_micro}")
+            pipe_apply = make_pipeline_apply(model, mesh, n_micro)
+
+            def apply_fn(params, x, rng):
+                return pipe_apply(params, x, rng=rng)
+
         tcfg = TrainerConfig(
             vocab_size=model.vocab_size, pad_id=model.vocab_size - 1,
             label_smoothing=cfg.label_smoothing, d_model=model.d_model,
             warmup_steps=cfg.warmup_steps, accum_steps=cfg.accum_steps,
             max_grad_norm=cfg.max_grad_norm, peak_lr=cfg.peak_lr)
-        return model, tcfg, None, None, lambda b: b
+        return model, tcfg, apply_fn, None, lambda b: b
 
     if name == "melody_rnn":
         vocab = model_kwargs.pop("vocab_size", _default_vocab("melody"))
@@ -485,15 +508,19 @@ def main(argv=None) -> int:
     print(f"corpus: {len(corpus)} sequences (scheme={scheme})")
 
     mesh = None
-    if cfg.tp > 1 or cfg.sp > 1 or cfg.fsdp or cfg.dp is not None:
+    if (cfg.tp > 1 or cfg.sp > 1 or cfg.pp > 1 or cfg.fsdp
+            or cfg.dp is not None):
         if cfg.model != "music_transformer":
-            raise SystemExit("mesh training (dp/tp/sp/fsdp) is wired for "
-                             "model=music_transformer")
+            raise SystemExit("mesh training (dp/tp/sp/pp/fsdp) is wired "
+                             "for model=music_transformer")
+        if cfg.pp > 1 and (cfg.tp > 1 or cfg.sp > 1 or cfg.fsdp):
+            raise SystemExit("pp composes with dp only (not tp/sp/fsdp)")
         from ..parallel.mesh import make_mesh
-        mesh = make_mesh(dp=cfg.dp, tp=cfg.tp, sp=cfg.sp)
+        mesh = make_mesh(dp=cfg.dp, tp=cfg.tp, sp=cfg.sp, pp=cfg.pp)
         print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices"
               f"{' (fsdp)' if cfg.fsdp else ''}"
-              f"{' ring attention' if cfg.sp > 1 else ''}")
+              f"{' ring attention' if cfg.sp > 1 else ''}"
+              f"{' pipeline' if cfg.pp > 1 else ''}")
         if (cfg.batch_size * cfg.accum_steps) % mesh.shape["data"]:
             raise SystemExit("batch_size*accum_steps must divide dp")
         if cfg.seq_len % cfg.sp:
@@ -619,9 +646,14 @@ def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig,
                                x["tar_len"][:1])
     params = variables["params"]
     if mesh is not None:
-        from ..parallel.mesh import param_shardings
-        params = jax.device_put(
-            params, param_shardings(mesh, params, fsdp=cfg.fsdp))
+        if mesh.shape.get("pipe", 1) > 1:
+            from ..parallel.pipeline import pipeline_param_shardings
+            params = jax.device_put(
+                params, pipeline_param_shardings(mesh, params))
+        else:
+            from ..parallel.mesh import param_shardings
+            params = jax.device_put(
+                params, param_shardings(mesh, params, fsdp=cfg.fsdp))
     tx = make_optimizer(tcfg)
     import jax.numpy as jnp
     # tx.init under jit: the moments inherit the params' shardings

@@ -337,6 +337,56 @@ def generate_dp(model, params, prompt, rng, decode_params: DecodeParams,
     return fn(params, prompt, rng, controls, cache0, prompt_len)
 
 
+def generate_tp(model, params, prompt, rng, decode_params: DecodeParams,
+                mesh, controls=None, cache0=None, prompt_len=None):
+    """Tensor-parallel decode: attention heads / FFN hidden sharded over
+    the mesh's 'model' axis (optionally composed with 'data' batch
+    sharding — a dp x tp serving mesh).
+
+    The decode scan runs under plain jit with sharded inputs: the same
+    name-rule parameter shardings the trainer uses (parallel/mesh.py —
+    Wq/Wk/Wv split their output dim, so Q/K/V and the KV cache shard by
+    head; fc/ffn_suf split their input dim, so XLA inserts the psum that
+    re-replicates logits). Sampling then sees identical logits on every
+    device and the token stream is bit-identical to the single-device
+    engine (equality-locked in tests/test_multichip_decode.py).
+
+    The fused Pallas decode kernels are opaque to the SPMD partitioner,
+    so TP decoding requires the XLA decode path: construct the model
+    with decode_impl="xla" (the per-device matmuls are what TP is
+    sharding anyway; the fused kernel's wins come from single-chip
+    latency, the regime where generate()/generate_dp apply). Heads must
+    divide the 'model' axis size.
+
+    The reference has no tensor-parallel anything; this is the serving
+    analogue of the trainer's tp axis (SURVEY.md §5 distributed row).
+    """
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+    if getattr(model, "_decode_fused", lambda: False)():
+        raise ValueError(
+            "generate_tp shards the XLA decode path; build the model "
+            'with decode_impl="xla" (the fused Pallas kernels cannot '
+            "be auto-partitioned over 'model')")
+    heads = getattr(model, "num_heads", None)
+    if heads is not None and heads % n_model:
+        raise ValueError(f"num_heads={heads} not divisible by the "
+                         f"model axis ({n_model})")
+    if prompt.shape[0] % n_data:
+        raise ValueError(f"batch {prompt.shape[0]} not divisible by the "
+                         f"data axis ({n_data})")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import param_shardings
+
+    params = jax.device_put(params, param_shardings(mesh, params))
+    prompt = jax.device_put(
+        prompt, NamedSharding(mesh, P("data", None)))
+    rng = jax.device_put(rng, NamedSharding(mesh, P()))
+    return generate(model, params, prompt, rng, decode_params,
+                    controls, cache0, prompt_len)
+
+
 def generate_events(model, params, prompt_ids, rng, steps: int,
                     max_len: Optional[int] = None,
                     sampling: SamplingParams = SamplingParams(),

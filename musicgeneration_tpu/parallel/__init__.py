@@ -15,10 +15,13 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .pipeline import make_pipeline_apply, pipeline_param_shardings
 from .ring_attention import ring_relative_attention
 from .ring_attention_pallas import ring_relative_attention_pallas
 
 __all__ = [
+    "make_pipeline_apply",
+    "pipeline_param_shardings",
     "make_mesh",
     "batch_sharding",
     "replicated",

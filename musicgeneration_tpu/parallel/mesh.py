@@ -27,24 +27,33 @@ def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
     sp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """('data', 'seq', 'model') mesh; dp defaults to n // (tp * sp).
+    """('data', 'seq', 'model') mesh; dp defaults to n // (tp * sp * pp).
 
     'seq' is the sequence-parallel axis (SURVEY.md §5 long-context row):
     size 1 for every current model config — the reference's contexts are
     bounded at max_seq 2048 — but the axis exists so blockwise/ring
     attention over ICI can shard activations along L without remapping
     the mesh. With sp == 1 the mesh behaves exactly like ('data',
-    'model')."""
+    'model').
+
+    pp > 1 appends a 'pipe' axis (pipeline parallelism over layer
+    stages, parallel/pipeline.py); with pp == 1 the mesh is the plain
+    3-axis form so existing shardings are byte-identical."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // (tp * sp)
-    if dp * tp * sp != n:
-        raise ValueError(f"dp*sp*tp = {dp}*{sp}*{tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, sp, tp)
-    return Mesh(arr, ("data", "seq", "model"))
+        dp = n // (tp * sp * pp)
+    if dp * tp * sp * pp != n:
+        raise ValueError(
+            f"dp*sp*tp*pp = {dp}*{sp}*{tp}*{pp} != {n} devices")
+    if pp == 1:
+        arr = np.asarray(devices).reshape(dp, sp, tp)
+        return Mesh(arr, ("data", "seq", "model"))
+    arr = np.asarray(devices).reshape(dp, sp, tp, pp)
+    return Mesh(arr, ("data", "seq", "model", "pipe"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

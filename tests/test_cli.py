@@ -275,6 +275,23 @@ def test_train_mesh_sp_ring_attention(tok_dir, tmp_path):
     assert os.path.getsize(out_mid) > 0
 
 
+@pytest.mark.slow
+def test_train_mesh_pipeline_parallel(tok_dir, tmp_path):
+    """pp=4 CLI training runs the GPipe schedule over the 'pipe' mesh
+    axis (dp2 x pp4 on the 8-virtual-device CPU mesh); the checkpoint
+    is the stacked scan_layers layout, which cli.generate already
+    unstacks for plain decoding."""
+    ckpt, lines = _train(
+        tok_dir, tmp_path, "music_transformer",
+        ["model.num_layers=4", "model.d_model=64", "pp=4",
+         "pp_microbatches=1"])
+    assert np.isfinite(lines[-1]["loss"])
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    out_mid = str(tmp_path / "pp_gen.mid")
+    assert gen_main([ckpt, out_mid, "--steps", "16"]) == 0
+    assert os.path.getsize(out_mid) > 0
+
+
 def test_generate_with_control_spec_and_file(tmp_path):
     """--control 'hist;density' and --control <corpus dir> condition
     PerformanceRNN generation (reference PerformanceRNN/generate.py:20-131)."""
@@ -408,6 +425,28 @@ def test_generate_dp_sharded_batch(tok_dir, tmp_path):
         a = open(f"{tmp_path}/dp1-{i:03d}.mid", "rb").read()
         b = open(f"{tmp_path}/dp4-{i:03d}.mid", "rb").read()
         assert a == b, f"row {i} diverged under --dp"
+
+
+@pytest.mark.slow
+def test_generate_tp_sharded_heads(tok_dir, tmp_path):
+    """cli.generate --tp N: heads/FFN sharded over the 'model' mesh
+    axis; output byte-identical to --tp 1 even SAMPLED (logits are
+    re-replicated by the psum, so the same key draws the same tokens —
+    decode/engine.py generate_tp)."""
+    from musicgeneration_tpu.cli.generate import main as generate_main
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=128",
+                      "model.max_seq=64"])
+    out1 = str(tmp_path / "tp1.mid")
+    assert generate_main([ckpt, out1, "--steps", "8", "--batch", "2",
+                          "--seed", "7"]) == 0
+    out2 = str(tmp_path / "tp2.mid")
+    assert generate_main([ckpt, out2, "--steps", "8", "--batch", "2",
+                          "--tp", "2", "--seed", "7"]) == 0
+    for i in range(2):
+        a = open(f"{tmp_path}/tp1-{i:03d}.mid", "rb").read()
+        b = open(f"{tmp_path}/tp2-{i:03d}.mid", "rb").read()
+        assert a == b, f"row {i} diverged under --tp"
 
 
 def test_serve_continuous_batching(tok_dir, tmp_path):

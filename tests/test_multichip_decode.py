@@ -201,3 +201,66 @@ def test_dp_popmag_arrangement_greedy_identical():
                                      max_steps=12)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+# -- tensor-parallel decode (generate_tp) ---------------------------------
+
+def test_tp_greedy_token_identical_to_single_device():
+    """Heads sharded over 'model' (tp=2): bit-identical greedy tokens
+    (the name-rule shardings re-replicate logits via XLA's psum)."""
+    from musicgeneration_tpu.decode.engine import generate_tp
+    model, params = _mt()  # d128 -> 2 heads
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    prompt = jax.random.randint(jax.random.PRNGKey(11), (4, 8), 0, 60)
+    dp = DecodeParams(max_len=32, steps=12,
+                      sampling=SamplingParams(greedy=True))
+    rng = jax.random.PRNGKey(12)
+    single = np.asarray(generate(model, params, prompt, rng, dp))
+    tp = np.asarray(generate_tp(model, params, prompt, rng, dp, mesh))
+    np.testing.assert_array_equal(tp, single)
+
+
+def test_tp_sampled_token_identical():
+    """Sampled decode: logits are replicated after the psum so the SAME
+    rng draws the SAME tokens as the single-device engine."""
+    from musicgeneration_tpu.decode.engine import generate_tp
+    model, params = _mt()
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    prompt = jax.random.randint(jax.random.PRNGKey(13), (2, 8), 0, 60)
+    dp = DecodeParams(max_len=32, steps=10,
+                      sampling=SamplingParams(temperature=1.0, top_k=8))
+    rng = jax.random.PRNGKey(14)
+    single = np.asarray(generate(model, params, prompt, rng, dp))
+    tp = np.asarray(generate_tp(model, params, prompt, rng, dp, mesh))
+    np.testing.assert_array_equal(tp, single)
+
+
+def test_tp_dp_composed():
+    """dp4 x tp2 serving mesh: batch over 'data', heads over 'model'."""
+    from musicgeneration_tpu.decode.engine import generate_tp
+    model, params = _mt()
+    mesh = make_mesh(dp=4, tp=2)
+    prompt = jax.random.randint(jax.random.PRNGKey(15), (8, 8), 0, 60)
+    dp = DecodeParams(max_len=32, steps=8,
+                      sampling=SamplingParams(greedy=True))
+    rng = jax.random.PRNGKey(16)
+    single = np.asarray(generate(model, params, prompt, rng, dp))
+    tp = np.asarray(generate_tp(model, params, prompt, rng, dp, mesh))
+    np.testing.assert_array_equal(tp, single)
+
+
+def test_tp_rejects_fused_and_bad_geometry():
+    from musicgeneration_tpu.decode.engine import generate_tp
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    dp = DecodeParams(max_len=32, steps=4,
+                      sampling=SamplingParams(greedy=True))
+    fused = MusicTransformer(vocab_size=64, num_layers=1, d_model=128,
+                             max_seq=64, decode_impl="fused")
+    x = jnp.zeros((2, 8), jnp.int32)
+    params = fused.init(jax.random.PRNGKey(0), x)["params"]
+    with pytest.raises(ValueError, match="xla"):
+        generate_tp(fused, params, x, jax.random.PRNGKey(1), dp, mesh)
+    model, params = _mt()
+    mesh3 = make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="num_heads"):
+        generate_tp(model, params, x, jax.random.PRNGKey(1), dp, mesh3)
