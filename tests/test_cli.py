@@ -221,6 +221,59 @@ def test_generate_steps_beyond_max_seq_uses_sliding(tok_dir, tmp_path):
     assert os.path.getsize(out_mid) > 0
 
 
+def test_eval_cli(tok_dir, tmp_path):
+    """cli.eval: the reference save_test.py flow — restore checkpoint,
+    metrics over seeded random windows; reproducible and bucketed."""
+    import json as _json
+
+    from musicgeneration_tpu.cli.eval import main as eval_main
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64"])
+    import contextlib
+    import io
+    buf = io.StringIO()
+    argv = [ckpt, tok_dir, "--batches", "2", "--batch-size", "2",
+            "--seq-len", "16", "--bucket"]
+    with contextlib.redirect_stdout(buf):
+        assert eval_main(argv) == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(out["loss"]) and 0.0 <= out["accuracy"] <= 1.0
+    assert out["tokens"] == 2 * 2 * 16
+    assert out["bucket"]["unique_predicted_ids"] >= 1
+    # seeded: a second run reproduces the numbers exactly
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        assert eval_main(argv) == 0
+    out2 = _json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert out2["loss"] == out["loss"]
+
+
+def test_export_import_cli_roundtrip(tok_dir, tmp_path):
+    """cli.export_checkpoint -> cli.import_checkpoint round trip through
+    the CLIs (the library-level parity lives in
+    test_export_checkpoint.py): generate from the re-imported checkpoint
+    is byte-identical to the original."""
+    pytest.importorskip("torch")
+    from musicgeneration_tpu.cli.export_checkpoint import (
+        main as export_main,
+    )
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    from musicgeneration_tpu.cli.import_checkpoint import (
+        main as import_main,
+    )
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64"])
+    pth = str(tmp_path / "exported.pth")
+    assert export_main([ckpt, pth]) == 0
+    back = str(tmp_path / "reimported")
+    assert import_main([pth, back]) == 0
+    a = str(tmp_path / "orig.mid")
+    b = str(tmp_path / "back.mid")
+    assert gen_main([ckpt, a, "--steps", "16", "--temperature", "0"]) == 0
+    assert gen_main([back, b, "--steps", "16", "--temperature", "0"]) == 0
+    assert open(a, "rb").read() == open(b, "rb").read()
+
+
 def test_bf16_training_checkpoints_cleanly(tok_dir, tmp_path):
     """model.dtype=bfloat16 must survive checkpoint serialization
     (review regression: the dtype string was replaced by a type object
