@@ -433,6 +433,35 @@ class ContinuousBatcher:
         self.times[rid] = {"submit": time.perf_counter()}
         return rid
 
+    # ---------------------------------------------------------- cancel
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request. Queued requests are dropped outright; an
+        ACTIVE request's slot frees at the next dispatch (its mirror
+        parks at the clock so the live-window floor releases its span),
+        and whatever tokens it produced are delivered through `done`
+        (trimmed like a normal finalize — callers distinguish a
+        cancelled result only by having asked for the cancel).
+        Returns False for unknown/already-finished rids. Cancelling
+        costs no extra dispatch: it is pure host bookkeeping."""
+        for q in self.pending:
+            if q.rid == rid:
+                self.pending.remove(q)
+                self.done[rid] = np.zeros((0,), np.int32)
+                self.times[rid]["done"] = time.perf_counter()
+                return True
+        for i, s in enumerate(self.slots):
+            if s.active and s.rid == rid:
+                s.rid, s.active = -1, False
+                self._start_host[i] = self.t
+                self._start_dirty = True
+                # deliver what's been collected so far (in-flight
+                # segments may still append before the fetch lands;
+                # _collect skips rids no longer in _req)
+                self._finalize(rid)
+                return True
+        return False
+
     # ------------------------------------------------------- internals
 
     def _free_slots(self) -> List[int]:

@@ -343,3 +343,44 @@ def test_serving_long_prompt_waits_for_clock():
                                   _reference(m, params, short, 30))
     np.testing.assert_array_equal(outs[rid_b],
                                   _reference(m, params, long, 20))
+
+
+def test_serving_cancel_pending_and_active():
+    """cancel(): a queued request drops with an empty result; an active
+    request frees its slot and delivers the tokens collected so far;
+    unknown rids return False; survivors are unaffected (token-equal to
+    dedicated generate)."""
+    m, params = _model("xla")
+    cb = ContinuousBatcher(m, params, slots=2, sampling=GREEDY,
+                           seg_len=8, cache_len=256, depth=1)
+    rng = np.random.RandomState(21)
+    reqs = [(rng.randint(0, VOCAB - 1, size=rng.randint(4, 12))
+             .astype(np.int32), 64) for _ in range(2)]
+    rids = [cb.submit(p, n) for p, n in reqs]
+    # a third request queues behind the full pool, then is cancelled
+    extra_p = np.asarray([3, 5, 7], np.int32)
+    rid_q = cb.submit(extra_p, 16)
+    assert cb.cancel(rid_q) is True
+    assert cb.cancel(rid_q) is False          # already finished
+    assert cb.cancel(10_000) is False         # unknown
+    # run a few segments, then cancel one ACTIVE request mid-flight
+    for _ in range(3):
+        cb.step()
+    assert cb.cancel(rids[0]) is True
+    out = cb.run()
+    assert out[rid_q].size == 0
+    # the cancelled-active request delivered a PREFIX of its dedicated
+    # run (however many tokens its segments had committed)
+    ref0 = _reference(m, params, *reqs[0])
+    got0 = out[rids[0]]
+    assert 0 < got0.size <= reqs[0][1]
+    np.testing.assert_array_equal(got0, ref0[:got0.size])
+    # the survivor is untouched
+    np.testing.assert_array_equal(out[rids[1]],
+                                  _reference(m, params, *reqs[1]))
+    # its slot was genuinely freed: a new request admits and completes
+    p_new, n_new = _requests(22, 1, max_p=8, max_new=24)[0]
+    rid_new = cb.submit(p_new, n_new)
+    out2 = cb.run()
+    np.testing.assert_array_equal(out2[rid_new],
+                                  _reference(m, params, p_new, n_new))
