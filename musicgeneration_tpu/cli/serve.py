@@ -12,14 +12,22 @@ supplies raw ids. `id` defaults to the line number. Any sampling field
 on any line switches the engine to per-row sampling: each request
 decodes under its own params, defaulting to the CLI-level flags.)
 
-Each request's continuation is written to `outdir/<id>.mid` as soon as
-the whole queue drains. Requests of different prompt and continuation
-lengths share the slot pool via the ragged continuous-batching engine
-(decode/serving.py): no per-request process, no batch drained to its
-slowest member — the TPU-native replacement for running the
-reference's per-request generate.py in a shell loop (its only serving
-option; MusicTransformer/generate.py processes one prompt per
-invocation, re-forwarding the whole prefix per token).
+Each request's continuation is written to `outdir/<id>.mid` the moment
+it finalizes (streamed mid-drain). Requests of different prompt and
+continuation lengths share the slot pool via the ragged
+continuous-batching engine (decode/serving.py): no per-request process,
+no batch drained to its slowest member — the TPU-native replacement for
+running the reference's per-request generate.py in a shell loop (its
+only serving option; MusicTransformer/generate.py processes one prompt
+per invocation, re-forwarding the whole prefix per token).
+
+ONLINE mode: pass `-` as the request file to read JSONL from stdin as
+it arrives — requests submit into the live pool between decode
+segments (continuous batching's submit-any-time), and one JSON line
+per completion streams to stdout ({"id", "file", "tokens"}) so a
+client piping requests in sees results as they finish:
+
+    client | python -m musicgeneration_tpu.cli.serve <ckpt> - outdir
 """
 
 from __future__ import annotations
@@ -89,31 +97,38 @@ def main(argv=None) -> int:
                               top_k=args.topk, top_p=args.topp,
                               greedy=args.greedy)
     samp_fields = ("temperature", "top_k", "top_p", "greedy")
+
+    def parse_request(line: str, ln: int):
+        req = json.loads(line)
+        name = str(req.get("id", ln))
+        if "tokens" in req:
+            toks = np.asarray(req["tokens"], np.int32)
+        else:
+            toks = np.asarray(_prime_tokens(
+                scheme, req.get("prime"), req.get("prime_len", 500)),
+                np.int32)
+        sp = None
+        if any(f in req for f in samp_fields):
+            sp = SamplingParams(
+                temperature=float(req.get("temperature",
+                                          args.temperature)),
+                top_k=int(req.get("top_k", args.topk)),
+                top_p=float(req.get("top_p", args.topp)),
+                greedy=bool(req.get("greedy", args.greedy)))
+        return (name, toks, int(req.get("max_new", args.max_new)),
+                req.get("eos"), sp)
+
+    if args.requests == "-":
+        return _serve_follow(model, params, scheme, sampling,
+                             parse_request, args)
+
     parsed = []
     with open(args.requests) as fh:
         for ln, line in enumerate(fh):
             line = line.strip()
             if not line:
                 continue
-            req = json.loads(line)
-            name = str(req.get("id", ln))
-            if "tokens" in req:
-                toks = np.asarray(req["tokens"], np.int32)
-            else:
-                toks = np.asarray(_prime_tokens(
-                    scheme, req.get("prime"), req.get("prime_len", 500)),
-                    np.int32)
-            sp = None
-            if any(f in req for f in samp_fields):
-                sp = SamplingParams(
-                    temperature=float(req.get("temperature",
-                                              args.temperature)),
-                    top_k=int(req.get("top_k", args.topk)),
-                    top_p=float(req.get("top_p", args.topp)),
-                    greedy=bool(req.get("greedy", args.greedy)))
-            parsed.append((name, toks, int(req.get("max_new",
-                                                   args.max_new)),
-                           req.get("eos"), sp))
+            parsed.append(parse_request(line, ln))
     if not parsed:
         raise SystemExit(f"no requests in {args.requests}")
 
@@ -164,6 +179,80 @@ def main(argv=None) -> int:
         raise SystemExit(f"requests never finalized: {sorted(missing)}")
     for path, n in written:
         print(f"wrote {path} ({n} tokens)")
+    return 0
+
+
+def _serve_follow(model, params, scheme, sampling, parse_request,
+                  args) -> int:
+    """ONLINE serving loop: JSONL requests from stdin submit into the
+    live pool between decode segments; each completion streams one JSON
+    line to stdout immediately. Ends when stdin closes AND the pool
+    drains. Uses select() so intake never blocks decode: with work
+    active the loop polls, idle it waits on the pipe."""
+    import select
+
+    import jax
+
+    from ..decode.serving import ContinuousBatcher
+    from .generate import _write_midi
+
+    os.makedirs(args.outdir, exist_ok=True)
+    names = {}
+
+    def deliver(rid, toks):
+        path = os.path.join(args.outdir, f"{names[rid]}.mid")
+        _write_midi(scheme, toks, path)
+        print(json.dumps({"id": names[rid], "file": path,
+                          "tokens": int(len(toks))}), flush=True)
+
+    # per-row sampling always on: requests with their own params can
+    # arrive at any time (the flag picks the program at construction)
+    cb = ContinuousBatcher(model, params, slots=args.slots,
+                           sampling=sampling, seg_len=args.seg_len,
+                           cache_len=args.cache_len, depth=args.depth,
+                           per_row_sampling=True, on_finalize=deliver,
+                           rng=jax.random.PRNGKey(args.seed))
+    cb.warm(widths=True)
+    print(json.dumps({"ready": True, "slots": args.slots}), flush=True)
+
+    fh = sys.stdin
+    eof = False
+    ln = 0
+    n_sub = 0
+    t0 = time.perf_counter()
+    while True:
+        # drain every line already buffered without blocking
+        while not eof and select.select([fh], [], [], 0)[0]:
+            line = fh.readline()
+            if line == "":
+                eof = True
+                break
+            if not line.strip():
+                continue
+            name, toks, max_new, eos, sp = parse_request(line.strip(),
+                                                         ln)
+            ln += 1
+            try:
+                rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp)
+            except ValueError as e:
+                print(json.dumps({"id": name, "error": str(e)}),
+                      flush=True)
+                continue
+            names[rid] = name
+            n_sub += 1
+        busy = cb.step()
+        if not busy:
+            if eof:
+                break
+            # idle pool: block until the next request (or EOF)
+            if not select.select([fh], [], [], 1.0)[0]:
+                continue
+    dt = time.perf_counter() - t0
+    st = cb.stats()
+    print(f"served {n_sub} requests in {dt:.1f}s; "
+          f"{st['committed_tokens']:.0f} tokens, "
+          f"occupancy {st['occupancy']:.0%}, "
+          f"{st['compactions']:.0f} compactions", file=sys.stderr)
     return 0
 
 

@@ -539,3 +539,52 @@ def test_serve_continuous_batching(tok_dir, tmp_path):
     from musicgeneration_tpu.midi import MidiFile
     MidiFile(os.path.join(outdir, "b.mid"))
     MidiFile(os.path.join(outdir, "c.mid"))
+
+
+@pytest.mark.slow
+def test_serve_follow_stdin_online(tok_dir, tmp_path, monkeypatch,
+                                   capsys):
+    """cli.serve - (stdin follow mode): requests arriving OVER TIME
+    submit into the live pool; one JSON completion line streams per
+    request; greedy output is byte-identical to cli.generate."""
+    import io
+    import sys as _sys
+    import threading
+    import time as _time
+
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64",
+                      "model.max_seq=256"])
+    outdir = str(tmp_path / "followed")
+    r_fd, w_fd = os.pipe()
+
+    def writer():
+        with os.fdopen(w_fd, "w") as w:
+            w.write(json.dumps({"id": "a", "tokens": [24, 28, 31],
+                                "max_new": 24}) + "\n")
+            w.flush()
+            _time.sleep(0.5)   # arrives mid-serve, pool already running
+            w.write(json.dumps({"id": "late", "tokens": [5, 15, 25],
+                                "max_new": 16}) + "\n")
+            w.flush()
+
+    th = threading.Thread(target=writer)
+    th.start()
+    monkeypatch.setattr(_sys, "stdin", os.fdopen(r_fd))
+    from musicgeneration_tpu.cli.serve import main as serve_main
+    assert serve_main([ckpt, "-", outdir, "--slots", "2",
+                       "--seg-len", "8", "--greedy"]) == 0
+    th.join()
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    ids = {l.get("id") for l in lines if "id" in l}
+    assert {"a", "late"} <= ids
+    assert any(l.get("ready") for l in lines)
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ref_mid = str(tmp_path / "ref_follow.mid")
+    assert gen_main([ckpt, ref_mid, "--steps", "24",
+                     "--temperature", "0"]) == 0
+    with open(os.path.join(outdir, "a.mid"), "rb") as f1, \
+            open(ref_mid, "rb") as f2:
+        assert f1.read() == f2.read()
