@@ -12,14 +12,28 @@ supplies raw ids. `id` defaults to the line number. Any sampling field
 on any line switches the engine to per-row sampling: each request
 decodes under its own params, defaulting to the CLI-level flags.)
 
+Serves BOTH engine families: MusicTransformer checkpoints decode
+through the KV-cache engine (decode/serving.py), the RNN families
+(event_rnn / performance_rnn / melody_rnn) through the hidden-state
+engine (decode/serving_rnn.py). RNN requests may also carry
+    {"init_seed": 3}          — N(0,1) latent from that seed, or
+    {"init": [..init_dim..]}  — an explicit latent (default: zeros),
+    {"control": [..C..] | [[..C..], ...]}
+                              — PerformanceRNN conditioning (a single
+                                control repeats; a sequence is consumed
+                                per step, reference expand_controls
+                                semantics). PerformanceRNN prompts from
+                                `prime`/default get the primary event
+                                prepended, mirroring cli.generate.
+
 Each request's continuation is written to `outdir/<id>.mid` the moment
 it finalizes (streamed mid-drain). Requests of different prompt and
-continuation lengths share the slot pool via the ragged
-continuous-batching engine (decode/serving.py): no per-request process,
-no batch drained to its slowest member — the TPU-native replacement for
-running the reference's per-request generate.py in a shell loop (its
-only serving option; MusicTransformer/generate.py processes one prompt
-per invocation, re-forwarding the whole prefix per token).
+continuation lengths share the slot pool via the continuous-batching
+engines: no per-request process, no batch drained to its slowest
+member — the TPU-native replacement for running the reference's
+per-request generate.py in a shell loop (its only serving option;
+MusicTransformer/generate.py and Event_MelodyRNN/generate.py process
+one prompt per invocation).
 
 ONLINE mode: pass `-` as the request file to read JSONL from stdin as
 it arrives — requests submit into the live pool between decode
@@ -40,6 +54,8 @@ import time
 
 import numpy as np
 
+RNN_MODELS = ("event_rnn", "performance_rnn", "melody_rnn")
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
@@ -52,6 +68,8 @@ def main(argv=None) -> int:
     p.add_argument("--depth", type=int, default=2,
                    help="segments in flight (pipelined dispatch)")
     p.add_argument("--cache-len", type=int, default=None)
+    p.add_argument("--ctrl-window", type=int, default=256,
+                   help="per-slot control window (performance_rnn)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--topk", type=int, default=0)
     p.add_argument("--topp", type=float, default=1.0)
@@ -65,6 +83,7 @@ def main(argv=None) -> int:
 
     from ..decode.sampling import SamplingParams
     from ..decode.serving import ContinuousBatcher
+    from ..decode.serving_rnn import RNNContinuousBatcher
     from ..models import MusicTransformer
     from ..utils.checkpoint import restore_checkpoint
     from .generate import _prime_tokens, _write_midi
@@ -81,11 +100,11 @@ def main(argv=None) -> int:
     scanned = bool(model_kwargs.pop("scan_layers", False))
     model, _tcfg, _apply, _loss, _adapter = build_session(
         cfg, scheme, model_kwargs)
-    if not isinstance(model, MusicTransformer):
+    is_rnn = cfg.model in RNN_MODELS
+    if not isinstance(model, MusicTransformer) and not is_rnn:
         raise SystemExit(
-            f"cli.serve drives the MusicTransformer families "
-            f"(continuous-batching ragged decode); {cfg.model} decodes "
-            "through cli.generate")
+            f"cli.serve drives the MusicTransformer and RNN families; "
+            f"{cfg.model} decodes through cli.generate")
     params = payload["state"]["params"]
     if scanned:
         from ..models.music_transformer import unstack_scanned_params
@@ -107,6 +126,11 @@ def main(argv=None) -> int:
             toks = np.asarray(_prime_tokens(
                 scheme, req.get("prime"), req.get("prime_len", 500)),
                 np.int32)
+            if cfg.model == "performance_rnn":
+                # reference generation starts from the primary event
+                # (generate.py:171-175); raw `tokens` are taken as-is
+                toks = np.concatenate(
+                    [[model.primary_event], toks]).astype(np.int32)
         sp = None
         if any(f in req for f in samp_fields):
             sp = SamplingParams(
@@ -115,12 +139,37 @@ def main(argv=None) -> int:
                 top_k=int(req.get("top_k", args.topk)),
                 top_p=float(req.get("top_p", args.topp)),
                 greedy=bool(req.get("greedy", args.greedy)))
+        extra = {}
+        if is_rnn:
+            if "init" in req:
+                extra["init"] = np.asarray(req["init"], np.float32)
+            elif "init_seed" in req and hasattr(model, "init_dim"):
+                extra["init"] = np.random.RandomState(
+                    int(req["init_seed"])).randn(
+                        model.init_dim).astype(np.float32)
+            if "control" in req:
+                extra["control"] = np.asarray(req["control"],
+                                              np.float32)
         return (name, toks, int(req.get("max_new", args.max_new)),
-                req.get("eos"), sp)
+                req.get("eos"), sp, extra)
+
+    def build_cb(per_row: bool, on_finalize):
+        if is_rnn:
+            return RNNContinuousBatcher(
+                model, params, slots=args.slots, sampling=sampling,
+                seg_len=args.seg_len, depth=args.depth,
+                ctrl_window=args.ctrl_window,
+                per_row_sampling=per_row, on_finalize=on_finalize,
+                rng=jax.random.PRNGKey(args.seed))
+        return ContinuousBatcher(
+            model, params, slots=args.slots, sampling=sampling,
+            seg_len=args.seg_len, cache_len=args.cache_len,
+            depth=args.depth, per_row_sampling=per_row,
+            on_finalize=on_finalize,
+            rng=jax.random.PRNGKey(args.seed))
 
     if args.requests == "-":
-        return _serve_follow(model, params, scheme, sampling,
-                             parse_request, args)
+        return _serve_follow(scheme, build_cb, parse_request, args)
 
     parsed = []
     with open(args.requests) as fh:
@@ -132,7 +181,7 @@ def main(argv=None) -> int:
     if not parsed:
         raise SystemExit(f"no requests in {args.requests}")
 
-    per_row = any(sp is not None for *_, sp in parsed)
+    per_row = any(sp is not None for *_, sp, _e in parsed)
     os.makedirs(args.outdir, exist_ok=True)
     names, written = {}, []
 
@@ -144,18 +193,13 @@ def main(argv=None) -> int:
         _write_midi(scheme, toks, path)
         written.append((path, len(toks)))
 
-    cb = ContinuousBatcher(model, params, slots=args.slots,
-                           sampling=sampling, seg_len=args.seg_len,
-                           cache_len=args.cache_len, depth=args.depth,
-                           per_row_sampling=per_row, on_finalize=deliver,
-                           rng=jax.random.PRNGKey(args.seed))
-    cb.warm()          # segment + admission + compaction compiles
+    cb = build_cb(per_row, deliver)
+    cb.warm()          # segment + admission (+ compaction) compiles
 
-    rids, prompts = [], {}
-    for name, toks, max_new, eos, sp in parsed:
-        rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp)
+    rids = []
+    for name, toks, max_new, eos, sp, extra in parsed:
+        rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp, **extra)
         names[rid] = name
-        prompts[rid] = toks
         rids.append(rid)
     print(f"serving {len(rids)} requests over {args.slots} slots "
           f"(seg_len={args.seg_len}, depth={args.depth})")
@@ -171,7 +215,7 @@ def main(argv=None) -> int:
           f"{st['segments']:.0f} segments, "
           f"occupancy {st['occupancy']:.0%}, "
           f"{st['admit_calls']:.0f} admission calls, "
-          f"{st['compactions']:.0f} compactions; "
+          f"{st.get('compactions', 0):.0f} compactions; "
           f"latency p50/p95 {lat['e2e_p50']:.2f}/{lat['e2e_p95']:.2f}s "
           f"(queue wait {lat['wait_p50']:.2f}/{lat['wait_p95']:.2f}s)")
     missing = set(rids) - set(outs)
@@ -182,8 +226,7 @@ def main(argv=None) -> int:
     return 0
 
 
-def _serve_follow(model, params, scheme, sampling, parse_request,
-                  args) -> int:
+def _serve_follow(scheme, build_cb, parse_request, args) -> int:
     """ONLINE serving loop: JSONL requests from stdin submit into the
     live pool between decode segments; each completion streams one JSON
     line to stdout immediately. Ends when stdin closes AND the pool
@@ -191,9 +234,6 @@ def _serve_follow(model, params, scheme, sampling, parse_request,
     active the loop polls, idle it waits on the pipe."""
     import select
 
-    import jax
-
-    from ..decode.serving import ContinuousBatcher
     from .generate import _write_midi
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -207,11 +247,7 @@ def _serve_follow(model, params, scheme, sampling, parse_request,
 
     # per-row sampling always on: requests with their own params can
     # arrive at any time (the flag picks the program at construction)
-    cb = ContinuousBatcher(model, params, slots=args.slots,
-                           sampling=sampling, seg_len=args.seg_len,
-                           cache_len=args.cache_len, depth=args.depth,
-                           per_row_sampling=True, on_finalize=deliver,
-                           rng=jax.random.PRNGKey(args.seed))
+    cb = build_cb(True, deliver)
     cb.warm(widths=True)
     print(json.dumps({"ready": True, "slots": args.slots}), flush=True)
 
@@ -229,11 +265,12 @@ def _serve_follow(model, params, scheme, sampling, parse_request,
                 break
             if not line.strip():
                 continue
-            name, toks, max_new, eos, sp = parse_request(line.strip(),
-                                                         ln)
+            name, toks, max_new, eos, sp, extra = parse_request(
+                line.strip(), ln)
             ln += 1
             try:
-                rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp)
+                rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp,
+                                **extra)
             except ValueError as e:
                 print(json.dumps({"id": name, "error": str(e)}),
                       flush=True)
@@ -252,7 +289,7 @@ def _serve_follow(model, params, scheme, sampling, parse_request,
     print(f"served {n_sub} requests in {dt:.1f}s; "
           f"{st['committed_tokens']:.0f} tokens, "
           f"occupancy {st['occupancy']:.0%}, "
-          f"{st['compactions']:.0f} compactions", file=sys.stderr)
+          f"{st.get('compactions', 0):.0f} compactions", file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,485 @@
+"""Shared slot-pool scheduler for the continuous-batching engines.
+
+The host-side scheduling problem is identical for the transformer
+engine (decode/serving.py — KV-cache slots, clock, compaction) and the
+RNN engine (decode/serving_rnn.py — O(1) hidden-state slots): a fixed
+pool of B slots, FIFO admission into free slots, decode in compiled
+segments, count-based retirement at dispatch for eos-free requests,
+token-inspecting retirement for eos requests, pipelined dispatch,
+drain-tail pool shrinking, cancellation, streaming delivery, and
+per-request latency accounting. This base class owns all of that;
+subclasses own the device state and the three programs that touch it
+(admission, segment, resize-gather).
+
+The reference has no serving story at all — its generation is a
+per-request Python loop (MusicTransformer/network.py:44-80,
+Event_MelodyRNN/network.py:119-164); both engines replace running those
+scripts in a shell loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from .sampling import SamplingParams, pack_sampling
+
+# _dispatch result: device state full until an in-flight retirement
+# lands (transformer cache-clock overrun; never returned by the RNN
+# engine whose state is O(1) per slot)
+_BLOCKED = object()
+
+
+@dataclasses.dataclass
+class _Slot:
+    rid: int = -1
+    active: bool = False
+    max_new: int = 0
+    eos_id: Optional[int] = None
+    scheduled: int = 0            # slot-steps dispatched for this rid
+
+
+@dataclasses.dataclass
+class _Pending:
+    rid: int
+    prompt: np.ndarray
+    max_new: int
+    eos_id: Optional[int]
+    padded: np.ndarray = None     # [Pb] host copy at the bucket width
+    pb: int = 0                   # its static bucket width
+    samp: tuple = None            # pack_sampling() ints (per-row mode)
+    extra: dict = None            # engine-specific payload (init/ctrl)
+
+
+class SlotScheduler:
+    """Host-side continuous-batching scheduler over a fixed slot pool.
+
+    Subclasses implement the device side:
+
+    * ``_try_admit()`` — move pending requests into free slots (FIFO;
+      may leave requests queued if the engine can't take them yet) and
+      fill the per-request bookkeeping via ``_admit_bookkeeping``.
+    * ``_segment()`` — launch one compiled segment of ``seg_len`` decode
+      steps, return the ``[seg, B]`` token futures.
+    * ``_gather_state(idx)`` — re-pool device state to the slot order
+      ``idx`` (drain-tail shrink / grow-back).
+
+    and may override the hooks ``_pre_segment`` (room check / state
+    refresh before a dispatch; return ``_BLOCKED`` to defer),
+    ``_park_slot(i)`` (a slot freed by retirement/cancel),
+    ``_park_pos(pos)`` (a duplicate row created by pool growth),
+    ``_validate_request`` (engine-specific submit validation + extra
+    payload), and ``_warm_after_drain`` (extra compiles after warm).
+    """
+
+    def __init__(self, *, slots: int, sampling: SamplingParams,
+                 seg_len: int, prompt_bucket: int, depth: int,
+                 min_slots: int, per_row_sampling: bool,
+                 on_finalize: Optional[Callable],
+                 rng: Optional[jax.Array], pad_id: int):
+        self.b = slots
+        # drain-tail pool shrinking: with the queue empty the pool
+        # halves (down to min_slots) once active requests fit — per-step
+        # cost scales with B, so a 4-survivor tail should not pay the
+        # 32-wide program. min_slots >= slots disables resizing.
+        self._full_b = slots
+        self._min_b = min(min_slots, slots)
+        self.sp = sampling
+        self.seg_len = seg_len
+        self.prompt_bucket = prompt_bucket
+        # segments in flight before the host waits for tokens. Count-
+        # retired requests (no eos) schedule without reading the device,
+        # so depth costs them nothing; it bounds run-ahead memory and,
+        # for eos-bearing requests only, the retirement lag (such a slot
+        # idles up to depth*seg_len steps past its eos). depth=1 is
+        # fully synchronous.
+        self.depth = depth
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # per-row sampling: each slot decodes under its OWN request's
+        # params (packed int32 rows — floats bitcast). Host mirror is
+        # authoritative; the device copy re-ships only when an
+        # admission or resize changed a row (dirty flag), so the steady
+        # state adds zero transfers. Opt-in: the flag selects the
+        # per-row segment program once, at construction — flipping
+        # mid-serve would recompile.
+        self.per_row = per_row_sampling
+        self._samp_host = np.tile(
+            np.asarray(pack_sampling(sampling), np.int32), (slots, 1))
+        self._samp_dev = None
+        self._samp_dirty = True
+        self.slots = [_Slot() for _ in range(slots)]
+        self.pending: List[_Pending] = []
+        self.done: Dict[int, np.ndarray] = {}
+        self._emitted: Dict[int, List[int]] = {}   # rid -> tokens so far
+        self._req: Dict[int, tuple] = {}           # rid -> (max_new, eos)
+        # streaming delivery: called (rid, tokens) the moment a request
+        # finalizes — mid-drain, segments ahead still in flight — so
+        # callers ship results without waiting for the queue to empty.
+        # Keep it cheap: it runs on the scheduling thread between
+        # dispatches (warm()'s throwaway request is suppressed).
+        self.on_finalize = on_finalize
+        self._warming = False
+        # per-request wall-clock: rid -> {submit, admit, done} seconds
+        # (perf_counter); admit is the prefill dispatch, done the host
+        # commit — done-submit is the e2e latency a client observes,
+        # admit-submit the queue wait.
+        self.times: Dict[int, Dict[str, float]] = {}
+        self._next_rid = 0
+        self._pad_id = pad_id
+        # observability: cumulative scheduler counters (stats())
+        self._n_segments = 0
+        self._n_slot_steps = 0
+        self._n_active_slot_steps = 0
+        self._n_admit_calls = 0
+        self._n_admitted = 0
+        self._n_committed = 0
+
+    # ------------------------------------------------------------ hooks
+
+    def _canon_prompt(self, prompt) -> np.ndarray:
+        """Canonical prompt array: axis 0 is the step axis (default
+        flat int32 ids; the CP engine overrides with [P, 8] rows)."""
+        return np.asarray(prompt, np.int32).reshape(-1)
+
+    def _validate_request(self, prompt: np.ndarray, max_new: int,
+                          eos_id: Optional[int], kw: dict) -> dict:
+        """Engine-specific submit validation. Returns the extra payload
+        stored on the pending entry; must consume/reject every kwarg."""
+        if kw:
+            raise TypeError(f"unexpected submit() arguments: "
+                            f"{sorted(kw)}")
+        return {}
+
+    def _park_slot(self, i: int) -> None:
+        """A slot freed by retirement or cancel (override to park
+        engine mirrors, e.g. the transformer's start vector)."""
+
+    def _park_pos(self, pos: int) -> None:
+        """A duplicate row created by pool growth became a free slot."""
+
+    def _pre_segment(self):
+        """Room check / device-state refresh before a dispatch. Return
+        ``_BLOCKED`` to defer until an in-flight segment is collected."""
+        return None
+
+    def _warm_after_drain(self) -> None:
+        """Extra compiles after the warm request drains (per width)."""
+
+    def _try_admit(self) -> None:
+        raise NotImplementedError
+
+    def _segment(self):
+        raise NotImplementedError
+
+    def _gather_state(self, idx: List[int]) -> None:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ stats
+
+    def stats(self) -> Dict[str, float]:
+        """Cumulative scheduler counters: segments dispatched, slot-step
+        occupancy (active slot-steps / dispatched slot-steps — the
+        fraction of decode work that belonged to live requests),
+        committed tokens (delivered, post-trim), admission calls/
+        requests. Resets never; diff across calls for per-window
+        rates."""
+        dispatched = self._n_slot_steps
+        return {
+            "segments": self._n_segments,
+            "slot_steps": dispatched,
+            "active_slot_steps": self._n_active_slot_steps,
+            "occupancy": (self._n_active_slot_steps / dispatched
+                          if dispatched else 0.0),
+            "committed_tokens": self._n_committed,
+            "admit_calls": self._n_admit_calls,
+            "admitted": self._n_admitted,
+        }
+
+    def latency_summary(self) -> Dict[str, float]:
+        """Client-side request latency over every finalized request:
+        e2e (submit -> host commit) and queue wait (submit -> prefill
+        dispatch) p50/p95 in seconds. e2e includes pipeline lag — an
+        eos-bearing request's slot retires up to `depth` segments after
+        its eos, and commit waits for the segment fetch — so this is
+        the number a caller actually observes, not device decode time."""
+        e2e = sorted(t["done"] - t["submit"] for t in self.times.values()
+                     if "done" in t)
+        wait = sorted(t["admit"] - t["submit"] for t in self.times.values()
+                      if "admit" in t and "done" in t)
+        if not e2e:
+            return {"n": 0}
+        q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]
+        return {"n": len(e2e),
+                "e2e_p50": q(e2e, 0.5), "e2e_p95": q(e2e, 0.95),
+                "wait_p50": q(wait, 0.5), "wait_p95": q(wait, 0.95)}
+
+    # ------------------------------------------------------------ warm
+
+    def warm(self, prompt_len: int = 1, max_new: Optional[int] = None,
+             widths: bool = False):
+        """Compile the engine's programs before real traffic: one
+        admission (at prompt_len's bucket) + segment (+ whatever
+        ``_warm_after_drain`` adds — without this the first cache wrap
+        pays its compile mid-serve, ~0.8 s on the tunneled v5e).
+        widths=True also compiles the drain-tail shrink chain (gather +
+        segment per halved width)."""
+        p = np.ones(max(1, prompt_len), np.int32)
+        self._warming = True
+        try:
+            rid = self.submit(p, max_new or self.seg_len)
+            self.run()
+        finally:
+            self._warming = False
+            self.times.pop(rid, None)
+        self._warm_after_drain()
+        if not widths:
+            return
+        while self.b // 2 >= self._min_b:
+            self._resize(self.b // 2)
+            np.asarray(self._segment())
+            self._warm_after_drain()
+        self._resize(self._full_b)
+
+    # ---------------------------------------------------------- submit
+
+    def submit(self, prompt, max_new: int,
+               eos_id: Optional[int] = None,
+               sampling: Optional[SamplingParams] = None, **kw) -> int:
+        prompt = self._canon_prompt(prompt)
+        if prompt.shape[0] == 0:
+            raise ValueError("empty prompt")
+        if sampling is not None and not self.per_row:
+            raise ValueError(
+                "per-request sampling needs per_row_sampling=True — the "
+                "flag picks the per-row segment program at construction")
+        extra = self._validate_request(prompt, max_new, eos_id, kw)
+        rid = self._next_rid
+        self._next_rid += 1
+        # pad on the host now; the device transfer happens per
+        # ADMISSION GROUP (one packed put per event) — per-request
+        # device_puts cost ~2 ms of tunnel latency each, a 0.5 s tax
+        # on a 256-request burst
+        pb = self._bucket(prompt.shape[0])
+        pad = np.full((pb,) + prompt.shape[1:], self._pad_id, np.int32)
+        pad[:prompt.shape[0]] = prompt
+        self.pending.append(_Pending(
+            rid, prompt, max_new, eos_id, padded=pad, pb=pb,
+            samp=pack_sampling(sampling or self.sp), extra=extra))
+        self.times[rid] = {"submit": time.perf_counter()}
+        return rid
+
+    # ---------------------------------------------------------- cancel
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request. Queued requests are dropped outright; an
+        ACTIVE request's slot frees at the next dispatch, and whatever
+        tokens it produced are delivered through `done` (trimmed like a
+        normal finalize — callers distinguish a cancelled result only
+        by having asked for the cancel). Returns False for unknown/
+        already-finished rids. Cancelling costs no extra dispatch: it
+        is pure host bookkeeping."""
+        for q in self.pending:
+            if q.rid == rid:
+                self.pending.remove(q)
+                self.done[rid] = np.zeros((0,), np.int32)
+                self.times[rid]["done"] = time.perf_counter()
+                return True
+        for i, s in enumerate(self.slots):
+            if s.active and s.rid == rid:
+                s.rid, s.active = -1, False
+                self._park_slot(i)
+                # deliver what's been collected so far (in-flight
+                # segments may still append before the fetch lands;
+                # _collect skips rids no longer in _req)
+                self._finalize(rid)
+                return True
+        return False
+
+    # ------------------------------------------------------- internals
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self.slots) if not s.active]
+
+    def _bucket(self, p: int) -> int:
+        b = self.prompt_bucket
+        return max(b, -(-p // b) * b)
+
+    def _admit_bookkeeping(self, q: _Pending, slot: int) -> None:
+        """Per-request host bookkeeping at admission time (shared by
+        every engine's `_try_admit`)."""
+        self._samp_host[slot] = q.samp
+        self._samp_dirty = True
+        s = self.slots[slot]
+        s.rid, s.active, s.max_new = q.rid, True, q.max_new
+        s.eos_id, s.scheduled = q.eos_id, 0
+        self._emitted[q.rid] = []
+        self._req[q.rid] = (q.max_new, q.eos_id)
+        self.times[q.rid]["admit"] = time.perf_counter()
+
+    def _resize(self, width: int):
+        """Re-pool to `width` slots: one jitted gather along the batch
+        axis (active slots first; growth pads by duplicating row 0 —
+        the duplicates become free slots)."""
+        order = [i for i, s in enumerate(self.slots) if s.active]
+        order += [i for i, s in enumerate(self.slots) if not s.active]
+        idx = order[:width]
+        dup = max(0, width - len(idx))
+        idx = idx + [order[0]] * dup
+        self._gather_state(idx)
+        self._samp_host = self._samp_host[idx].copy()
+        self._samp_dirty = True
+        new_slots, seen = [], set()
+        for pos, i in enumerate(idx):
+            s = self.slots[i]
+            if i in seen or not s.active:
+                new_slots.append(_Slot())
+                if i in seen:                 # growth duplicate: park
+                    self._park_pos(pos)
+            else:
+                new_slots.append(s)
+                seen.add(i)
+        self.slots = new_slots
+        self.b = width
+
+    def _maybe_resize(self):
+        """Shrink in the drain tail (no pending, actives fit in half the
+        pool); grow back to full width as soon as work queues."""
+        if self.pending:
+            if self.b < self._full_b:
+                self._resize(self._full_b)
+            return
+        n_act = sum(s.active for s in self.slots)
+        if n_act == 0:
+            return
+        width = self.b
+        while width // 2 >= self._min_b and n_act <= width // 2:
+            width //= 2
+        if width < self.b:
+            self._resize(width)
+
+    def _finalize(self, rid: int):
+        max_new, eos_id = self._req.pop(rid)
+        toks = self._emitted.pop(rid)[:max_new]
+        if eos_id is not None and eos_id in toks:
+            toks = toks[:toks.index(eos_id)]
+        self.done[rid] = np.asarray(toks, np.int32)
+        self._n_committed += len(self.done[rid])
+        self.times[rid]["done"] = time.perf_counter()
+        if self.on_finalize is not None and not self._warming:
+            self.on_finalize(rid, self.done[rid])
+
+    # ------------------------------------------------------------ step
+
+    def _dispatch(self):
+        """Admit pending requests, then launch one segment WITHOUT
+        waiting for its tokens. Returns (token futures [seg, B],
+        occupancy [(slot, rid)]), None if nothing is active, or
+        _BLOCKED if the engine has no room for another segment until an
+        in-flight retirement is collected.
+
+        Requests WITHOUT an eos_id retire BY COUNT, here, at dispatch
+        time: the host knows a slot has covered max_new after
+        ceil(max_new/seg_len) segments without reading a single token,
+        so the slot frees for the next admission immediately — no
+        pipeline-lag waste, and scheduling never blocks on the device.
+        Only eos-bearing requests must wait for _collect to inspect
+        tokens (their slots idle up to depth segments after the eos)."""
+        self._maybe_resize()
+        self._try_admit()
+        if not any(s.active for s in self.slots):
+            return None
+        if self._pre_segment() is _BLOCKED:
+            return _BLOCKED
+        toks = self._segment()
+        # start the device->host token copy NOW: a blocking fetch pays
+        # the full ~25 ms tunnel round-trip however deep the pipeline
+        # (fetches serialize); the async copy rides ahead so _collect's
+        # np.asarray finds the data already local (measured 25.6 ->
+        # 11.8 ms/segment on the segment-shaped probe)
+        try:
+            toks.copy_to_host_async()
+        except AttributeError:
+            pass
+        occ = [(i, s.rid) for i, s in enumerate(self.slots) if s.active]
+        self._n_segments += 1
+        self._n_slot_steps += self.b * self.seg_len
+        self._n_active_slot_steps += len(occ) * self.seg_len
+        for i, s in enumerate(self.slots):
+            if s.active:
+                s.scheduled += self.seg_len
+                if s.eos_id is None and s.scheduled >= s.max_new:
+                    s.rid, s.active = -1, False   # count retirement
+                    self._park_slot(i)
+        return toks, occ
+
+    def _collect(self, item):
+        """Wait for a dispatched segment's tokens; attribute, finalize.
+        Count-retired slots were already freed at dispatch; this only
+        delivers their tokens (and drives eos retirement)."""
+        toks, occ = item
+        toks = np.asarray(toks)          # [seg, B] — the one host sync
+        for i, rid in occ:
+            if rid not in self._req:
+                continue                 # finalized mid-pipeline (eos)
+            em = self._emitted[rid]
+            em.extend(int(x) for x in toks[:, i])
+            max_new, eos_id = self._req[rid]
+            if eos_id is None:
+                if len(em) >= max_new:
+                    self._finalize(rid)
+                continue
+            hit_eos = eos_id in em[:max_new]
+            if len(em) >= max_new or hit_eos:
+                # resolve by rid, not the segment's slot index — a
+                # pool resize may have moved the slot since dispatch
+                for k, s in enumerate(self.slots):
+                    if s.active and s.rid == rid:
+                        s.rid, s.active = -1, False
+                        self._park_slot(k)
+                        break
+                self._finalize(rid)
+
+    def step(self) -> bool:
+        """Admit, run one compiled segment synchronously, collect.
+        Returns True while any work remains."""
+        item = self._dispatch()
+        if item is not None and item is not _BLOCKED:
+            self._collect(item)
+        return bool(self.pending) or any(s.active for s in self.slots)
+
+    def run(self) -> Dict[int, np.ndarray]:
+        """Drain the queue; returns {rid: generated ids [<= max_new]}.
+
+        Keeps up to `depth` segments in flight: dispatch (including
+        count-based retirement and re-admission) runs ahead of the
+        token fetches, so the device decodes back-to-back while the
+        host trails collecting already-transferred buffers."""
+        inflight: deque = deque()
+        stalled = 0
+        while True:
+            while len(inflight) < self.depth:
+                item = self._dispatch()
+                if item is None or item is _BLOCKED:
+                    # _BLOCKED: collecting an in-flight segment frees
+                    # room (it surfaces retirements -> compaction gains)
+                    break
+                inflight.append(item)
+            if not inflight:
+                if self.pending:     # nothing active, nothing in flight
+                    stalled += 1     # -> idle-pool clock jump admits
+                    if stalled > 2:  # cannot happen for valid submits
+                        raise RuntimeError(
+                            f"{len(self.pending)} pending requests "
+                            "cannot be admitted (prompt exceeds the "
+                            "serve window?)")
+                    continue
+                break
+            stalled = 0
+            self._collect(inflight.popleft())
+        out, self.done = self.done, {}
+        return out

@@ -37,46 +37,29 @@ limit compiles), scattered into the slot's row window. Prompts longer
 than the current clock wait (the clock advances ``seg_len`` per
 segment); when the pool is idle the clock jumps to fit the longest
 queued prompt.
+
+Host-side scheduling (pipelined dispatch, count retirement, drain-tail
+shrinking, cancellation, latency accounting) lives in the shared
+``SlotScheduler`` base (decode/scheduling.py) — the RNN engine
+(decode/serving_rnn.py) runs the same scheduler over O(1) hidden-state
+slots.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .engine import align_cache_len
-from .sampling import (SamplingParams, pack_sampling, sample_logits,
+from .sampling import (SamplingParams, sample_logits,
                        sample_logits_batched, unpack_sampling)
+from .scheduling import _BLOCKED, _Pending, _Slot, SlotScheduler
 
-
-# _dispatch result: cache full until an in-flight retirement lands
-_BLOCKED = object()
-
-
-@dataclasses.dataclass
-class _Slot:
-    rid: int = -1
-    active: bool = False
-    max_new: int = 0
-    eos_id: Optional[int] = None
-    scheduled: int = 0            # slot-steps dispatched for this rid
-
-
-@dataclasses.dataclass
-class _Pending:
-    rid: int
-    prompt: np.ndarray
-    max_new: int
-    eos_id: Optional[int]
-    padded: np.ndarray = None     # [Pb] host copy at the bucket width
-    pb: int = 0                   # its static bucket width
-    samp: tuple = None            # pack_sampling() ints (per-row mode)
+__all__ = ["ContinuousBatcher"]
 
 
 @functools.partial(jax.jit, static_argnames=("model", "seg", "sp"),
@@ -216,7 +199,7 @@ def _reset_free(start, tok, free_mask, t):
             jnp.where(free_mask, 0, tok))
 
 
-class ContinuousBatcher:
+class ContinuousBatcher(SlotScheduler):
     """Continuous-batching decode over a fixed slot pool.
 
     >>> cb = ContinuousBatcher(model, params, slots=8)
@@ -241,32 +224,19 @@ class ContinuousBatcher:
                  min_slots: int = 8, per_row_sampling: bool = False,
                  on_finalize: Optional[Callable] = None,
                  rng: Optional[jax.Array] = None):
+        super().__init__(
+            slots=slots, sampling=sampling, seg_len=seg_len,
+            prompt_bucket=prompt_bucket, depth=depth, min_slots=min_slots,
+            per_row_sampling=per_row_sampling, on_finalize=on_finalize,
+            rng=rng, pad_id=getattr(model, "pad_id", 0))
         self.model = model
         self.params = params
-        self.b = slots
-        # drain-tail pool shrinking: with the queue empty the pool
-        # halves (down to min_slots) once active requests fit — per-step
-        # cost scales with B, so a 4-survivor tail should not pay the
-        # 32-wide program. min_slots >= slots disables resizing.
-        self._full_b = slots
-        self._min_b = min(min_slots, slots)
-        self.sp = sampling
-        self.seg_len = seg_len
         max_seq = getattr(model, "max_seq", 2048)
         self.cache_len = align_cache_len(
             model, min(cache_len or max_seq, max_seq))
         if self.cache_len <= seg_len:
             raise ValueError(f"cache_len {self.cache_len} must exceed "
                              f"seg_len {seg_len}")
-        self.prompt_bucket = prompt_bucket
-        # segments in flight before the host waits for tokens. Count-
-        # retired requests (no eos) schedule without reading the device,
-        # so depth costs them nothing; it bounds run-ahead memory and,
-        # for eos-bearing requests only, the retirement lag (such a slot
-        # idles up to depth*seg_len steps past its eos). depth=1 is
-        # fully synchronous.
-        self.depth = depth
-        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.cache = model.apply({"params": params}, slots,
                                  self.cache_len, method=model.init_cache)
         self.t = 0                      # host mirror of the clock
@@ -277,132 +247,25 @@ class ContinuousBatcher:
         # _start_dirty: the mirror has PARKED retired slots at the
         # clock but the device vector hasn't been refreshed yet (the
         # refresh usually rides the next admission's meta transfer;
-        # _dispatch ships it explicitly only in the drain tail, so the
-        # live-window floor min(start) never drags on a retired span)
+        # _pre_segment ships it explicitly only in the drain tail, so
+        # the live-window floor min(start) never drags on a retired
+        # span)
         self._start_host = np.zeros((slots,), np.int64)
         self._start_dirty = False
-        # per-row sampling: each slot decodes under its OWN request's
-        # params (packed int32 rows — floats bitcast). Host mirror is
-        # authoritative; the device copy re-ships only when an
-        # admission or resize changed a row (start-style dirty flag),
-        # so the steady state adds zero transfers. Opt-in: the flag
-        # selects the per-row segment program once, at construction —
-        # flipping mid-serve would recompile.
-        self.per_row = per_row_sampling
-        self._samp_host = np.tile(
-            np.asarray(pack_sampling(sampling), np.int32), (slots, 1))
-        self._samp_dev = None
-        self._samp_dirty = True
         self.tok = jnp.zeros((slots,), jnp.int32)
-        self.slots = [_Slot() for _ in range(slots)]
-        self.pending: List[_Pending] = []
-        self.done: Dict[int, np.ndarray] = {}
-        self._emitted: Dict[int, List[int]] = {}   # rid -> tokens so far
-        self._req: Dict[int, tuple] = {}           # rid -> (max_new, eos)
-        # streaming delivery: called (rid, tokens) the moment a request
-        # finalizes — mid-drain, segments ahead still in flight — so
-        # callers ship results without waiting for the queue to empty.
-        # Keep it cheap: it runs on the scheduling thread between
-        # dispatches (warm()'s throwaway request is suppressed).
-        self.on_finalize = on_finalize
-        self._warming = False
-        # per-request wall-clock: rid -> {submit, admit, done} seconds
-        # (perf_counter); admit is the prefill dispatch, done the host
-        # commit — done-submit is the e2e latency a client observes,
-        # admit-submit the queue wait.
-        self.times: Dict[int, Dict[str, float]] = {}
-        self._next_rid = 0
-        self._pad_id = getattr(model, "pad_id", 0)
-        # observability: cumulative scheduler counters (stats())
-        self._n_segments = 0
-        self._n_slot_steps = 0
-        self._n_active_slot_steps = 0
-        self._n_admit_calls = 0
-        self._n_admitted = 0
         self._n_compactions = 0
-        self._n_committed = 0
 
     def stats(self) -> Dict[str, float]:
-        """Cumulative scheduler counters: segments dispatched, slot-step
-        occupancy (active slot-steps / dispatched slot-steps — the
-        fraction of decode work that belonged to live requests),
-        committed tokens (delivered, post-trim), admission calls/
-        requests, compactions. Resets never; diff across calls for
-        per-window rates."""
-        dispatched = self._n_slot_steps
-        return {
-            "segments": self._n_segments,
-            "slot_steps": dispatched,
-            "active_slot_steps": self._n_active_slot_steps,
-            "occupancy": (self._n_active_slot_steps / dispatched
-                          if dispatched else 0.0),
-            "committed_tokens": self._n_committed,
-            "admit_calls": self._n_admit_calls,
-            "admitted": self._n_admitted,
-            "compactions": self._n_compactions,
-        }
+        st = super().stats()
+        st["compactions"] = self._n_compactions
+        return st
 
-    def latency_summary(self) -> Dict[str, float]:
-        """Client-side request latency over every finalized request:
-        e2e (submit -> host commit) and queue wait (submit -> prefill
-        dispatch) p50/p95 in seconds. e2e includes pipeline lag — an
-        eos-bearing request's slot retires up to `depth` segments after
-        its eos, and commit waits for the segment fetch — so this is
-        the number a caller actually observes, not device decode time."""
-        e2e = sorted(t["done"] - t["submit"] for t in self.times.values()
-                     if "done" in t)
-        wait = sorted(t["admit"] - t["submit"] for t in self.times.values()
-                      if "admit" in t and "done" in t)
-        if not e2e:
-            return {"n": 0}
-        q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]
-        return {"n": len(e2e),
-                "e2e_p50": q(e2e, 0.5), "e2e_p95": q(e2e, 0.95),
-                "wait_p50": q(wait, 0.5), "wait_p95": q(wait, 0.95)}
+    # --------------------------------------------------- scheduler hooks
 
-    # ------------------------------------------------------------ warm
-
-    def warm(self, prompt_len: int = 1, max_new: Optional[int] = None,
-             widths: bool = False):
-        """Compile the engine's programs before real traffic: one
-        admission (at prompt_len's bucket) + segment + the compaction
-        roll (a zero-shift roll compiles the same program as any
-        shift — without this the first cache wrap pays the compile
-        mid-serve, ~0.8 s on the tunneled v5e). widths=True also
-        compiles the drain-tail shrink chain (gather + segment +
-        compaction per halved width)."""
-        p = np.ones(max(1, prompt_len), np.int32)
-        self._warming = True
-        try:
-            rid = self.submit(p, max_new or self.seg_len)
-            self.run()
-        finally:
-            self._warming = False
-            self.times.pop(rid, None)
-        self.cache, self.start = _compact(self.cache, self.start,
-                                          jnp.int32(0))
-        if not widths:
-            return
-        while self.b // 2 >= self._min_b:
-            self._resize(self.b // 2)
-            np.asarray(self._segment())
-            self.cache, self.start = _compact(self.cache, self.start,
-                                              jnp.int32(0))
-        self._resize(self._full_b)
-
-    # ---------------------------------------------------------- submit
-
-    def submit(self, prompt, max_new: int,
-               eos_id: Optional[int] = None,
-               sampling: Optional[SamplingParams] = None) -> int:
-        prompt = np.asarray(prompt, np.int32).reshape(-1)
-        if prompt.size == 0:
-            raise ValueError("empty prompt")
-        if sampling is not None and not self.per_row:
-            raise ValueError(
-                "per-request sampling needs "
-                "ContinuousBatcher(per_row_sampling=True) — the flag "
-                "picks the per-row segment program at construction")
+    def _validate_request(self, prompt, max_new, eos_id, kw) -> dict:
+        if kw:
+            raise TypeError(f"unexpected submit() arguments: "
+                            f"{sorted(kw)}")
         # span a slot occupies before reuse: count-retired requests
         # (no eos) free their slot AT DISPATCH TIME, overshooting
         # max_new by less than one segment; eos requests stay active
@@ -418,54 +281,41 @@ class ContinuousBatcher:
                 f"{lag} * seg_len ({self.seg_len}) "
                 f"exceeds the serve window ({limit}); shorten the "
                 "request or raise cache_len")
-        rid = self._next_rid
-        self._next_rid += 1
-        # pad on the host now; the device transfer happens per
-        # ADMISSION GROUP (one [S, Pb] put per event) — per-request
-        # device_puts cost ~2 ms of tunnel latency each, a 0.5 s tax
-        # on a 256-request burst
-        pb = self._bucket(prompt.size)
-        pad = np.full((pb,), self._pad_id, np.int32)
-        pad[:prompt.size] = prompt
-        self.pending.append(_Pending(
-            rid, prompt, max_new, eos_id, padded=pad, pb=pb,
-            samp=pack_sampling(sampling or self.sp)))
-        self.times[rid] = {"submit": time.perf_counter()}
-        return rid
+        return {}
 
-    # ---------------------------------------------------------- cancel
+    def _park_slot(self, i: int) -> None:
+        self._start_host[i] = self.t
+        self._start_dirty = True
 
-    def cancel(self, rid: int) -> bool:
-        """Cancel a request. Queued requests are dropped outright; an
-        ACTIVE request's slot frees at the next dispatch (its mirror
-        parks at the clock so the live-window floor releases its span),
-        and whatever tokens it produced are delivered through `done`
-        (trimmed like a normal finalize — callers distinguish a
-        cancelled result only by having asked for the cancel).
-        Returns False for unknown/already-finished rids. Cancelling
-        costs no extra dispatch: it is pure host bookkeeping."""
-        for q in self.pending:
-            if q.rid == rid:
-                self.pending.remove(q)
-                self.done[rid] = np.zeros((0,), np.int32)
-                self.times[rid]["done"] = time.perf_counter()
-                return True
-        for i, s in enumerate(self.slots):
-            if s.active and s.rid == rid:
-                s.rid, s.active = -1, False
-                self._start_host[i] = self.t
-                self._start_dirty = True
-                # deliver what's been collected so far (in-flight
-                # segments may still append before the fetch lands;
-                # _collect skips rids no longer in _req)
-                self._finalize(rid)
-                return True
-        return False
+    def _park_pos(self, pos: int) -> None:
+        self._start_host[pos] = self.t
+        self._start_dirty = True
+
+    def _gather_state(self, idx) -> None:
+        self.cache, self.start, self.tok = _gather_slots(
+            self.cache, self.start, self.tok,
+            jnp.asarray(idx, jnp.int32))
+        self._start_host = self._start_host[idx].copy()
+
+    def _warm_after_drain(self) -> None:
+        # a zero-shift roll compiles the same program as any shift —
+        # without this the first cache wrap pays the compile mid-serve
+        self.cache, self.start = _compact(self.cache, self.start,
+                                          jnp.int32(0))
+
+    def _pre_segment(self):
+        self._maybe_compact(self.seg_len)
+        if self.t + self.seg_len > self.cache_len:
+            return _BLOCKED
+        if self._start_dirty:
+            # drain tail: retirements parked slots in the mirror with no
+            # admission to carry the refresh — ship the vector so the
+            # segment's min(start) floor tightens to the live window
+            self.start = jnp.asarray(self._start_host.astype(np.int32))
+            self._start_dirty = False
+        return None
 
     # ------------------------------------------------------- internals
-
-    def _free_slots(self) -> List[int]:
-        return [i for i, s in enumerate(self.slots) if not s.active]
 
     def _t_device(self):
         """Device-resident clock scalar (host scalars cost a ~2 ms
@@ -474,52 +324,6 @@ class ContinuousBatcher:
         if self._t_dev is None:
             self._t_dev = jnp.int32(self.t)
         return self._t_dev
-
-    def _resize(self, width: int):
-        """Re-pool to `width` slots: one jitted gather along the batch
-        axis (active slots first; growth pads by duplicating row 0 —
-        the duplicates become free slots, parked at the clock so they
-        don't drag the live-window floor)."""
-        order = [i for i, s in enumerate(self.slots) if s.active]
-        order += [i for i, s in enumerate(self.slots) if not s.active]
-        idx = order[:width]
-        dup = max(0, width - len(idx))
-        idx = idx + [order[0]] * dup
-        self.cache, self.start, self.tok = _gather_slots(
-            self.cache, self.start, self.tok,
-            jnp.asarray(idx, jnp.int32))
-        self._start_host = self._start_host[idx].copy()
-        self._samp_host = self._samp_host[idx].copy()
-        self._samp_dirty = True
-        new_slots, seen = [], set()
-        for pos, i in enumerate(idx):
-            s = self.slots[i]
-            if i in seen or not s.active:
-                new_slots.append(_Slot())
-                if i in seen:                 # growth duplicate: park
-                    self._start_host[pos] = self.t
-                    self._start_dirty = True
-            else:
-                new_slots.append(s)
-                seen.add(i)
-        self.slots = new_slots
-        self.b = width
-
-    def _maybe_resize(self):
-        """Shrink in the drain tail (no pending, actives fit in half the
-        pool); grow back to full width as soon as work queues."""
-        if self.pending:
-            if self.b < self._full_b:
-                self._resize(self._full_b)
-            return
-        n_act = sum(s.active for s in self.slots)
-        if n_act == 0:
-            return
-        width = self.b
-        while width // 2 >= self._min_b and n_act <= width // 2:
-            width //= 2
-        if width < self.b:
-            self._resize(width)
 
     def _maybe_compact(self, need_rows: int):
         """Ensure the next `need_rows` clock ticks stay in the cache."""
@@ -539,10 +343,6 @@ class ContinuousBatcher:
             self.t -= shift
             self._t_dev = None
             self._n_compactions += 1
-
-    def _bucket(self, p: int) -> int:
-        b = self.prompt_bucket
-        return max(b, -(-p // b) * b)
 
     def _segment(self):
         """Launch one compiled segment on the mode's program (uniform
@@ -606,14 +406,7 @@ class ContinuousBatcher:
             for grp in groups.values():
                 for q, slot in grp:
                     self._start_host[slot] = self.t - (q.prompt.size - 1)
-                    self._samp_host[slot] = q.samp
-                    self._samp_dirty = True
-                    s = self.slots[slot]
-                    s.rid, s.active, s.max_new = q.rid, True, q.max_new
-                    s.eos_id, s.scheduled = q.eos_id, 0
-                    self._emitted[q.rid] = []
-                    self._req[q.rid] = (q.max_new, q.eos_id)
-                    self.times[q.rid]["admit"] = time.perf_counter()
+                    self._admit_bookkeeping(q, slot)
             self._start_dirty = False
         for pb, grp in groups.items():
             rows = [q.padded for q, _ in grp]
@@ -637,136 +430,3 @@ class ContinuousBatcher:
             self._n_admit_calls += 1
             self._n_admitted += len(grp)
         self.pending = remaining
-
-    def _finalize(self, rid: int):
-        max_new, eos_id = self._req.pop(rid)
-        toks = self._emitted.pop(rid)[:max_new]
-        if eos_id is not None and eos_id in toks:
-            toks = toks[:toks.index(eos_id)]
-        self.done[rid] = np.asarray(toks, np.int32)
-        self._n_committed += len(self.done[rid])
-        self.times[rid]["done"] = time.perf_counter()
-        if self.on_finalize is not None and not self._warming:
-            self.on_finalize(rid, self.done[rid])
-
-    # ------------------------------------------------------------ step
-
-    def _dispatch(self):
-        """Admit pending requests, then launch one segment WITHOUT
-        waiting for its tokens. Returns (token futures [seg, B],
-        occupancy [(slot, rid)]), None if nothing is active, or
-        _BLOCKED if the cache has no room for another segment until an
-        in-flight retirement is collected.
-
-        Requests WITHOUT an eos_id retire BY COUNT, here, at dispatch
-        time: the host knows a slot has covered max_new after
-        ceil(max_new/seg_len) segments without reading a single token,
-        so the slot frees for the next admission immediately — no
-        pipeline-lag waste, and scheduling never blocks on the device.
-        Only eos-bearing requests must wait for _collect to inspect
-        tokens (their slots idle up to depth segments after the eos)."""
-        self._maybe_resize()
-        self._try_admit()
-        if not any(s.active for s in self.slots):
-            return None
-        self._maybe_compact(self.seg_len)
-        if self.t + self.seg_len > self.cache_len:
-            return _BLOCKED
-        if self._start_dirty:
-            # drain tail: retirements parked slots in the mirror with no
-            # admission to carry the refresh — ship the vector so the
-            # segment's min(start) floor tightens to the live window
-            self.start = jnp.asarray(self._start_host.astype(np.int32))
-            self._start_dirty = False
-        toks = self._segment()
-        # start the device->host token copy NOW: a blocking fetch pays
-        # the full ~25 ms tunnel round-trip however deep the pipeline
-        # (fetches serialize); the async copy rides ahead so _collect's
-        # np.asarray finds the data already local (measured 25.6 ->
-        # 11.8 ms/segment on the segment-shaped probe)
-        try:
-            toks.copy_to_host_async()
-        except AttributeError:
-            pass
-        occ = [(i, s.rid) for i, s in enumerate(self.slots) if s.active]
-        self._n_segments += 1
-        self._n_slot_steps += self.b * self.seg_len
-        self._n_active_slot_steps += len(occ) * self.seg_len
-        for i, s in enumerate(self.slots):
-            if s.active:
-                s.scheduled += self.seg_len
-                if s.eos_id is None and s.scheduled >= s.max_new:
-                    s.rid, s.active = -1, False   # count retirement
-                    self._start_host[i] = self.t  # park the mirror
-                    self._start_dirty = True
-        return toks, occ
-
-    def _collect(self, item):
-        """Wait for a dispatched segment's tokens; attribute, finalize.
-        Count-retired slots were already freed at dispatch; this only
-        delivers their tokens (and drives eos retirement)."""
-        toks, occ = item
-        toks = np.asarray(toks)          # [seg, B] — the one host sync
-        for i, rid in occ:
-            if rid not in self._req:
-                continue                 # finalized mid-pipeline (eos)
-            em = self._emitted[rid]
-            em.extend(int(x) for x in toks[:, i])
-            max_new, eos_id = self._req[rid]
-            if eos_id is None:
-                if len(em) >= max_new:
-                    self._finalize(rid)
-                continue
-            hit_eos = eos_id in em[:max_new]
-            if len(em) >= max_new or hit_eos:
-                # resolve by rid, not the segment's slot index — a
-                # pool resize may have moved the slot since dispatch
-                for k, s in enumerate(self.slots):
-                    if s.active and s.rid == rid:
-                        s.rid, s.active = -1, False
-                        self._start_host[k] = self.t  # park the mirror
-                        self._start_dirty = True
-                        break
-                self._finalize(rid)
-
-    def step(self) -> bool:
-        """Admit, run one compiled segment synchronously, collect.
-        Returns True while any work remains."""
-        item = self._dispatch()
-        if item is not None and item is not _BLOCKED:
-            self._collect(item)
-        return bool(self.pending) or any(s.active for s in self.slots)
-
-    def run(self) -> Dict[int, np.ndarray]:
-        """Drain the queue; returns {rid: generated ids [<= max_new]}.
-
-        Keeps up to `depth` segments in flight: dispatch (including
-        count-based retirement and re-admission) runs ahead of the
-        token fetches, so the device decodes back-to-back while the
-        host trails collecting already-transferred buffers."""
-        from collections import deque
-
-        inflight: deque = deque()
-        stalled = 0
-        while True:
-            while len(inflight) < self.depth:
-                item = self._dispatch()
-                if item is None or item is _BLOCKED:
-                    # _BLOCKED: collecting an in-flight segment frees
-                    # room (it surfaces retirements -> compaction gains)
-                    break
-                inflight.append(item)
-            if not inflight:
-                if self.pending:     # nothing active, nothing in flight
-                    stalled += 1     # -> idle-pool clock jump admits
-                    if stalled > 2:  # cannot happen for valid submits
-                        raise RuntimeError(
-                            f"{len(self.pending)} pending requests "
-                            "cannot be admitted (prompt exceeds the "
-                            "serve window?)")
-                    continue
-                break
-            stalled = 0
-            self._collect(inflight.popleft())
-        out, self.done = self.done, {}
-        return out

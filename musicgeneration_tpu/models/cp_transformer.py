@@ -16,7 +16,7 @@ max_seq window covers proportionally more bars.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -186,23 +186,36 @@ class CPTransformer(nn.Module):
         logits = [head(h_last).astype(jnp.float32) for head in self.heads]
         return logits, {"k": k_all, "v": v_all}
 
-    def decode_step(self, row: jnp.ndarray, cache: Cache, t: jnp.ndarray):
+    def decode_step(self, row: jnp.ndarray, cache: Cache, t: jnp.ndarray,
+                    start: Optional[jnp.ndarray] = None,
+                    start_min: Optional[jnp.ndarray] = None):
         """row: [B, 8] int; t: absolute position. Returns (list of
-        per-field logits [B, fd], new cache)."""
+        per-field logits [B, fd], new cache).
+
+        start / start_min: optional RAGGED continuous-batching bounds,
+        exactly as MusicTransformer.decode_step — row b occupies cache
+        rows [start[b], t], its position is t - start[b], and the fused
+        kernels skip KV blocks below the start_min floor
+        (decode/serving_cp.py)."""
         from .music_transformer import fused_layer_stack_step
 
         h = self._embed(row)
-        pos = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
-        h = h + pos[0]
+        if start is None:
+            pos = jax.lax.dynamic_slice_in_dim(
+                jnp.asarray(self.pos_table, self.dtype), t, 1, axis=0)
+            h = h + pos[0]
+        else:
+            h = h + jnp.asarray(self.pos_table, self.dtype)[t - start]
         k_all, v_all = cache["k"], cache["v"]
         if self._decode_fused():
             h, k_all, v_all = fused_layer_stack_step(
                 self.layers, h, t, k_all, v_all, self.num_heads,
-                self.dtype, quant=getattr(self, "decode_quant", "none"))
+                self.dtype, quant=getattr(self, "decode_quant", "none"),
+                start=start, start_min=start_min)
         else:
             for i, layer in enumerate(self.layers):
-                h, k_all, v_all = layer.decode(h, k_all, v_all, i, t)
+                h, k_all, v_all = layer.decode(h, k_all, v_all, i, t,
+                                               start=start)
         logits = [head(h).astype(jnp.float32) for head in self.heads]
         return logits, {"k": k_all, "v": v_all}
 

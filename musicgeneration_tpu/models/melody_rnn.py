@@ -123,7 +123,11 @@ class MelodyRNN(nn.Module):
         if self.attn_length > 0:
             cache["attn_buf"] = jnp.zeros(
                 (self.attn_length, batch, self.hidden_dim), self.dtype)
-            cache["attn_n"] = jnp.zeros((), jnp.int32)
+            # per-ROW step count: rows admitted at different times (the
+            # continuous-batching serving pool) each mask their own
+            # unfilled window; a dedicated decode just carries B equal
+            # counters
+            cache["attn_n"] = jnp.zeros((batch,), jnp.int32)
         return cache
 
     def decode_step(self, token: jnp.ndarray, cache: Dict,
@@ -133,10 +137,10 @@ class MelodyRNN(nn.Module):
         new_cache: Dict[str, Any] = {"h": h, "c": c}
         if self.attn_length > 0:
             w, b = self.attn_length, out.shape[0]
-            n = cache["attn_n"]
-            # buf is oldest->newest: the last min(n, w) slots are real
-            valid = jnp.broadcast_to(
-                jnp.arange(w)[:, None] >= w - jnp.minimum(n, w), (w, b))
+            n = cache["attn_n"]                       # [B]
+            # buf is oldest->newest: the last min(n_b, w) slots are real
+            valid = (jnp.arange(w)[:, None]
+                     >= (w - jnp.minimum(n, w))[None, :])
             out = self._attend(out, cache["attn_buf"], valid)
             new_cache["attn_buf"] = jnp.concatenate(
                 [cache["attn_buf"][1:],

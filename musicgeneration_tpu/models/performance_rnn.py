@@ -76,13 +76,26 @@ class PerformanceRNN(nn.Module):
             1, 0, 2)
 
     def _step_input(self, tokens: jnp.ndarray,
-                    control: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """tokens: [..., B]; control: [..., B, control_dim] or None."""
+                    control: Optional[jnp.ndarray],
+                    default_mask: Optional[jnp.ndarray] = None
+                    ) -> jnp.ndarray:
+        """tokens: [..., B]; control: [..., B, control_dim] or None.
+
+        default_mask: optional per-ROW bool [..., B] — True rows behave
+        exactly like the control=None path (default flag 1, zero
+        control) while False rows consume their `control` row. Lets a
+        serving pool mix conditioned and unconditioned requests in one
+        program; with the mask all-False this is identical to the plain
+        control path (reference semantics: network.py:46-56 builds the
+        default flag from control presence per call)."""
         emb = self.event_embedding(tokens.astype(jnp.int32))
         b_shape = emb.shape[:-1]
         if control is None:
             default = jnp.ones(b_shape + (1,), self.dtype)
             control = jnp.zeros(b_shape + (self.control_dim,), self.dtype)
+        elif default_mask is not None:
+            default = default_mask[..., None].astype(self.dtype)
+            control = control.astype(self.dtype) * (1 - default)
         else:
             default = jnp.zeros(b_shape + (1,), self.dtype)
             control = control.astype(self.dtype)
@@ -132,7 +145,8 @@ class PerformanceRNN(nn.Module):
 
     def decode_step(self, token: jnp.ndarray, cache: Dict,
                     t: jnp.ndarray = None,
-                    control: Optional[jnp.ndarray] = None):
-        x = self._step_input(token, control)
+                    control: Optional[jnp.ndarray] = None,
+                    control_default: Optional[jnp.ndarray] = None):
+        x = self._step_input(token, control, control_default)
         _, h = self.gru.step(x, cache["h"])
         return self._head(h), {"h": h}

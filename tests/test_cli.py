@@ -541,6 +541,41 @@ def test_serve_continuous_batching(tok_dir, tmp_path):
     MidiFile(os.path.join(outdir, "c.mid"))
 
 
+def test_serve_rnn_continuous_batching(tok_dir, tmp_path):
+    """cli.serve routes an event_rnn checkpoint through the RNN
+    continuous batcher (hidden-state slots); the greedy default-latent
+    request is byte-identical to cli.generate on the same checkpoint
+    (both start from the zero hidden state), and latent-seeded /
+    per-row-sampled neighbours share the pool."""
+    ckpt, _ = _train(tok_dir, tmp_path, "event_rnn",
+                     ["model.hidden_dim=32", "model.num_layers=2"])
+    reqs = tmp_path / "rnn_reqs.jsonl"
+    reqs.write_text(
+        json.dumps({"id": "a", "tokens": [24, 28, 31],
+                    "max_new": 24}) + "\n"
+        + json.dumps({"id": "b", "tokens": [10, 20, 30],
+                      "max_new": 16, "init_seed": 5}) + "\n"
+        + json.dumps({"id": "c", "tokens": [5, 15], "max_new": 12,
+                      "temperature": 0.9, "top_k": 12,
+                      "greedy": False}) + "\n")
+    outdir = str(tmp_path / "served_rnn")
+    from musicgeneration_tpu.cli.serve import main as serve_main
+    assert serve_main([ckpt, str(reqs), outdir, "--slots", "2",
+                       "--seg-len", "8", "--greedy"]) == 0
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ref_mid = str(tmp_path / "ref_rnn.mid")
+    # cli.generate event_rnn greedy starts from the zero hidden state
+    # with the default [24, 28, 31] prime — exactly request "a"
+    assert gen_main([ckpt, ref_mid, "--steps", "24",
+                     "--temperature", "0"]) == 0
+    with open(os.path.join(outdir, "a.mid"), "rb") as f1, \
+            open(ref_mid, "rb") as f2:
+        assert f1.read() == f2.read()
+    from musicgeneration_tpu.midi import MidiFile
+    MidiFile(os.path.join(outdir, "b.mid"))
+    MidiFile(os.path.join(outdir, "c.mid"))
+
+
 @pytest.mark.slow
 def test_serve_follow_stdin_online(tok_dir, tmp_path, monkeypatch,
                                    capsys):
