@@ -69,6 +69,9 @@ def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
         # slot above the 130-id note-array vocab)
         tokens = tokens[tokens < melody.MELODY_VOCAB]
         melody.note_array_to_midi(tokens, path)
+    elif scheme == "cp":
+        from ..tokenizers import cp as cp_codec
+        cp_codec.write_midi(tokens.reshape(-1, 8), path)
     else:
         raise ValueError(f"cannot write scheme {scheme!r}")
 

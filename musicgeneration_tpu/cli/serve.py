@@ -83,6 +83,7 @@ def main(argv=None) -> int:
 
     from ..decode.sampling import SamplingParams
     from ..decode.serving import ContinuousBatcher
+    from ..decode.serving_cp import CPContinuousBatcher
     from ..decode.serving_rnn import RNNContinuousBatcher
     from ..models import MusicTransformer
     from ..utils.checkpoint import restore_checkpoint
@@ -101,10 +102,12 @@ def main(argv=None) -> int:
     model, _tcfg, _apply, _loss, _adapter = build_session(
         cfg, scheme, model_kwargs)
     is_rnn = cfg.model in RNN_MODELS
-    if not isinstance(model, MusicTransformer) and not is_rnn:
+    is_cp = cfg.model == "cp_transformer"
+    if not isinstance(model, MusicTransformer) and not is_rnn \
+            and not is_cp:
         raise SystemExit(
-            f"cli.serve drives the MusicTransformer and RNN families; "
-            f"{cfg.model} decodes through cli.generate")
+            f"cli.serve drives the MusicTransformer, CP and RNN "
+            f"families; {cfg.model} decodes through cli.generate")
     params = payload["state"]["params"]
     if scanned:
         from ..models.music_transformer import unstack_scanned_params
@@ -122,6 +125,16 @@ def main(argv=None) -> int:
         name = str(req.get("id", ln))
         if "tokens" in req:
             toks = np.asarray(req["tokens"], np.int32)
+        elif is_cp:
+            from ..tokenizers import cp as cp_codec
+            if req.get("prime") is None:
+                # bare bar-marker row (cli.generate's CP default)
+                toks = np.asarray(
+                    [cp_codec._row(cp_codec.FAMILY_METRIC, position=0)],
+                    np.int32)
+            else:
+                toks = np.asarray(cp_codec.extract_events(
+                    req["prime"])[:req.get("prime_len", 500)], np.int32)
         else:
             toks = np.asarray(_prime_tokens(
                 scheme, req.get("prime"), req.get("prime_len", 500)),
@@ -133,6 +146,10 @@ def main(argv=None) -> int:
                     [[model.primary_event], toks]).astype(np.int32)
         sp = None
         if any(f in req for f in samp_fields):
+            if is_cp:
+                raise ValueError(
+                    "per-request sampling params are not defined for "
+                    "compound-word rows; set the CLI-level flags")
             sp = SamplingParams(
                 temperature=float(req.get("temperature",
                                           args.temperature)),
@@ -161,6 +178,12 @@ def main(argv=None) -> int:
                 ctrl_window=args.ctrl_window,
                 per_row_sampling=per_row, on_finalize=on_finalize,
                 rng=jax.random.PRNGKey(args.seed))
+        if is_cp:
+            return CPContinuousBatcher(
+                model, params, slots=args.slots, sampling=sampling,
+                seg_len=args.seg_len, cache_len=args.cache_len,
+                depth=args.depth, on_finalize=on_finalize,
+                rng=jax.random.PRNGKey(args.seed))
         return ContinuousBatcher(
             model, params, slots=args.slots, sampling=sampling,
             seg_len=args.seg_len, cache_len=args.cache_len,
@@ -177,7 +200,10 @@ def main(argv=None) -> int:
             line = line.strip()
             if not line:
                 continue
-            parsed.append(parse_request(line, ln))
+            try:
+                parsed.append(parse_request(line, ln))
+            except ValueError as e:
+                raise SystemExit(f"request line {ln}: {e}")
     if not parsed:
         raise SystemExit(f"no requests in {args.requests}")
 
@@ -265,8 +291,14 @@ def _serve_follow(scheme, build_cb, parse_request, args) -> int:
                 break
             if not line.strip():
                 continue
-            name, toks, max_new, eos, sp, extra = parse_request(
-                line.strip(), ln)
+            try:
+                name, toks, max_new, eos, sp, extra = parse_request(
+                    line.strip(), ln)
+            except ValueError as e:
+                print(json.dumps({"id": str(ln), "error": str(e)}),
+                      flush=True)
+                ln += 1
+                continue
             ln += 1
             try:
                 rid = cb.submit(toks, max_new, eos_id=eos, sampling=sp,

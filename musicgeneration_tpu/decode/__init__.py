@@ -9,10 +9,12 @@ from .beam import beam_search, replicate_for_beams
 from .engine import DecodeParams, expand_controls, generate, generate_sliding
 from .sampling import sample_logits
 from .serving import ContinuousBatcher
+from .serving_cp import CPContinuousBatcher
 from .serving_rnn import RNNContinuousBatcher
 from .speculative import SpecParams, generate_speculative
 
 __all__ = ["generate", "generate_sliding", "DecodeParams",
            "expand_controls", "sample_logits", "beam_search",
            "replicate_for_beams", "SpecParams", "generate_speculative",
-           "ContinuousBatcher", "RNNContinuousBatcher"]
+           "ContinuousBatcher", "RNNContinuousBatcher",
+           "CPContinuousBatcher"]

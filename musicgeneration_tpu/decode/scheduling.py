@@ -131,6 +131,7 @@ class SlotScheduler:
         self.times: Dict[int, Dict[str, float]] = {}
         self._next_rid = 0
         self._pad_id = pad_id
+        self._async_fetch = jax.default_backend() != "cpu"
         # observability: cumulative scheduler counters (stats())
         self._n_segments = 0
         self._n_slot_steps = 0
@@ -145,6 +146,10 @@ class SlotScheduler:
         """Canonical prompt array: axis 0 is the step axis (default
         flat int32 ids; the CP engine overrides with [P, 8] rows)."""
         return np.asarray(prompt, np.int32).reshape(-1)
+
+    def _warm_prompt(self, n: int) -> np.ndarray:
+        """The warm() probe prompt at length n (engine token shape)."""
+        return np.ones(n, np.int32)
 
     def _validate_request(self, prompt: np.ndarray, max_new: int,
                           eos_id: Optional[int], kw: dict) -> dict:
@@ -169,6 +174,14 @@ class SlotScheduler:
 
     def _warm_after_drain(self) -> None:
         """Extra compiles after the warm request drains (per width)."""
+
+    def _eos_index(self, toks, eos_id) -> Optional[int]:
+        """Index of the first eos hit in a token list, or None. The CP
+        engine overrides to match the FAMILY column of compound rows."""
+        for j, x in enumerate(toks):
+            if x == eos_id:
+                return j
+        return None
 
     def _try_admit(self) -> None:
         raise NotImplementedError
@@ -228,7 +241,7 @@ class SlotScheduler:
         pays its compile mid-serve, ~0.8 s on the tunneled v5e).
         widths=True also compiles the drain-tail shrink chain (gather +
         segment per halved width)."""
-        p = np.ones(max(1, prompt_len), np.int32)
+        p = self._warm_prompt(max(1, prompt_len))
         self._warming = True
         try:
             rid = self.submit(p, max_new or self.seg_len)
@@ -365,8 +378,10 @@ class SlotScheduler:
     def _finalize(self, rid: int):
         max_new, eos_id = self._req.pop(rid)
         toks = self._emitted.pop(rid)[:max_new]
-        if eos_id is not None and eos_id in toks:
-            toks = toks[:toks.index(eos_id)]
+        if eos_id is not None:
+            cut = self._eos_index(toks, eos_id)
+            if cut is not None:
+                toks = toks[:cut]
         self.done[rid] = np.asarray(toks, np.int32)
         self._n_committed += len(self.done[rid])
         self.times[rid]["done"] = time.perf_counter()
@@ -400,11 +415,24 @@ class SlotScheduler:
         # the full ~25 ms tunnel round-trip however deep the pipeline
         # (fetches serialize); the async copy rides ahead so _collect's
         # np.asarray finds the data already local (measured 25.6 ->
-        # 11.8 ms/segment on the segment-shaped probe)
-        try:
-            toks.copy_to_host_async()
-        except AttributeError:
-            pass
+        # 11.8 ms/segment on the segment-shaped probe).
+        #
+        # CPU backend: fetch SYNCHRONOUSLY here instead. jax 0.9's CPU
+        # runtime intermittently returns STALE memory when a buffer is
+        # fetched while several donated-buffer programs are still
+        # enqueued behind its producer (reproduced ~1-in-5 processes at
+        # pipeline depth 4; collects of LATER segments proved the
+        # device-side stream itself correct — the long-standing
+        # test_serving_per_row_mixed_sampling flake). Pipelined fetch
+        # only pays on the tunneled TPU anyway; on CPU the early
+        # materialization costs nothing and removes the race.
+        if self._async_fetch:
+            try:
+                toks.copy_to_host_async()
+            except AttributeError:
+                pass
+        else:
+            toks = np.asarray(toks)
         occ = [(i, s.rid) for i, s in enumerate(self.slots) if s.active]
         self._n_segments += 1
         self._n_slot_steps += self.b * self.seg_len
@@ -427,13 +455,13 @@ class SlotScheduler:
             if rid not in self._req:
                 continue                 # finalized mid-pipeline (eos)
             em = self._emitted[rid]
-            em.extend(int(x) for x in toks[:, i])
+            em.extend(toks[:, i])       # scalars, or [8] compound rows
             max_new, eos_id = self._req[rid]
             if eos_id is None:
                 if len(em) >= max_new:
                     self._finalize(rid)
                 continue
-            hit_eos = eos_id in em[:max_new]
+            hit_eos = self._eos_index(em[:max_new], eos_id) is not None
             if len(em) >= max_new or hit_eos:
                 # resolve by rid, not the segment's slot index — a
                 # pool resize may have moved the slot since dispatch

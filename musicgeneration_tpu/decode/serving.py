@@ -151,11 +151,22 @@ def _admit(model, params, cache, tok, packed, t):
     the scatters in place."""
     prompts_pad = packed[:, :-3]
     ps, slots_idx, new_start = packed[:, -3], packed[:, -2], packed[:, -1]
-    k_all, v_all = cache["k"], cache["v"]
     _, pre = model.apply({"params": params}, prompts_pad,
                          prompts_pad.shape[1], method=model.prefill)
+    cache = scatter_prefill(cache, pre, ps, slots_idx, t)
+    last = jnp.take_along_axis(prompts_pad, (ps - 1)[:, None],
+                               axis=1)[:, 0]
+    tok = tok.at[slots_idx].set(last)
+    return cache, new_start, tok
+
+
+def scatter_prefill(cache, pre, ps, slots_idx, t):
+    """Scatter a group prefill's K/V into the slot row windows: group
+    row j's prompt K/V lands at rows [t-p_j+1, t] of slot slots_idx[j]
+    (shared by the flat-token and CP admission programs)."""
+    k_all, v_all = cache["k"], cache["v"]
     fused = k_all.ndim == 4                  # [L, B, S, d] vs [L, B, H, S, dh]
-    for j in range(prompts_pad.shape[0]):
+    for j in range(pre["k"].shape[1]):
         row0 = t - (ps[j] - 1)
         idx = ((0, slots_idx[j], row0, 0) if fused
                else (0, slots_idx[j], 0, row0, 0))
@@ -165,10 +176,7 @@ def _admit(model, params, cache, tok, packed, t):
             k_all, src_k.astype(k_all.dtype), idx)
         v_all = jax.lax.dynamic_update_slice(
             v_all, src_v.astype(v_all.dtype), idx)
-    last = jnp.take_along_axis(prompts_pad, (ps - 1)[:, None],
-                               axis=1)[:, 0]
-    tok = tok.at[slots_idx].set(last)
-    return {"k": k_all, "v": v_all}, new_start, tok
+    return {"k": k_all, "v": v_all}
 
 
 @jax.jit
@@ -194,9 +202,12 @@ def _compact(cache, start, shift):
 
 @jax.jit
 def _reset_free(start, tok, free_mask, t):
-    """Park free slots at start = t (span never exceeds one segment)."""
+    """Park free slots at start = t (span never exceeds one segment).
+    tok may carry trailing structure ([B, 8] CP rows) — the mask
+    broadcasts over it."""
+    m = free_mask.reshape(free_mask.shape + (1,) * (tok.ndim - 1))
     return (jnp.where(free_mask, jnp.asarray(t, jnp.int32), start),
-            jnp.where(free_mask, 0, tok))
+            jnp.where(m, 0, tok))
 
 
 class ContinuousBatcher(SlotScheduler):
@@ -272,16 +283,24 @@ class ContinuousBatcher(SlotScheduler):
         # until the pipelined host SEES the tokens — up to depth+1
         # segments of lag
         lag = 1 if eos_id is None else self.depth + 1
-        cap = prompt.size + max_new + lag * self.seg_len
+        cap = prompt.shape[0] + max_new + lag * self.seg_len
         limit = min(self.cache_len,
                     getattr(self.model, "max_seq", self.cache_len))
         if cap > limit:
             raise ValueError(
-                f"prompt ({prompt.size}) + max_new ({max_new}) + "
+                f"prompt ({prompt.shape[0]}) + max_new ({max_new}) + "
                 f"{lag} * seg_len ({self.seg_len}) "
                 f"exceeds the serve window ({limit}); shorten the "
                 "request or raise cache_len")
         return {}
+
+    def _bucket(self, p: int) -> int:
+        # admission writes rows [t-p+1, t-p+1+Pb): a bucket wider than
+        # the cache could NEVER be placed (found via a max_seq=24
+        # checkpoint under the default 64-wide bucket — the request
+        # queued forever); the window check in _validate_request
+        # guarantees p itself fits
+        return min(super()._bucket(p), self.cache_len)
 
     def _park_slot(self, i: int) -> None:
         self._start_host[i] = self.t
@@ -376,7 +395,7 @@ class ContinuousBatcher(SlotScheduler):
             return
         if len(free) == self.b and self.pending:
             # idle pool: jump the clock to fit the longest queued prompt
-            need = max(q.prompt.size - 1 for q in self.pending)
+            need = max(q.prompt.shape[0] - 1 for q in self.pending)
             if self.t < need:
                 self.t = need
                 self._t_dev = None
@@ -388,7 +407,7 @@ class ContinuousBatcher(SlotScheduler):
         groups: Dict[int, list] = {}          # pb -> [(q, slot)]
         remaining = []
         for q in self.pending:
-            p = q.prompt.size
+            p = q.prompt.shape[0]
             if not free:
                 remaining.append(q)
                 continue
@@ -405,28 +424,32 @@ class ContinuousBatcher(SlotScheduler):
             self._start_host[free] = self.t
             for grp in groups.values():
                 for q, slot in grp:
-                    self._start_host[slot] = self.t - (q.prompt.size - 1)
+                    self._start_host[slot] = self.t - (q.prompt.shape[0] - 1)
                     self._admit_bookkeeping(q, slot)
             self._start_dirty = False
         for pb, grp in groups.items():
             rows = [q.padded for q, _ in grp]
-            ps = [q.prompt.size for q, _ in grp]
+            ps = [q.prompt.shape[0] for q, _ in grp]
             slots_idx = [slot for _, slot in grp]
             while len(rows) < self.b:         # duplicate-pad: idempotent
                 rows.append(rows[0])
                 ps.append(ps[0])
                 slots_idx.append(slots_idx[0])
-            # ONE host->device transfer per group: prompts [S, Pb] with
-            # the three meta rows (ps, slot ids, full start vector)
-            # appended as trailing int32 columns
-            packed = np.empty((self.b, pb + 3), np.int32)
-            packed[:, :pb] = rows
-            packed[:, pb] = ps
-            packed[:, pb + 1] = slots_idx
-            packed[:, pb + 2] = self._start_host
-            self.cache, self.start, self.tok = _admit(
-                self.model, self.params, self.cache,
-                self.tok, jnp.asarray(packed), self._t_device())
+            self._admit_group(pb, rows, ps, slots_idx)
             self._n_admit_calls += 1
             self._n_admitted += len(grp)
         self.pending = remaining
+
+    def _admit_group(self, pb: int, rows, ps, slots_idx):
+        """ONE host->device transfer per group: prompts [S, Pb] with
+        the three meta rows (ps, slot ids, full start vector) appended
+        as trailing int32 columns (the CP engine overrides with [P, 8]
+        row prompts flattened into the same packed layout)."""
+        packed = np.empty((self.b, pb + 3), np.int32)
+        packed[:, :pb] = rows
+        packed[:, pb] = ps
+        packed[:, pb + 1] = slots_idx
+        packed[:, pb + 2] = self._start_host
+        self.cache, self.start, self.tok = _admit(
+            self.model, self.params, self.cache,
+            self.tok, jnp.asarray(packed), self._t_device())

@@ -307,7 +307,7 @@ class RNNContinuousBatcher(SlotScheduler):
             for q, slot in grp:
                 self._admit_bookkeeping(q, slot)
             rows = [q.padded for q, _ in grp]
-            ps = [q.prompt.size for q, _ in grp]
+            ps = [q.prompt.shape[0] for q, _ in grp]
             slots_idx = [slot for _, slot in grp]
             extras = [q.extra for q, _ in grp]
             while len(rows) < self.b:         # duplicate-pad: idempotent

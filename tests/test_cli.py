@@ -576,6 +576,50 @@ def test_serve_rnn_continuous_batching(tok_dir, tmp_path):
     MidiFile(os.path.join(outdir, "c.mid"))
 
 
+def test_serve_cp_continuous_batching(tmp_path):
+    """cli.serve routes a cp_transformer checkpoint through the CP
+    continuous batcher (compound rows); the greedy default-prime
+    request is byte-identical to cli.generate (both start at the bare
+    bar-marker row)."""
+    from tests.fixtures import simple_piano_midi
+
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    from musicgeneration_tpu.cli.train import main as train_main
+
+    midi_dir = tmp_path / "m"
+    midi_dir.mkdir()
+    for i in range(2):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i,
+                          n_notes=60)
+    tok = str(tmp_path / "tok_cp")
+    assert tokenize_main([str(midi_dir), tok, "--scheme", "cp",
+                          "--workers", "1"]) == 0
+    ckpt = str(tmp_path / "ckpt_cp")
+    assert train_main([tok, "model=cp_transformer", "steps=2",
+                       "batch_size=2", "seq_len=24", "ckpt_every=2",
+                       "log_every=1", f"ckpt_dir={ckpt}",
+                       "model.num_layers=1", "model.d_model=64",
+                       "model.max_seq=128"]) == 0
+    reqs = tmp_path / "cp_reqs.jsonl"
+    reqs.write_text(
+        json.dumps({"id": "a", "max_new": 16}) + "\n"
+        + json.dumps({"id": "b", "prime": str(midi_dir / "f0.mid"),
+                      "prime_len": 8, "max_new": 12}) + "\n")
+    outdir = str(tmp_path / "served_cp")
+    from musicgeneration_tpu.cli.serve import main as serve_main
+    assert serve_main([ckpt, str(reqs), outdir, "--slots", "2",
+                       "--seg-len", "8", "--greedy"]) == 0
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ref_mid = str(tmp_path / "ref_cp.mid")
+    assert gen_main([ckpt, ref_mid, "--steps", "16",
+                     "--temperature", "0"]) == 0
+    with open(os.path.join(outdir, "a.mid"), "rb") as f1, \
+            open(ref_mid, "rb") as f2:
+        assert f1.read() == f2.read()
+    from musicgeneration_tpu.midi import MidiFile
+    MidiFile(os.path.join(outdir, "b.mid"))
+
+
 @pytest.mark.slow
 def test_serve_follow_stdin_online(tok_dir, tmp_path, monkeypatch,
                                    capsys):

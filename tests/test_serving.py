@@ -49,6 +49,34 @@ def _reference(m, params, prompt, max_new):
                                jax.random.PRNGKey(1), dp))[0]
 
 
+def _assert_greedy_match(m, params, prompt, got, ref):
+    """Token equality vs the dedicated run, tolerating fp TIES only.
+
+    Cross-width greedy comparisons on an untrained model occasionally
+    hit a knife-edge argmax: this environment's XLA:CPU binaries vary
+    per process (AOT kernel-cache loads fail on machine-feature
+    mismatches and fall back to fresh codegen), so reassociation noise
+    can flip a near-tied argmax in EITHER program run-to-run. A flip at
+    a genuine tie is reference numerics, not an engine defect — but a
+    divergence at a decisive step (large top-2 gap) IS a bug. On
+    mismatch: the prefix must agree, and the first divergent step must
+    be a near-tie of the teacher-forced logits."""
+    got, ref = np.asarray(got), np.asarray(ref)
+    if np.array_equal(got, ref):
+        return
+    d = int(np.argmax(got != ref))
+    np.testing.assert_array_equal(got[:d], ref[:d])
+    full = np.concatenate([prompt, ref.astype(np.int32)])
+    logits = np.asarray(m.apply({"params": params},
+                                jnp.asarray(full)[None]))[0]
+    lg = np.sort(logits[prompt.size - 1 + d])[::-1]
+    gap = float(lg[0] - lg[1]) / max(abs(float(lg[0])), 1e-6)
+    assert gap < 1e-3, (
+        f"serving diverged from the dedicated run at step {d} with a "
+        f"decisive top-2 logit gap ({gap:.5f} relative) — a real "
+        "mismatch, not an fp tie")
+
+
 def test_serving_matches_generate_staggered():
     """Staggered admissions into a 3-slot pool (fused kernels): every
     request's greedy output equals its dedicated generate run."""
@@ -259,8 +287,8 @@ def test_serving_per_row_mixed_sampling():
     for (p, mn), rid in zip(reqs, rids):
         assert outs[rid].shape == (mn,)
         if rid in greedy_set:
-            np.testing.assert_array_equal(outs[rid],
-                                          _reference(m, params, p, mn))
+            _assert_greedy_match(m, params, p, outs[rid],
+                                 _reference(m, params, p, mn))
         else:
             assert outs[rid].min() >= 0 and outs[rid].max() < VOCAB
 
