@@ -155,6 +155,106 @@ def bench_serve(model, params, slots=32, n_req=256, prompt_len=64,
     return goodput_cb, goodput_st, oracle, total, dt_cb, dt_st
 
 
+def bench_serve_rnn(slots=64, n_req=256, prompt_len=16, seg_len=64,
+                    depth=4, seed=0):
+    """MG_BENCH_SERVE_RNN=1: RNN-family continuous batching
+    (decode/serving_rnn.py) on the reference EventMelodyRNN config
+    (308/512/3, bf16) vs the static-512 batch server. The RNN static
+    decode can NOT early-exit per request at all, so the oracle equals
+    static here — continuous batching's win is pure occupancy."""
+    import numpy as np
+
+    from musicgeneration_tpu.decode import DecodeParams, generate
+    from musicgeneration_tpu.decode.sampling import SamplingParams
+    from musicgeneration_tpu.decode.serving_rnn import RNNContinuousBatcher
+    from musicgeneration_tpu.models import EventMelodyRNN
+
+    m = EventMelodyRNN(dtype=jnp.bfloat16)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32)),
+                    jnp.zeros((4, 1), jnp.int32))["params"]
+    rng = np.random.RandomState(seed)
+    sp = SamplingParams(temperature=1.0)
+    lens = rng.randint(64, 513, size=n_req)
+    prompts = rng.randint(0, m.event_dim - 1,
+                          size=(n_req, prompt_len)).astype(np.int32)
+    inits = rng.randn(n_req, m.init_dim).astype(np.float32)
+    total = int(lens.sum())
+    cb = RNNContinuousBatcher(m, params, slots=slots, seg_len=seg_len,
+                              depth=depth, sampling=sp,
+                              prompt_bucket=prompt_len,
+                              rng=jax.random.PRNGKey(seed))
+    cb.warm(prompt_len, widths=True)
+    t0 = time.perf_counter()
+    for p, n, z in zip(prompts, lens, inits):
+        cb.submit(p, int(n), init=z)
+    outs = cb.run()
+    dt_cb = time.perf_counter() - t0
+    assert sum(len(v) for v in outs.values()) == total
+    dp = DecodeParams(max_len=prompt_len + 512, steps=512, sampling=sp)
+
+    def static_batch(i):
+        c0 = m.apply({"params": params}, slots, 0,
+                     jnp.asarray(inits[i:i + slots]),
+                     method=m.init_cache)
+        np.asarray(generate(m, params, jnp.asarray(prompts[i:i + slots]),
+                            jax.random.PRNGKey(i), dp, cache0=c0))
+
+    static_batch(0)                      # compile+warm
+    t0 = time.perf_counter()
+    for i in range(0, n_req, slots):
+        static_batch(i)
+    dt_st = time.perf_counter() - t0
+    return total / dt_cb, total / dt_st, total, dt_cb, dt_st
+
+
+def bench_serve_cp(slots=32, n_req=256, prompt_len=16, seg_len=32,
+                   depth=4, seed=0):
+    """MG_BENCH_SERVE_CP=1: CP-transformer continuous batching
+    (decode/serving_cp.py, 4L d256 bf16 compound rows) vs the
+    static-512 row server."""
+    import numpy as np
+
+    from musicgeneration_tpu.decode.cp_generate import generate_cp
+    from musicgeneration_tpu.decode.sampling import SamplingParams
+    from musicgeneration_tpu.decode.serving_cp import CPContinuousBatcher
+    from musicgeneration_tpu.models import CPTransformer
+    from musicgeneration_tpu.tokenizers import cp
+
+    m = CPTransformer(num_layers=4, d_model=256, max_seq=1024,
+                      dtype=jnp.bfloat16)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 8, 8), jnp.int32))["params"]
+    rng = np.random.RandomState(seed)
+    sp = SamplingParams(temperature=1.0)
+    lens = rng.randint(64, 513, size=n_req)
+    fdims = cp.field_dims()
+    prompts = np.stack([rng.randint(0, fd, (n_req, prompt_len))
+                        for fd in fdims], axis=-1).astype(np.int32)
+    total = int(lens.sum())
+    cb = CPContinuousBatcher(m, params, slots=slots, seg_len=seg_len,
+                             depth=depth, sampling=sp,
+                             prompt_bucket=prompt_len,
+                             rng=jax.random.PRNGKey(seed))
+    cb.warm(prompt_len, widths=True)
+    t0 = time.perf_counter()
+    for p, n in zip(prompts, lens):
+        cb.submit(p, int(n))
+    outs = cb.run()
+    dt_cb = time.perf_counter() - t0
+    assert sum(len(v) for v in outs.values()) == total
+    np.asarray(generate_cp(m, params, jnp.asarray(prompts[:slots]),
+                           jax.random.PRNGKey(0), 512,
+                           max_len=prompt_len + 512))
+    t0 = time.perf_counter()
+    for i in range(0, n_req, slots):
+        np.asarray(generate_cp(m, params,
+                               jnp.asarray(prompts[i:i + slots]),
+                               jax.random.PRNGKey(i), 512,
+                               max_len=prompt_len + 512))
+    dt_st = time.perf_counter() - t0
+    return total / dt_cb, total / dt_st, total, dt_cb, dt_st
+
+
 def bench_train(model, params, batch=8, seq=512) -> float:
     """Fused train step throughput (steps/sec) on the flagship model."""
     import numpy as np
@@ -337,6 +437,24 @@ def main():
                   f"({dt_cb:.1f}s vs {dt_st:.1f}s)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# serve bench skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_SERVE_RNN"):
+        try:
+            cbr, str_, total, dt_cb, dt_st = bench_serve_rnn()
+            print(f"# serve-rnn: continuous {cbr:.0f} tok/s goodput vs "
+                  f"static-512 {str_:.0f} ({cbr / str_:.2f}x); {total} "
+                  f"tokens, 256 reqs, 64 slots seg64 "
+                  f"({dt_cb:.2f}s vs {dt_st:.2f}s)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# serve-rnn bench skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_SERVE_CP"):
+        try:
+            cbr, str_, total, dt_cb, dt_st = bench_serve_cp()
+            print(f"# serve-cp: continuous {cbr:.0f} rows/s goodput vs "
+                  f"static-512 {str_:.0f} ({cbr / str_:.2f}x); {total} "
+                  f"rows, 256 reqs, 32 slots seg32 "
+                  f"({dt_cb:.2f}s vs {dt_st:.2f}s)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# serve-cp bench skipped: {e}", file=sys.stderr)
     if os.environ.get("MG_BENCH_MFU"):
         try:
             bench_mfu()
