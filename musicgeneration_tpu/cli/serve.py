@@ -10,7 +10,11 @@
 (`prime` tokenizes a MIDI through the checkpoint's scheme; `tokens`
 supplies raw ids. `id` defaults to the line number. Any sampling field
 on any line switches the engine to per-row sampling: each request
-decodes under its own params, defaulting to the CLI-level flags.)
+decodes under its own params, defaulting to the CLI-level flags.
+Transformer requests may add {"window": 256} for sliding-context
+decoding: max_new is then unbounded by the serve window — the slot
+re-primes from its last `window` tokens whenever the context would
+exceed 2*window, generate_sliding's semantics inside the pool.)
 
 Serves BOTH engine families: MusicTransformer checkpoints decode
 through the KV-cache engine (decode/serving.py), the RNN families
@@ -157,6 +161,13 @@ def main(argv=None) -> int:
                 top_p=float(req.get("top_p", args.topp)),
                 greedy=bool(req.get("greedy", args.greedy)))
         extra = {}
+        if "window" in req:
+            if is_rnn:
+                raise ValueError(
+                    "window= is a KV-cache sliding-context option; RNN "
+                    "slots are O(1)-state and serve unbounded max_new "
+                    "natively — drop the field")
+            extra["window"] = int(req["window"])
         if is_rnn:
             if "init" in req:
                 extra["init"] = np.asarray(req["init"], np.float32)

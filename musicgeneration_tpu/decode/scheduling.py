@@ -42,6 +42,7 @@ class _Slot:
     max_new: int = 0
     eos_id: Optional[int] = None
     scheduled: int = 0            # slot-steps dispatched for this rid
+    window: int = 0               # sliding context width (0 = bounded)
 
 
 @dataclasses.dataclass
@@ -234,17 +235,21 @@ class SlotScheduler:
     # ------------------------------------------------------------ warm
 
     def warm(self, prompt_len: int = 1, max_new: Optional[int] = None,
-             widths: bool = False):
+             widths: bool = False, window: Optional[int] = None):
         """Compile the engine's programs before real traffic: one
         admission (at prompt_len's bucket) + segment (+ whatever
         ``_warm_after_drain`` adds — without this the first cache wrap
         pays its compile mid-serve, ~0.8 s on the tunneled v5e).
         widths=True also compiles the drain-tail shrink chain (gather +
-        segment per halved width)."""
+        segment per halved width). window=W decodes the warm probe as a
+        sliding request long enough to compile the re-prime admission
+        (transformer engines only)."""
         p = self._warm_prompt(max(1, prompt_len))
         self._warming = True
         try:
-            rid = self.submit(p, max_new or self.seg_len)
+            kw = {} if window is None else {"window": window}
+            default_new = 2 * window if window else self.seg_len
+            rid = self.submit(p, max_new or default_new, **kw)
             self.run()
         finally:
             self._warming = False
@@ -271,6 +276,10 @@ class SlotScheduler:
                 "per-request sampling needs per_row_sampling=True — the "
                 "flag picks the per-row segment program at construction")
         extra = self._validate_request(prompt, max_new, eos_id, kw)
+        # an engine may substitute the admitted context (e.g. the
+        # sliding-window engine trims to the last `window` tokens —
+        # generate_sliding's ctx = prompt[-window:] semantics)
+        prompt = extra.pop("_prompt", prompt)
         rid = self._next_rid
         self._next_rid += 1
         # pad on the host now; the device transfer happens per

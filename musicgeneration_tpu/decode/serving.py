@@ -265,18 +265,45 @@ class ContinuousBatcher(SlotScheduler):
         self._start_dirty = False
         self.tok = jnp.zeros((slots,), jnp.int32)
         self._n_compactions = 0
+        # sliding-window requests: rid -> admitted context prompt (the
+        # re-prime rebuilds each window from prompt + emitted tokens)
+        self._sliding_prompts: Dict[int, np.ndarray] = {}
+        self._n_reprimes = 0
 
     def stats(self) -> Dict[str, float]:
         st = super().stats()
         st["compactions"] = self._n_compactions
+        st["reprimes"] = self._n_reprimes
         return st
 
     # --------------------------------------------------- scheduler hooks
 
     def _validate_request(self, prompt, max_new, eos_id, kw) -> dict:
+        window = kw.pop("window", None)
         if kw:
             raise TypeError(f"unexpected submit() arguments: "
                             f"{sorted(kw)}")
+        limit = min(self.cache_len,
+                    getattr(self.model, "max_seq", self.cache_len))
+        if window is not None:
+            # sliding request: unbounded max_new via per-slot window
+            # re-priming (the serving form of engine.generate_sliding —
+            # the context is re-primed from the last `window` tokens
+            # whenever it would exceed 2*window, so the slot's span
+            # never pins the cache). The prompt is trimmed to the last
+            # `window` tokens, exactly generate_sliding's ctx seed.
+            window = int(window)
+            if window < self.seg_len:
+                raise ValueError(
+                    f"window ({window}) must be >= seg_len "
+                    f"({self.seg_len}) — a re-prime must free at least "
+                    "one segment of room")
+            if 2 * window + self.seg_len > limit:
+                raise ValueError(
+                    f"2 * window ({window}) + seg_len ({self.seg_len}) "
+                    f"exceeds the serve window ({limit}); shrink the "
+                    "window or raise cache_len")
+            return {"window": window, "_prompt": prompt[-window:]}
         # span a slot occupies before reuse: count-retired requests
         # (no eos) free their slot AT DISPATCH TIME, overshooting
         # max_new by less than one segment; eos requests stay active
@@ -284,14 +311,13 @@ class ContinuousBatcher(SlotScheduler):
         # segments of lag
         lag = 1 if eos_id is None else self.depth + 1
         cap = prompt.shape[0] + max_new + lag * self.seg_len
-        limit = min(self.cache_len,
-                    getattr(self.model, "max_seq", self.cache_len))
         if cap > limit:
             raise ValueError(
                 f"prompt ({prompt.shape[0]}) + max_new ({max_new}) + "
                 f"{lag} * seg_len ({self.seg_len}) "
                 f"exceeds the serve window ({limit}); shorten the "
-                "request or raise cache_len")
+                "request, raise cache_len, or pass window= for "
+                "sliding-context decoding")
         return {}
 
     def _bucket(self, p: int) -> int:
@@ -323,6 +349,8 @@ class ContinuousBatcher(SlotScheduler):
                                           jnp.int32(0))
 
     def _pre_segment(self):
+        if self._maybe_reprime() is _BLOCKED:
+            return _BLOCKED
         self._maybe_compact(self.seg_len)
         if self.t + self.seg_len > self.cache_len:
             return _BLOCKED
@@ -334,7 +362,67 @@ class ContinuousBatcher(SlotScheduler):
             self._start_dirty = False
         return None
 
+    def _finalize(self, rid: int):
+        self._sliding_prompts.pop(rid, None)
+        super()._finalize(rid)
+
     # ------------------------------------------------------- internals
+
+    def _maybe_reprime(self):
+        """Sliding-window re-prime: any active slot whose context would
+        exceed ``2 * window`` after the next segment gets its window
+        rebuilt — the last ``window`` tokens of (prompt + emitted) are
+        re-admitted into the SAME slot (one grouped prefill via the
+        normal admission program), start jumps to ``t - window + 1``,
+        and decoding continues. The per-request context evolution is
+        exactly ``engine.generate_sliding``'s (seed ctx = prompt[-w:],
+        re-prime at 2w with the last w), so greedy tokens match the
+        dedicated sliding run when the re-prime points are
+        segment-aligned (locked in tests/test_serving_sliding.py).
+
+        Returns _BLOCKED when a re-prime is due but the host hasn't yet
+        collected the slot's in-flight tokens (the run loop collects a
+        segment and retries — the window text must be known to rebuild
+        it)."""
+        need = [(i, s) for i, s in enumerate(self.slots)
+                if s.active and s.window
+                and (self.t - self._start_host[i] + 1 + self.seg_len
+                     > 2 * s.window)]
+        if not need:
+            return None
+        for _, s in need:
+            if len(self._emitted[s.rid]) < s.scheduled:
+                return _BLOCKED      # window text still in flight
+        if self.t + 1 > self.cache_len:
+            # the re-prime scatter touches row t itself; a slot at a
+            # sliding span never pins min(start) below seg_len + 1
+            # (2w + seg <= cache_len), so compaction always frees room
+            self._maybe_compact(1)
+            if self.t + 1 > self.cache_len:
+                return _BLOCKED
+        groups: Dict[int, list] = {}          # window -> [(ctx, slot)]
+        for i, s in need:
+            w = s.window
+            prompt = self._sliding_prompts[s.rid]
+            em = np.asarray(self._emitted[s.rid], np.int32).reshape(
+                (-1,) + prompt.shape[1:])
+            ctx = np.concatenate([prompt, em])[-w:]
+            self._start_host[i] = self.t - (w - 1)
+            groups.setdefault(w, []).append((ctx, i))
+        for w, grp in groups.items():
+            rows = [c for c, _ in grp]
+            ps = [w] * len(grp)
+            idx = [i for _, i in grp]
+            while len(rows) < self.b:         # duplicate-pad: idempotent
+                rows.append(rows[0])
+                ps.append(ps[0])
+                idx.append(idx[0])
+            self._admit_group(w, rows, ps, idx)
+            self._n_admit_calls += 1
+            self._n_reprimes += len(grp)
+        # the admit groups shipped the whole start vector
+        self._start_dirty = False
+        return None
 
     def _t_device(self):
         """Device-resident clock scalar (host scalars cost a ~2 ms
@@ -426,6 +514,10 @@ class ContinuousBatcher(SlotScheduler):
                 for q, slot in grp:
                     self._start_host[slot] = self.t - (q.prompt.shape[0] - 1)
                     self._admit_bookkeeping(q, slot)
+                    w = (q.extra or {}).get("window", 0)
+                    self.slots[slot].window = w
+                    if w:
+                        self._sliding_prompts[q.rid] = q.prompt
             self._start_dirty = False
         for pb, grp in groups.items():
             rows = [q.padded for q, _ in grp]

@@ -522,7 +522,10 @@ def test_serve_continuous_batching(tok_dir, tmp_path):
                       "max_new": 40}) + "\n"
         + json.dumps({"id": "c", "tokens": [5, 15, 25], "max_new": 16,
                       "temperature": 0.9, "top_k": 12,
-                      "greedy": False}) + "\n")
+                      "greedy": False}) + "\n"
+        # sliding-context request: max_new beyond the serve window
+        + json.dumps({"id": "d", "tokens": [7, 9, 11], "max_new": 300,
+                      "window": 16}) + "\n")
     outdir = str(tmp_path / "served")
     from musicgeneration_tpu.cli.serve import main as serve_main
     assert serve_main([ckpt, str(reqs), outdir, "--slots", "2",
@@ -539,6 +542,7 @@ def test_serve_continuous_batching(tok_dir, tmp_path):
     from musicgeneration_tpu.midi import MidiFile
     MidiFile(os.path.join(outdir, "b.mid"))
     MidiFile(os.path.join(outdir, "c.mid"))
+    MidiFile(os.path.join(outdir, "d.mid"))
 
 
 def test_serve_rnn_continuous_batching(tok_dir, tmp_path):
