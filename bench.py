@@ -321,7 +321,8 @@ def bench_mfu():
         model = MusicTransformer(
             vocab_size=vocab, num_layers=layers, d_model=d, max_seq=seq,
             dtype=jnp.bfloat16, head_dim=128, ffn_dim=4 * d,
-            attention_impl=impl, scan_layers=True)
+            attention_impl=impl, scan_layers=True,
+            pad_in_input=False)  # dense windows, like cli.train
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 8), jnp.int32))["params"]
         cfg = TrainerConfig(vocab_size=vocab, pad_id=vocab - 1, d_model=d)

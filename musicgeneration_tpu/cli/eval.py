@@ -25,6 +25,8 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()  # MG_NO_COMPILE_CACHE=1 opts out
     p = argparse.ArgumentParser(
         prog="python -m musicgeneration_tpu.cli.eval",
         description=__doc__,

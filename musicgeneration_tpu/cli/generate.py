@@ -152,6 +152,8 @@ def _load_compressed_controls(path: str, index: Optional[int],
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()  # MG_NO_COMPILE_CACHE=1 opts out
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("checkpoint", help="checkpoint file or directory "
                    "(latest is used)")

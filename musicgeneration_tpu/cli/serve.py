@@ -62,6 +62,8 @@ RNN_MODELS = ("event_rnn", "performance_rnn", "melody_rnn")
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()  # MG_NO_COMPILE_CACHE=1 opts out
     p = argparse.ArgumentParser(
         prog="musicgeneration_tpu.cli.serve", description=__doc__)
     p.add_argument("checkpoint")

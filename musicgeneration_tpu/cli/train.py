@@ -294,8 +294,14 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
         if pipe > 1:
             # pipeline stages consume the stacked scan_layers layout
             model_kwargs = {**model_kwargs, "scan_layers": True}
+        # every batch mode feeds DENSE windows (lm crops need len >=
+        # seq_len+1; segment windows are min-length-bounded), so the
+        # train-time model skips pad masking — the Pallas kernels
+        # compile their no-pad variant (bit-equal on pad-free batches).
+        # Deliberately NOT merged into the persisted model_kwargs:
+        # generate/eval rebuild with the default full masking.
         model = cls(**{**defaults(vocab_size=vocab, max_seq=cfg.seq_len),
-                       **model_kwargs})
+                       "pad_in_input": False, **model_kwargs})
         apply_fn = None
         if pipe > 1:
             from ..parallel.pipeline import make_pipeline_apply
@@ -456,6 +462,8 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()  # MG_NO_COMPILE_CACHE=1 opts out
     p = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)

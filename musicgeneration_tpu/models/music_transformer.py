@@ -344,6 +344,15 @@ class MusicTransformer(nn.Module):
     #   materialize in. f32 default (reference numerics); bf16 halves
     #   the logits/dlogits HBM traffic at large vocabs — the loss still
     #   upcasts per-element and reduces in f32 (train/objective.py)
+    pad_in_input: bool = True  # False asserts __call__'s inputs never
+    #   contain pad_id (true for every dense-window batch mode — the
+    #   reference's slide_seq2seq/SegBatchify crops are full windows):
+    #   the causal mask drops its pad term and the Pallas kernels
+    #   compile their no-pad variant (the key-pad add leaves every
+    #   tile). Bit-equal to the default on pad-free batches; an input
+    #   that DOES contain pad_id under this flag attends to pad keys
+    #   like the reference would without its mask. Training-time only —
+    #   prefill/decode always keep pad masking (bucketed prompts pad).
     scan_layers: bool = False  # run the trunk as ONE lax.scan over a
     #   stacked [L, ...] layer-param axis instead of L unrolled layers.
     #   The compiled program shrinks ~L-fold — first compiles on this
@@ -401,8 +410,15 @@ class MusicTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         """x: [B, L] int tokens -> logits [B, L, vocab] (f32)."""
-        mask = causal_pad_mask(x, self.pad_id)
-        key_pad = (x == self.pad_id).astype(jnp.float32)  # pallas path
+        if self.pad_in_input:
+            mask = causal_pad_mask(x, self.pad_id)
+            key_pad = (x == self.pad_id).astype(jnp.float32)  # pallas
+        else:
+            # dense windows: causal-only mask, no-pad kernel variant
+            l = x.shape[1]
+            mask = jnp.triu(jnp.ones((l, l), jnp.bool_),
+                            k=1)[None, None].astype(jnp.float32)
+            key_pad = None
         h = self.embedding(x) * jnp.sqrt(jnp.float32(self.d_model)).astype(
             self.dtype)
         h = h + jnp.asarray(self.pos_table[: x.shape[1]], self.dtype)[None]

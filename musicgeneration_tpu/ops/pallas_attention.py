@@ -157,12 +157,19 @@ def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
 
 
 def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
-                 max_seq, causal, scale):
+                 max_seq, causal, scale, masked=True):
     """Recompute one tile's masked, scaled logits + the e slice — shared
     verbatim by forward and both backward kernels so p is bit-identical.
 
     Matmuls run in the INPUT dtype (bf16 stays bf16 on the MXU — 2x the
-    f32 rate) with f32 accumulation via preferred_element_type."""
+    f32 rate) with f32 accumulation via preferred_element_type.
+
+    masked=False skips the causal iota/compare/select chain: callers
+    pass it for INTERIOR tiles (every s in the tile <= every t), where
+    the mask is all-zero by construction — bit-equal, and it removes
+    ~5 VPU passes over the [BQ, BK] tile from the hot loop of this
+    VPU-bound kernel. pad_ref=None likewise skips the key-pad add
+    (exact when the caller had no pad mask: 0 * -1e9 adds nothing)."""
     k_blk = k_ref[0, pl.ds(s0, block_k), :]
     base = max_seq - block_q - t0 + s0
     # every term is a multiple of gcd(block_q, block_k, max_seq-block_q);
@@ -181,24 +188,35 @@ def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
     qe = qke[:, block_k:]
     srel = _shear(qe, block_q, block_k)
     logits = (qk + srel) * scale
-    t_ids = t0 + jax.lax.broadcasted_iota(jnp.int32,
-                                          (block_q, block_k), 0)
-    s_ids = s0 + jax.lax.broadcasted_iota(jnp.int32,
-                                          (block_q, block_k), 1)
-    if causal:
+    if causal and masked:
+        t_ids = t0 + jax.lax.broadcasted_iota(jnp.int32,
+                                              (block_q, block_k), 0)
+        s_ids = s0 + jax.lax.broadcasted_iota(jnp.int32,
+                                              (block_q, block_k), 1)
         logits = logits + jnp.where(s_ids > t_ids, NEG_INF, 0.0)
-    pad_row = pad_ref[0, 0:1, pl.ds(s0, block_k)]
-    logits = logits + pad_row * NEG_INF
+    if pad_ref is not None:
+        pad_row = pad_ref[0, 0:1, pl.ds(s0, block_k)]
+        logits = logits + pad_row * NEG_INF
     return logits, k_blk, e_blk, base
 
 
+def _n_interior(t0, block_k, n_kv_live):
+    """KV tiles fully below the diagonal for the query block at t0:
+    tile j is interior iff its last key (j+1)*BK - 1 <= first query t0,
+    i.e. j < (t0 + 1) // BK. Interior tiles need no causal mask — the
+    kernels run them through the unmasked _tile_logits body."""
+    return jnp.minimum((t0 + 1) // block_k, n_kv_live)
+
+
 def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
-            block_q: int, block_k: int, max_seq: int, causal: bool):
+            block_q: int, block_k: int, max_seq: int, causal: bool,
+            has_pad: bool):
     qi = pl.program_id(1)
     t0 = qi * block_q
     kv_len = k_ref.shape[1]  # block is [1, L, dh]
     dh = q_ref.shape[-1]
     scale = 1.0 / math.sqrt(dh)
+    pref = pad_ref if has_pad else None
 
     q = q_ref[0]  # [BQ, dh], native dtype (bf16 rides the MXU at 2x)
 
@@ -209,13 +227,13 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
     else:
         n_kv_live = n_kv
 
-    def body(j, carry):
+    def body(j, carry, masked):
         acc, m, l = carry
         s0 = j * block_k
         v_blk = v_ref[0, pl.ds(s0, block_k), :]
-        logits, _, _, _ = _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0,
+        logits, _, _, _ = _tile_logits(q, k_ref, e_ref, pref, t0, s0,
                                        block_q, block_k, max_seq, causal,
-                                       scale)
+                                       scale, masked=masked)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p_ij = jnp.exp(logits - m_new)
@@ -230,7 +248,20 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
     acc0 = jnp.zeros((block_q, dh), jnp.float32)
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_kv_live, body, (acc0, m0, l0))
+    carry = (acc0, m0, l0)
+    if causal:
+        # interior tiles run the unmasked body (bit-equal: their causal
+        # mask is all-zero); only the <= 2 diagonal tiles pay the
+        # iota/select chain
+        n_int = _n_interior(t0, block_k, n_kv_live)
+        carry = jax.lax.fori_loop(
+            0, n_int, functools.partial(body, masked=False), carry)
+        carry = jax.lax.fori_loop(
+            n_int, n_kv_live, functools.partial(body, masked=True), carry)
+    else:
+        carry = jax.lax.fori_loop(
+            0, n_kv_live, functools.partial(body, masked=False), carry)
+    acc, m, l = carry
     out_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
     lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))  # [BQ, 1]
 
@@ -250,6 +281,10 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
     # QE matmul stays on the fast MXU path.
     slack = (block_q + block_k) if causal else (l + block_k)
     e_padded = jnp.pad(e.astype(q.dtype), ((0, slack), (0, 0)))
+    # key_pad=None compiles the no-pad kernel: the pad add drops out of
+    # every tile (bit-equal to a zero mask; the dummy input's [1,1,L]
+    # block DMA is noise next to the K/V rows)
+    has_pad = key_pad is not None
     if key_pad is None:
         key_pad = jnp.zeros((b, l), jnp.float32)
     key_pad = jnp.broadcast_to(key_pad.astype(jnp.float32), (b, l))
@@ -264,7 +299,8 @@ def _fused_fwd_impl(q, k, v, e, key_pad, block_q: int, block_k: int,
 
     grid = (bh, l // block_q)
     kernel = functools.partial(_kernel, block_q=block_q, block_k=block_k,
-                               max_seq=max_seq, causal=causal)
+                               max_seq=max_seq, causal=causal,
+                               has_pad=has_pad)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -383,7 +419,7 @@ def _xla_equivalent(q, k, v, e, key_pad, causal: bool):
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
                       lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, de_ref,
                       *, block_q: int, block_k: int, max_seq: int,
-                      causal: bool):
+                      causal: bool, has_pad: bool):
     """ONE-PASS backward: each (i, qi) grid step recomputes its causal
     row of tiles once and scatters all four gradients — dQ to its own
     block, dK/dV into full-row outputs revisited across qi (init at
@@ -411,17 +447,18 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     lse = lse_ref[0, pl.ds(t0, block_q), :]      # [BQ, 1]
     delta = delta_ref[0, pl.ds(t0, block_q), :]  # [BQ, 1]
     cdt = q.dtype
+    pref = pad_ref if has_pad else None
 
     n_kv = kv_len // block_k
     n_kv_live = (jnp.minimum((t0 + block_q - 1) // block_k + 1, n_kv)
                  if causal else n_kv)
 
-    def body(j, dq):
+    def body(j, dq, masked):
         s0 = j * block_k
         v_blk = v_ref[0, pl.ds(s0, block_k), :]
         logits, k_blk, e_blk, base = _tile_logits(
-            q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
-            causal, scale)
+            q, k_ref, e_ref, pref, t0, s0, block_q, block_k, max_seq,
+            causal, scale, masked=masked)
         p = jnp.exp(logits - lse)                    # [BQ, BK] f32
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -445,15 +482,23 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
             preferred_element_type=jnp.float32)
         return dq
 
-    dq = jax.lax.fori_loop(0, n_kv_live, body,
-                           jnp.zeros((block_q, dh), jnp.float32))
+    dq = jnp.zeros((block_q, dh), jnp.float32)
+    if causal:
+        n_int = _n_interior(t0, block_k, n_kv_live)
+        dq = jax.lax.fori_loop(
+            0, n_int, functools.partial(body, masked=False), dq)
+        dq = jax.lax.fori_loop(
+            n_int, n_kv_live, functools.partial(body, masked=True), dq)
+    else:
+        dq = jax.lax.fori_loop(
+            0, n_kv_live, functools.partial(body, masked=False), dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
                       lse_ref, delta_ref, dq_ref, de_ref, *,
                       block_q: int, block_k: int, max_seq: int,
-                      causal: bool):
+                      causal: bool, has_pad: bool):
     """dQ and dE for one query block; dE accumulates across the whole
     (sequential) grid into a single revisited output block."""
     i = pl.program_id(0)
@@ -473,17 +518,18 @@ def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     lse = lse_ref[0, pl.ds(t0, block_q), :]      # [BQ, 1]
     delta = delta_ref[0, pl.ds(t0, block_q), :]  # [BQ, 1]
     cdt = q.dtype  # compute dtype for the MXU legs
+    pref = pad_ref if has_pad else None
 
     n_kv = kv_len // block_k
     n_kv_live = (jnp.minimum((t0 + block_q - 1) // block_k + 1, n_kv)
                  if causal else n_kv)
 
-    def body(j, dq):
+    def body(j, dq, masked):
         s0 = j * block_k
         v_blk = v_ref[0, pl.ds(s0, block_k), :]
         logits, k_blk, e_blk, base = _tile_logits(
-            q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
-            causal, scale)
+            q, k_ref, e_ref, pref, t0, s0, block_q, block_k, max_seq,
+            causal, scale, masked=masked)
         p = jnp.exp(logits - lse)                    # [BQ, BK] f32
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -501,15 +547,23 @@ def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
             preferred_element_type=jnp.float32)      # [W, dh]
         return dq
 
-    dq = jax.lax.fori_loop(0, n_kv_live, body,
-                           jnp.zeros((block_q, dh), jnp.float32))
+    dq = jnp.zeros((block_q, dh), jnp.float32)
+    if causal:
+        n_int = _n_interior(t0, block_k, n_kv_live)
+        dq = jax.lax.fori_loop(
+            0, n_int, functools.partial(body, masked=False), dq)
+        dq = jax.lax.fori_loop(
+            n_int, n_kv_live, functools.partial(body, masked=True), dq)
+    else:
+        dq = jax.lax.fori_loop(
+            0, n_kv_live, functools.partial(body, masked=False), dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
                     lse_ref, delta_ref, dk_ref, dv_ref, *,
                     block_q: int, block_k: int, max_seq: int,
-                    causal: bool):
+                    causal: bool, has_pad: bool):
     """dK and dV for one kv block (loop over contributing query blocks)."""
     ki = pl.program_id(1)
     s0 = ki * block_k
@@ -518,8 +572,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     scale = 1.0 / math.sqrt(dh)
     n_q = q_len // block_q
     i_min = (s0 // block_q) if causal else 0
+    pref = pad_ref if has_pad else None
 
-    def body(qi, carry):
+    def body(qi, carry, masked):
         dk, dv = carry
         t0 = qi * block_q
         q = q_ref[0, pl.ds(t0, block_q), :]
@@ -529,8 +584,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
         v_blk = v_ref[0, pl.ds(s0, block_k), :]
         cdt = q.dtype
         logits, _, _, _ = _tile_logits(
-            q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k, max_seq,
-            causal, scale)
+            q, k_ref, e_ref, pref, t0, s0, block_q, block_k, max_seq,
+            causal, scale, masked=masked)
         p = jnp.exp(logits - lse)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -544,7 +599,21 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
         return dk, dv
 
     zeros = jnp.zeros((block_k, dh), jnp.float32)
-    dk, dv = jax.lax.fori_loop(i_min, n_q, body, (zeros, zeros))
+    carry = (zeros, zeros)
+    if causal:
+        # q tiles overlapping the diagonal ([i_min, qi_clear)) run the
+        # masked body; tiles past it see every key in this kv block
+        # unmasked (first q row t0 >= last key s0 + BK - 1)
+        qi_clear = jnp.minimum((s0 + block_k + block_q - 2) // block_q,
+                               n_q)
+        carry = jax.lax.fori_loop(
+            i_min, qi_clear, functools.partial(body, masked=True), carry)
+        carry = jax.lax.fori_loop(
+            qi_clear, n_q, functools.partial(body, masked=False), carry)
+    else:
+        carry = jax.lax.fori_loop(
+            0, n_q, functools.partial(body, masked=False), carry)
+    dk, dv = carry
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
@@ -591,6 +660,7 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
     bh = b * h
     slack = (block_q + block_k) if causal else (l + block_k)
     e_padded = jnp.pad(e.astype(q.dtype), ((0, slack), (0, 0)))
+    has_pad = key_pad is not None
     if key_pad is None:
         key_pad_b = jnp.zeros((b, l), jnp.float32)
     else:
@@ -617,7 +687,7 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
     if BWD_IMPL == "fused":
         fused_kernel = functools.partial(
             _bwd_fused_kernel, block_q=block_q, block_k=block_k,
-            max_seq=max_seq, causal=causal)
+            max_seq=max_seq, causal=causal, has_pad=has_pad)
         dqf, dkf, dvf, de_padded = pl.pallas_call(
             fused_kernel,
             grid=(bh, l // block_q),
@@ -652,7 +722,7 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
 
     dq_kernel = functools.partial(
         _bwd_dq_de_kernel, block_q=block_q, block_k=block_k,
-        max_seq=max_seq, causal=causal)
+        max_seq=max_seq, causal=causal, has_pad=has_pad)
     dqf, de_padded = pl.pallas_call(
         dq_kernel,
         grid=(bh, l // block_q),
@@ -678,7 +748,7 @@ def _bwd(fwd_block_q, fwd_block_k, causal, interpret, bwd_block_q,
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, block_q=block_q, block_k=block_k,
-        max_seq=max_seq, causal=causal)
+        max_seq=max_seq, causal=causal, has_pad=has_pad)
     dkf, dvf = pl.pallas_call(
         dkv_kernel,
         grid=(bh, l // block_k),

@@ -127,7 +127,10 @@ def make_pipeline_apply(model, mesh: Mesh, n_micro: int):
             mi = jnp.clip(t - stage, 0, m - 1)
             x_in = jnp.where(stage == 0, hm[mi], buf)
             mask = maskm[mi]
-            kp = kpm[mi]
+            # pad_in_input=False (cli.train's dense-window setting):
+            # layers get key_pad=None so the Pallas kernels compile
+            # their no-pad variant; the unused kpm input is DCE'd
+            kp = kpm[mi] if model.pad_in_input else None
 
             def one_layer(h, xs):
                 if deterministic:
@@ -199,7 +202,14 @@ def make_pipeline_apply(model, mesh: Mesh, n_micro: int):
         if mb % mesh.shape["data"]:
             raise ValueError(f"microbatch {mb} not divisible by "
                              f"data={mesh.shape['data']}")
-        mask = causal_pad_mask(x, model.pad_id)
+        if model.pad_in_input:
+            mask = causal_pad_mask(x, model.pad_id)
+        else:
+            # dense windows: causal-only (broadcast view, no B copies)
+            tri = jnp.triu(jnp.ones((seq_len, seq_len), jnp.bool_),
+                           k=1).astype(jnp.float32)
+            mask = jnp.broadcast_to(tri[None, None], (b, 1, seq_len,
+                                                      seq_len))
         key_pad = (x == model.pad_id).astype(jnp.float32)
         # embedding + reference sinusoid + embedding dropout — the exact
         # math of MusicTransformer.__call__ (models/music_transformer.py)

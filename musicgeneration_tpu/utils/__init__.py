@@ -16,6 +16,7 @@ from .checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from .compile_cache import enable_persistent_compile_cache
 from .config import Config, apply_overrides, config_from_args
 from .metrics_log import MetricsLogger
 from .profiling import profile_trace
@@ -30,4 +31,5 @@ __all__ = [
     "config_from_args",
     "MetricsLogger",
     "profile_trace",
+    "enable_persistent_compile_cache",
 ]

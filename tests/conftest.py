@@ -31,14 +31,17 @@ if os.environ.get("MG_TPU_TESTS") != "1":
     # is dominated by recompiling the same jitted programs run after
     # run (content-hash keyed, so edits that change a program recompile
     # it).  Warm-cache quick lane measured ~2x faster.  Opt out with
-    # MG_TEST_NOCACHE=1 (e.g. when bisecting compiler issues).
+    # MG_TEST_NOCACHE=1 (e.g. when bisecting compiler issues).  The
+    # helper also patches jax's cache writes to be ATOMIC (tmp +
+    # os.replace) so a timeout-killed run can't leave a truncated
+    # entry that hangs later readers.
     if os.environ.get("MG_TEST_NOCACHE") != "1":
-        _cache = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.expanduser("~/.cache/musicgeneration_tpu/jax_cache"))
-        os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        from musicgeneration_tpu.utils.compile_cache import (  # noqa: E402
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

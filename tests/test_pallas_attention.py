@@ -157,6 +157,66 @@ def test_key_pad_mask():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_no_pad_specialization_bit_equal():
+    """key_pad=None now compiles a kernel variant that (a) skips the
+    key-pad add entirely and (b) runs interior (fully-below-diagonal)
+    KV tiles through an UNMASKED body. Both must be bit-equal to the
+    all-zero-mask kernel: +0.0 from the causal where and 0 * -1e9 from
+    the pad row change nothing. Locked bitwise, fwd and bwd."""
+    q, k, v, e = _qkve(l=512)
+    zeros = jnp.zeros((2, 512), jnp.float32)
+
+    for bq, bk in ((128, 128), (256, 128), (128, 256)):
+        out_n = fused_relative_attention(q, k, v, e, None, bq, bk,
+                                         True, INTERPRET)
+        out_z = fused_relative_attention(q, k, v, e, zeros, bq, bk,
+                                         True, INTERPRET)
+        np.testing.assert_array_equal(np.asarray(out_n),
+                                      np.asarray(out_z))
+
+    def loss(pad):
+        def f(q, k, v, e):
+            return jnp.sum(fused_relative_attention(
+                q, k, v, e, pad, 128, 128, True, INTERPRET) ** 2)
+        return f
+
+    g_n = jax.grad(loss(None), argnums=(0, 1, 2, 3))(q, k, v, e)
+    g_z = jax.grad(loss(zeros), argnums=(0, 1, 2, 3))(q, k, v, e)
+    for a, b in zip(g_n, g_z):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_model_pad_in_input_false_bit_equal():
+    """pad_in_input=False (cli.train's dense-window setting) must be
+    BIT-equal to the default model on pad-free batches — logits and
+    grads — for both attention impls."""
+    from musicgeneration_tpu.models import MusicTransformer
+
+    x = jax.random.randint(jax.random.PRNGKey(3), (2, 128), 0, 60)
+    for impl in ("xla", "pallas"):
+        m_def = MusicTransformer(vocab_size=64, num_layers=2,
+                                 d_model=128, max_seq=128,
+                                 attention_impl=impl)
+        m_np = MusicTransformer(vocab_size=64, num_layers=2,
+                                d_model=128, max_seq=128,
+                                attention_impl=impl,
+                                pad_in_input=False)
+        params = m_def.init(jax.random.PRNGKey(0), x)["params"]
+        np.testing.assert_array_equal(
+            np.asarray(m_def.apply({"params": params}, x)),
+            np.asarray(m_np.apply({"params": params}, x)))
+
+        def loss(m):
+            def f(p):
+                return jnp.sum(m.apply({"params": p}, x) ** 2)
+            return f
+
+        g_d = jax.grad(loss(m_def))(params)
+        g_n = jax.grad(loss(m_np))(params)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), g_d, g_n)
+
+
 def test_gradients_flow():
     q, k, v, e = _qkve(l=256)
 

@@ -81,6 +81,24 @@ def test_forward_equality_dp_pp():
                                rtol=2e-6, atol=2e-6)
 
 
+def test_forward_equality_no_pad_in_input():
+    """pad_in_input=False (cli.train's dense-window setting) must give
+    the same pipeline forward bit-for-bit as the default flag on
+    pad-free batches — the stage layers see key_pad=None and a
+    causal-only mask."""
+    model = _model(4)
+    params = _params(model)
+    model_np = MusicTransformer(vocab_size=VOCAB, num_layers=4,
+                                d_model=D, max_seq=L,
+                                pad_in_input=False)
+    mesh = make_mesh(dp=1, pp=4, devices=jax.devices()[:4])
+    x = _tokens(5, 8)
+    stacked = stack_layer_params(params, 4)
+    ref = make_pipeline_apply(model, mesh, n_micro=4)(stacked, x)
+    got = make_pipeline_apply(model_np, mesh, n_micro=4)(stacked, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_single_microbatch_degenerate():
     model = _model(4)
     params = _params(model)

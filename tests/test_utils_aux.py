@@ -255,3 +255,25 @@ def test_profile_trace_writes_files(tmp_path):
         jax.block_until_ready(jnp.ones((32, 32)) @ jnp.ones((32, 32)))
     found = [f for root, _, files in os.walk(d) for f in files]
     assert found, "no trace files written"
+
+
+def test_atomic_compile_cache_put(tmp_path):
+    """enable_persistent_compile_cache patches jax's LRUCache.put to
+    write entries atomically (tmp + os.replace): an entry round-trips,
+    no .tmp remnants stay behind, and existing entries are not
+    rewritten (jax's documented put semantics)."""
+    from musicgeneration_tpu.utils.compile_cache import (
+        _patch_atomic_cache_writes,
+    )
+
+    _patch_atomic_cache_writes()
+    from jax._src import lru_cache as _lru
+
+    assert _lru.LRUCache.put.__name__ == "atomic_put"
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)
+    cache.put("k1", b"payload")
+    assert cache.get("k1") == b"payload"
+    cache.put("k1", b"other")  # existing key: no rewrite
+    assert cache.get("k1") == b"payload"
+    leftovers = [p for p in os.listdir(tmp_path) if p.endswith(".tmp")]
+    assert leftovers == []
