@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -204,7 +205,13 @@ def _n_interior(t0, block_k, n_kv_live):
     """KV tiles fully below the diagonal for the query block at t0:
     tile j is interior iff its last key (j+1)*BK - 1 <= first query t0,
     i.e. j < (t0 + 1) // BK. Interior tiles need no causal mask — the
-    kernels run them through the unmasked _tile_logits body."""
+    kernels run them through the unmasked _tile_logits body.
+
+    MG_ATTN_NO_SPLIT=1 (read at trace time; debug/bench knob) forces 0
+    interior tiles, i.e. the pre-split behavior: every tile pays the
+    masked body. Bit-equal either way — kept for same-process A/Bs."""
+    if os.environ.get("MG_ATTN_NO_SPLIT") == "1":
+        return 0
     return jnp.minimum((t0 + 1) // block_k, n_kv_live)
 
 
@@ -603,9 +610,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     if causal:
         # q tiles overlapping the diagonal ([i_min, qi_clear)) run the
         # masked body; tiles past it see every key in this kv block
-        # unmasked (first q row t0 >= last key s0 + BK - 1)
-        qi_clear = jnp.minimum((s0 + block_k + block_q - 2) // block_q,
-                               n_q)
+        # unmasked (first q row t0 >= last key s0 + BK - 1).
+        # MG_ATTN_NO_SPLIT=1: all masked (see _n_interior).
+        if os.environ.get("MG_ATTN_NO_SPLIT") == "1":
+            qi_clear = n_q
+        else:
+            qi_clear = jnp.minimum(
+                (s0 + block_k + block_q - 2) // block_q, n_q)
         carry = jax.lax.fori_loop(
             i_min, qi_clear, functools.partial(body, masked=True), carry)
         carry = jax.lax.fori_loop(

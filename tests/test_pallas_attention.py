@@ -186,6 +186,27 @@ def test_no_pad_specialization_bit_equal():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_no_split_knob_bit_equal(monkeypatch):
+    """MG_ATTN_NO_SPLIT=1 (bench knob: pre-split all-masked tile loop)
+    must be bit-equal to the default interior/diagonal split."""
+    q, k, v, e = _qkve(l=512)
+
+    def run():
+        out = fused_relative_attention(q, k, v, e, None, 128, 128,
+                                       True, INTERPRET)
+        g = jax.grad(lambda a, b, c, d: jnp.sum(fused_relative_attention(
+            a, b, c, d, None, 128, 128, True, INTERPRET) ** 2),
+            argnums=(0, 1, 2, 3))(q, k, v, e)
+        return out, g
+
+    out_s, g_s = run()
+    monkeypatch.setenv("MG_ATTN_NO_SPLIT", "1")
+    out_m, g_m = run()
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_m))
+    for a, b in zip(g_s, g_m):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_model_pad_in_input_false_bit_equal():
     """pad_in_input=False (cli.train's dense-window setting) must be
     BIT-equal to the default model on pad-free batches — logits and
