@@ -204,13 +204,17 @@ def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
 def _n_interior(t0, block_k, n_kv_live):
     """KV tiles fully below the diagonal for the query block at t0:
     tile j is interior iff its last key (j+1)*BK - 1 <= first query t0,
-    i.e. j < (t0 + 1) // BK. Interior tiles need no causal mask — the
-    kernels run them through the unmasked _tile_logits body.
-
-    MG_ATTN_NO_SPLIT=1 (read at trace time; debug/bench knob) forces 0
-    interior tiles, i.e. the pre-split behavior: every tile pays the
-    masked body. Bit-equal either way — kept for same-process A/Bs."""
-    if os.environ.get("MG_ATTN_NO_SPLIT") == "1":
+    i.e. j < (t0 + 1) // BK. Interior tiles need no causal mask and
+    COULD run the unmasked _tile_logits body — but the split was
+    measured SLOWER on v5e (same-process A/B, alternating reps: dh64
+    (256,256) fwd 1.76 vs 1.69 ms / bwd 2.14 vs 1.95 ms all-masked;
+    dh128 (512,512) parity; flagship/production train steps ~1%
+    faster all-masked), so the default is 0 interior tiles — one
+    masked fori_loop, which Mosaic schedules better than two
+    dynamic-bound loops with duplicated bodies. MG_ATTN_SPLIT=1 (read
+    at trace time) re-enables the split for A/Bs; bit-equal either
+    way (locked in test_pallas_attention.py)."""
+    if os.environ.get("MG_ATTN_SPLIT") != "1":
         return 0
     return jnp.minimum((t0 + 1) // block_k, n_kv_live)
 
@@ -257,9 +261,8 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     carry = (acc0, m0, l0)
     if causal:
-        # interior tiles run the unmasked body (bit-equal: their causal
-        # mask is all-zero); only the <= 2 diagonal tiles pay the
-        # iota/select chain
+        # n_int = 0 by default: one masked loop beats the
+        # interior/diagonal split on v5e (see _n_interior)
         n_int = _n_interior(t0, block_k, n_kv_live)
         carry = jax.lax.fori_loop(
             0, n_int, functools.partial(body, masked=False), carry)
@@ -610,13 +613,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     if causal:
         # q tiles overlapping the diagonal ([i_min, qi_clear)) run the
         # masked body; tiles past it see every key in this kv block
-        # unmasked (first q row t0 >= last key s0 + BK - 1).
-        # MG_ATTN_NO_SPLIT=1: all masked (see _n_interior).
-        if os.environ.get("MG_ATTN_NO_SPLIT") == "1":
-            qi_clear = n_q
-        else:
+        # unmasked (first q row t0 >= last key s0 + BK - 1). Default:
+        # ALL masked — the split measured slower (see _n_interior);
+        # MG_ATTN_SPLIT=1 re-enables it for A/Bs.
+        if os.environ.get("MG_ATTN_SPLIT") == "1":
             qi_clear = jnp.minimum(
                 (s0 + block_k + block_q - 2) // block_q, n_q)
+        else:
+            qi_clear = n_q
         carry = jax.lax.fori_loop(
             i_min, qi_clear, functools.partial(body, masked=True), carry)
         carry = jax.lax.fori_loop(

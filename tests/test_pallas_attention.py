@@ -186,9 +186,10 @@ def test_no_pad_specialization_bit_equal():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_no_split_knob_bit_equal(monkeypatch):
-    """MG_ATTN_NO_SPLIT=1 (bench knob: pre-split all-masked tile loop)
-    must be bit-equal to the default interior/diagonal split."""
+def test_split_knob_bit_equal(monkeypatch):
+    """MG_ATTN_SPLIT=1 (bench knob: interior/diagonal split loops —
+    measured slower on v5e, kept for A/Bs) must be bit-equal to the
+    default single all-masked tile loop."""
     q, k, v, e = _qkve(l=512)
 
     def run():
@@ -200,7 +201,7 @@ def test_no_split_knob_bit_equal(monkeypatch):
         return out, g
 
     out_s, g_s = run()
-    monkeypatch.setenv("MG_ATTN_NO_SPLIT", "1")
+    monkeypatch.setenv("MG_ATTN_SPLIT", "1")
     out_m, g_m = run()
     np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_m))
     for a, b in zip(g_s, g_m):
