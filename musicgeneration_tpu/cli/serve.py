@@ -46,6 +46,22 @@ per completion streams to stdout ({"id", "file", "tokens"}) so a
 client piping requests in sees results as they finish:
 
     client | python -m musicgeneration_tpu.cli.serve <ckpt> - outdir
+
+HTTP mode: `--http PORT` (the requests positional is ignored; pass -)
+starts a threaded endpoint in front of the same live pool —
+    POST /generate   one request object (the JSONL line schema);
+                     blocks until the continuation finalizes, returns
+                     {"id", "tokens": [...], "n_tokens", "file"}
+    GET  /stats      scheduler counters + latency summary
+    GET  /healthz    {"ready": true, "slots": N}
+    POST /shutdown   drain and exit (also SIGINT)
+Handler threads only parse and enqueue; every submit/step/collect
+stays on the engine thread, so arbitrary concurrent clients share the
+slot pool exactly like the stdin mode's interleaved lines:
+
+    python -m musicgeneration_tpu.cli.serve <ckpt> - outdir --http 8765
+    curl -d '{"tokens": [24, 28, 31], "max_new": 64}' \\
+         localhost:8765/generate
 """
 
 from __future__ import annotations
@@ -83,6 +99,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-new", type=int, default=512,
                    help="default when a request omits max_new")
+    p.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve an HTTP endpoint instead of a request "
+                        "file (0 = ephemeral port, printed on ready)")
+    p.add_argument("--http-timeout", type=float, default=600.0,
+                   help="per-request completion timeout (seconds)")
     args = p.parse_args(argv)
 
     import jax
@@ -204,6 +225,8 @@ def main(argv=None) -> int:
             on_finalize=on_finalize,
             rng=jax.random.PRNGKey(args.seed))
 
+    if args.http is not None:
+        return _serve_http(scheme, build_cb, parse_request, args)
     if args.requests == "-":
         return _serve_follow(scheme, build_cb, parse_request, args)
 
@@ -262,6 +285,152 @@ def main(argv=None) -> int:
         raise SystemExit(f"requests never finalized: {sorted(missing)}")
     for path, n in written:
         print(f"wrote {path} ({n} tokens)")
+    return 0
+
+
+def _serve_http(scheme, build_cb, parse_request, args) -> int:
+    """HTTP serving loop: a ThreadingHTTPServer accepts requests on
+    handler threads, which parse (pure numpy/file work), enqueue, and
+    block on a completion event; the engine thread drains the intake
+    queue between decode segments and runs cb.step() — the engine
+    objects are only ever touched from this one thread (same
+    single-driver discipline as the stdin follow mode)."""
+    import queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from .generate import _write_midi
+
+    os.makedirs(args.outdir, exist_ok=True)
+    intake = queue.Queue()   # (name, parsed, holder)
+    stopping = threading.Event()
+    stats_lock = threading.Lock()
+    shared = {"stats": {}, "latency": {}, "ready": False}
+    seq_lock = threading.Lock()
+    seq = [0]
+
+    def next_id():
+        with seq_lock:
+            seq[0] += 1
+            return seq[0] - 1
+
+    class Handler(BaseHTTPRequestHandler):
+        # suppress per-request stderr lines (the engine prints a
+        # summary on shutdown)
+        def log_message(self, fmt, *a):  # noqa: D401, N802
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._json(200, {"ready": shared["ready"],
+                                 "slots": args.slots})
+            elif self.path == "/stats":
+                with stats_lock:
+                    self._json(200, {"stats": shared["stats"],
+                                     "latency": shared["latency"]})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path == "/shutdown":
+                stopping.set()
+                self._json(200, {"ok": True})
+                return
+            if self.path != "/generate":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            if stopping.is_set():
+                self._json(503, {"error": "server is draining"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                line = self.rfile.read(n).decode()
+                parsed = parse_request(line, next_id())
+            except (ValueError, UnicodeDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            holder = {"event": threading.Event()}
+            intake.put((parsed, holder))
+            if not holder["event"].wait(args.http_timeout):
+                self._json(504, {"error": "generation timed out"})
+                return
+            if "error" in holder:
+                self._json(400, {"error": holder["error"]})
+                return
+            toks = holder["tokens"]
+            self._json(200, {"id": parsed[0],
+                             "tokens": [int(t) for t in toks],
+                             "n_tokens": int(len(toks)),
+                             "file": holder["path"]})
+
+    pending = {}  # rid -> (name, holder)
+
+    def deliver(rid, toks):
+        name, holder = pending.pop(rid)
+        path = os.path.join(args.outdir, f"{name}.mid")
+        _write_midi(scheme, toks, path)
+        holder["tokens"] = toks
+        holder["path"] = path
+        holder["event"].set()
+
+    cb = build_cb(True, deliver)  # per-row: params may vary per POST
+    cb.warm(widths=True)
+    server = ThreadingHTTPServer(("127.0.0.1", args.http), Handler)
+    server.daemon_threads = True
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    shared["ready"] = True
+    port = server.server_address[1]
+    print(json.dumps({"ready": True, "port": port,
+                      "slots": args.slots}), flush=True)
+
+    n_sub = 0
+    t0 = time.perf_counter()
+    try:
+        while True:
+            while True:  # drain intake without blocking
+                try:
+                    parsed, holder = intake.get_nowait()
+                except queue.Empty:
+                    break
+                name, toks, max_new, eos, sp, extra = parsed
+                try:
+                    rid = cb.submit(toks, max_new, eos_id=eos,
+                                    sampling=sp, **extra)
+                except ValueError as e:
+                    holder["error"] = str(e)
+                    holder["event"].set()
+                    continue
+                pending[rid] = (name, holder)
+                n_sub += 1
+            busy = cb.step()
+            with stats_lock:
+                shared["stats"] = cb.stats()
+                shared["latency"] = cb.latency_summary()
+            if not busy and not pending:
+                if stopping.is_set():
+                    break
+                try:  # idle: block until the next request (or stop)
+                    item = intake.get(timeout=0.5)
+                    intake.put(item)
+                except queue.Empty:
+                    continue
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+    dt = time.perf_counter() - t0
+    st = cb.stats()
+    print(f"served {n_sub} requests in {dt:.1f}s; "
+          f"{st['committed_tokens']:.0f} tokens, "
+          f"occupancy {st['occupancy']:.0%}", file=sys.stderr)
     return 0
 
 

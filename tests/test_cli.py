@@ -580,6 +580,101 @@ def test_serve_rnn_continuous_batching(tok_dir, tmp_path):
     MidiFile(os.path.join(outdir, "c.mid"))
 
 
+def test_serve_http(tok_dir, tmp_path):
+    """cli.serve --http: concurrent POST /generate clients share the
+    live slot pool; the greedy response is byte- and token-identical
+    to cli.generate; /stats and /healthz respond; POST /shutdown
+    drains the engine thread to exit 0."""
+    import socket
+    import threading
+    import time
+    import urllib.request
+
+    ckpt, _ = _train(tok_dir, tmp_path, "music_transformer",
+                     ["model.num_layers=1", "model.d_model=64",
+                      "model.max_seq=256"])
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    outdir = str(tmp_path / "served_http")
+    from musicgeneration_tpu.cli.serve import main as serve_main
+    rc = {}
+
+    def run():
+        rc["code"] = serve_main(
+            [ckpt, "-", outdir, "--slots", "2", "--seg-len", "8",
+             "--greedy", "--http", str(port)])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    base = f"http://127.0.0.1:{port}"
+
+    def req(path, data=None, timeout=120):
+        r = urllib.request.urlopen(
+            base + path,
+            data=None if data is None else json.dumps(data).encode(),
+            timeout=timeout)
+        return json.loads(r.read())
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if req("/healthz")["ready"]:
+                break
+        except OSError:
+            time.sleep(0.2)
+    else:
+        raise AssertionError("server never became ready")
+
+    # two concurrent clients (one greedy, one with its own sampling
+    # params) plus an invalid one
+    results = {}
+
+    def client(key, payload):
+        try:
+            results[key] = req("/generate", payload)
+        except urllib.error.HTTPError as e:
+            results[key] = {"http_error": e.code,
+                            **json.loads(e.read() or b"{}")}
+
+    threads = [
+        threading.Thread(target=client, args=(
+            "a", {"id": "a", "tokens": [24, 28, 31], "max_new": 24})),
+        threading.Thread(target=client, args=(
+            "b", {"id": "b", "tokens": [10, 20, 30], "max_new": 16,
+                  "temperature": 0.9, "top_k": 12, "greedy": False})),
+        threading.Thread(target=client, args=(
+            "bad", {"id": "bad", "tokens": [1], "max_new": 10_000})),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+        assert not th.is_alive(), "client hung"
+
+    assert results["a"]["n_tokens"] == 24
+    assert results["b"]["n_tokens"] == 16
+    # oversized max_new is rejected by the engine with a 400
+    assert results["bad"]["http_error"] == 400
+
+    st = req("/stats")
+    assert st["stats"]["committed_tokens"] >= 40
+
+    # greedy response is identical to cli.generate on the same prime
+    from musicgeneration_tpu.cli.generate import main as gen_main
+    ref_mid = str(tmp_path / "ref_http.mid")
+    assert gen_main([ckpt, ref_mid, "--steps", "24",
+                     "--temperature", "0"]) == 0
+    with open(os.path.join(outdir, "a.mid"), "rb") as f1, \
+            open(ref_mid, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    assert req("/shutdown", data={}) == {"ok": True}  # data -> POST
+    t.join(timeout=120)
+    assert not t.is_alive() and rc["code"] == 0
+
+
 def test_serve_cp_continuous_batching(tmp_path):
     """cli.serve routes a cp_transformer checkpoint through the CP
     continuous batcher (compound rows); the greedy default-prime
