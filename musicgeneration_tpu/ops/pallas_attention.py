@@ -157,8 +157,25 @@ def _unshear(ds: jnp.ndarray, block_q: int, w: int) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=0)
 
 
+def _prescale(dh) -> bool:
+    """True when 1/sqrt(dh) is an exact power of two (dh = 4^k): the
+    kernels then fold the softmax scale into q at block load — a
+    [BQ, dh] multiply that shifts exponents only, BIT-equal to scaling
+    the [BQ, BK] logits tile (every downstream product and f32 partial
+    sum scales exactly), and it removes the two per-tile [BQ, BK]
+    scale passes (logits*scale fwd, g*scale bwd) from this VPU-bound
+    kernel — measured ~11% of the dh64 backward. dh=128's
+    2^-3.5 would round bf16 mantissas, so it keeps the multiply (its
+    scale pass measured free anyway — hidden under the bigger MXU
+    dots). MG_ATTN_NO_PRESCALE=1 (trace-time) forces the old path for
+    A/Bs; bit-equality locked in test_pallas_attention.py."""
+    if os.environ.get("MG_ATTN_NO_PRESCALE") == "1":
+        return False
+    return math.log2(1.0 / math.sqrt(dh)).is_integer()
+
+
 def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
-                 max_seq, causal, scale, masked=True):
+                 max_seq, causal, scale, masked=True, prescaled=False):
     """Recompute one tile's masked, scaled logits + the e slice — shared
     verbatim by forward and both backward kernels so p is bit-identical.
 
@@ -170,7 +187,9 @@ def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
     the mask is all-zero by construction — bit-equal, and it removes
     ~5 VPU passes over the [BQ, BK] tile from the hot loop of this
     VPU-bound kernel. pad_ref=None likewise skips the key-pad add
-    (exact when the caller had no pad mask: 0 * -1e9 adds nothing)."""
+    (exact when the caller had no pad mask: 0 * -1e9 adds nothing).
+    prescaled=True: q already carries the softmax scale (see
+    _prescale) — the [BQ, BK] multiply is skipped."""
     k_blk = k_ref[0, pl.ds(s0, block_k), :]
     base = max_seq - block_q - t0 + s0
     # every term is a multiple of gcd(block_q, block_k, max_seq-block_q);
@@ -188,7 +207,7 @@ def _tile_logits(q, k_ref, e_ref, pad_ref, t0, s0, block_q, block_k,
     qk = qke[:, :block_k]
     qe = qke[:, block_k:]
     srel = _shear(qe, block_q, block_k)
-    logits = (qk + srel) * scale
+    logits = (qk + srel) if prescaled else (qk + srel) * scale
     if causal and masked:
         t_ids = t0 + jax.lax.broadcasted_iota(jnp.int32,
                                               (block_q, block_k), 0)
@@ -227,9 +246,12 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
     kv_len = k_ref.shape[1]  # block is [1, L, dh]
     dh = q_ref.shape[-1]
     scale = 1.0 / math.sqrt(dh)
+    prescale = _prescale(dh)
     pref = pad_ref if has_pad else None
 
     q = q_ref[0]  # [BQ, dh], native dtype (bf16 rides the MXU at 2x)
+    if prescale:  # exponent-shift only: bit-equal (see _prescale)
+        q = q * scale  # python float: weak type, stays native dtype
 
     n_kv = kv_len // block_k
     if causal:
@@ -244,7 +266,8 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
         v_blk = v_ref[0, pl.ds(s0, block_k), :]
         logits, _, _, _ = _tile_logits(q, k_ref, e_ref, pref, t0, s0,
                                        block_q, block_k, max_seq, causal,
-                                       scale, masked=masked)
+                                       scale, masked=masked,
+                                       prescaled=prescale)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p_ij = jnp.exp(logits - m_new)
@@ -442,6 +465,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     dh = q_ref.shape[-1]
     w = block_q + block_k
     scale = 1.0 / math.sqrt(dh)
+    prescale = _prescale(dh)
 
     @pl.when((i == 0) & (qi == 0))
     def _init_de():
@@ -453,6 +477,12 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
     q = q_ref[0]
+    if prescale:
+        # q carries the scale: dk/de dot q-scaled (bit-equal to the
+        # old (g*scale)^T @ q — s is a pure exponent shift), g skips
+        # its [BQ, BK] *scale pass, and dq (computed w.r.t. scaled q)
+        # is rescaled once at the end on [BQ, dh].
+        q = q * scale
     do = do_ref[0]
     lse = lse_ref[0, pl.ds(t0, block_q), :]      # [BQ, 1]
     delta = delta_ref[0, pl.ds(t0, block_q), :]  # [BQ, 1]
@@ -468,12 +498,12 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
         v_blk = v_ref[0, pl.ds(s0, block_k), :]
         logits, k_blk, e_blk, base = _tile_logits(
             q, k_ref, e_ref, pref, t0, s0, block_q, block_k, max_seq,
-            causal, scale, masked=masked)
+            causal, scale, masked=masked, prescaled=prescale)
         p = jnp.exp(logits - lse)                    # [BQ, BK] f32
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         g = p * (dp - delta)                         # dL/dlogits
-        gs_f32 = g * scale
+        gs_f32 = g if prescale else g * scale
         gs = gs_f32.astype(cdt)
         dq = dq + jax.lax.dot_general(gs, k_blk, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -502,6 +532,8 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     else:
         dq = jax.lax.fori_loop(
             0, n_kv_live, functools.partial(body, masked=False), dq)
+    if prescale:
+        dq = dq * scale  # dL/dq = s * dL/d(q*s); exact (s = 2^-k)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -518,12 +550,15 @@ def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     dh = q_ref.shape[-1]
     w = block_q + block_k
     scale = 1.0 / math.sqrt(dh)
+    prescale = _prescale(dh)
 
     @pl.when((i == 0) & (qi == 0))
     def _init():
         de_ref[...] = jnp.zeros_like(de_ref)
 
     q = q_ref[0]
+    if prescale:  # see _bwd_fused_kernel
+        q = q * scale
     do = do_ref[0]
     lse = lse_ref[0, pl.ds(t0, block_q), :]      # [BQ, 1]
     delta = delta_ref[0, pl.ds(t0, block_q), :]  # [BQ, 1]
@@ -539,12 +574,12 @@ def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
         v_blk = v_ref[0, pl.ds(s0, block_k), :]
         logits, k_blk, e_blk, base = _tile_logits(
             q, k_ref, e_ref, pref, t0, s0, block_q, block_k, max_seq,
-            causal, scale, masked=masked)
+            causal, scale, masked=masked, prescaled=prescale)
         p = jnp.exp(logits - lse)                    # [BQ, BK] f32
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         g = p * (dp - delta)                         # dL/dlogits
-        gs_f32 = g * scale
+        gs_f32 = g if prescale else g * scale
         dq = dq + jax.lax.dot_general(gs_f32.astype(cdt), k_blk,
                                       (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -567,6 +602,8 @@ def _bwd_dq_de_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     else:
         dq = jax.lax.fori_loop(
             0, n_kv_live, functools.partial(body, masked=False), dq)
+    if prescale:
+        dq = dq * scale  # dL/dq = s * dL/d(q*s); exact (s = 2^-k)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
@@ -580,6 +617,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
     q_len = q_ref.shape[1]
     dh = q_ref.shape[-1]
     scale = 1.0 / math.sqrt(dh)
+    prescale = _prescale(dh)
     n_q = q_len // block_q
     i_min = (s0 // block_q) if causal else 0
     pref = pad_ref if has_pad else None
@@ -588,6 +626,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
         dk, dv = carry
         t0 = qi * block_q
         q = q_ref[0, pl.ds(t0, block_q), :]
+        if prescale:  # see _bwd_fused_kernel
+            q = q * scale
         do = do_ref[0, pl.ds(t0, block_q), :]
         lse = lse_ref[0, pl.ds(t0, block_q), :]
         delta = delta_ref[0, pl.ds(t0, block_q), :]
@@ -595,13 +635,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, do_ref,
         cdt = q.dtype
         logits, _, _, _ = _tile_logits(
             q, k_ref, e_ref, pref, t0, s0, block_q, block_k, max_seq,
-            causal, scale, masked=masked)
+            causal, scale, masked=masked, prescaled=prescale)
         p = jnp.exp(logits - lse)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         g = p * (dp - delta)
         dk = dk + jax.lax.dot_general(
-            (g * scale).astype(cdt), q, (((0,), (0,)), ((), ())),
+            (g if prescale else g * scale).astype(cdt), q,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # [BK, dh]
         dv = dv + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),

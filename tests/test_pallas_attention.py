@@ -208,6 +208,34 @@ def test_split_knob_bit_equal(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_prescale_knob_bit_equal(monkeypatch):
+    """The dh=4^k scale fold into q (pure exponent shift — default at
+    dh64) must be BIT-equal to the old [BQ, BK] logits*scale / g*scale
+    passes (MG_ATTN_NO_PRESCALE=1), for the output and all four
+    gradients, in f32 and bf16."""
+    for dtype in (np.float32, jnp.bfloat16):
+        q, k, v, e = (x.astype(dtype) for x in _qkve(l=512))
+
+        def run():
+            out = fused_relative_attention(q, k, v, e, None, 128, 128,
+                                           True, INTERPRET)
+            g = jax.grad(
+                lambda a, b, c, d: jnp.sum(fused_relative_attention(
+                    a, b, c, d, None, 128, 128, True,
+                    INTERPRET).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2, 3))(q, k, v, e)
+            return out, g
+
+        out_p, g_p = run()
+        monkeypatch.setenv("MG_ATTN_NO_PRESCALE", "1")
+        out_o, g_o = run()
+        monkeypatch.delenv("MG_ATTN_NO_PRESCALE")
+        np.testing.assert_array_equal(np.asarray(out_p),
+                                      np.asarray(out_o))
+        for a, b in zip(g_p, g_o):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_model_pad_in_input_false_bit_equal():
     """pad_in_input=False (cli.train's dense-window setting) must be
     BIT-equal to the default model on pad-free batches — logits and
