@@ -52,6 +52,14 @@ starts a threaded endpoint in front of the same live pool —
     POST /generate   one request object (the JSONL line schema);
                      blocks until the continuation finalizes, returns
                      {"id", "tokens": [...], "n_tokens", "file"}
+    POST /submit     same body, returns {"id", "status": "queued"}
+                     immediately (non-blocking)
+    GET  /result/ID  202 {"status": "pending", "n_tokens": so-far}
+                     while decoding; 200 with the /generate payload
+                     once finalized (result is consumed on first 200);
+                     404 unknown
+    POST /cancel     {"id": ID} — queued: dropped, active: slot freed;
+                     /result then reports {"status": "cancelled"}
     GET  /stats      scheduler counters + latency summary
     GET  /healthz    {"ready": true, "slots": N}
     POST /shutdown   drain and exit (also SIGINT)
@@ -302,10 +310,12 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
     from .generate import _write_midi
 
     os.makedirs(args.outdir, exist_ok=True)
-    intake = queue.Queue()   # (name, parsed, holder)
+    intake = queue.Queue()   # (parsed, holder) | ("cancel", name)
     stopping = threading.Event()
     stats_lock = threading.Lock()
-    shared = {"stats": {}, "latency": {}, "ready": False}
+    shared = {"stats": {}, "latency": {}, "ready": False,
+              "progress": {},  # name -> tokens emitted so far
+              "results": {}}   # name -> finished async payload
     seq_lock = threading.Lock()
     seq = [0]
 
@@ -336,26 +346,53 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 with stats_lock:
                     self._json(200, {"stats": shared["stats"],
                                      "latency": shared["latency"]})
+            elif self.path.startswith("/result/"):
+                name = self.path[len("/result/"):]
+                with stats_lock:
+                    if name in shared["results"]:
+                        self._json(200, shared["results"].pop(name))
+                    elif name in shared["progress"]:
+                        self._json(202, {
+                            "id": name, "status": "pending",
+                            "n_tokens": shared["progress"][name]})
+                    else:
+                        self._json(404, {"error": f"unknown id {name}"})
             else:
                 self._json(404, {"error": f"no route {self.path}"})
+
+        def _read_body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n).decode()
 
         def do_POST(self):  # noqa: N802
             if self.path == "/shutdown":
                 stopping.set()
                 self._json(200, {"ok": True})
                 return
-            if self.path != "/generate":
+            if self.path == "/cancel":
+                try:
+                    name = str(json.loads(self._read_body())["id"])
+                except (ValueError, KeyError) as e:
+                    self._json(400, {"error": f"need {{'id': ...}}: {e}"})
+                    return
+                intake.put(("cancel", name))
+                self._json(202, {"id": name,
+                                 "status": "cancel_requested"})
+                return
+            if self.path not in ("/generate", "/submit"):
                 self._json(404, {"error": f"no route {self.path}"})
                 return
             if stopping.is_set():
                 self._json(503, {"error": "server is draining"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", 0))
-                line = self.rfile.read(n).decode()
-                parsed = parse_request(line, next_id())
+                parsed = parse_request(self._read_body(), next_id())
             except (ValueError, UnicodeDecodeError) as e:
                 self._json(400, {"error": str(e)})
+                return
+            if self.path == "/submit":
+                intake.put((parsed, {"async": True}))
+                self._json(200, {"id": parsed[0], "status": "queued"})
                 return
             holder = {"event": threading.Event()}
             intake.put((parsed, holder))
@@ -373,10 +410,30 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
 
     pending = {}  # rid -> (name, holder)
 
+    def resolve_cancel(name, holder, toks):
+        if holder.get("async"):
+            with stats_lock:
+                shared["results"][name] = {"id": name,
+                                           "status": "cancelled",
+                                           "n_tokens": int(len(toks))}
+        else:
+            holder["error"] = "cancelled"
+            holder["event"].set()
+
     def deliver(rid, toks):
         name, holder = pending.pop(rid)
+        if holder.get("cancelled"):
+            # an ACTIVE cancel finalizes through here (partial tokens)
+            resolve_cancel(name, holder, toks)
+            return
         path = os.path.join(args.outdir, f"{name}.mid")
         _write_midi(scheme, toks, path)
+        if holder.get("async"):
+            with stats_lock:
+                shared["results"][name] = {
+                    "id": name, "tokens": [int(t) for t in toks],
+                    "n_tokens": int(len(toks)), "file": path}
+            return
         holder["tokens"] = toks
         holder["path"] = path
         holder["event"].set()
@@ -400,13 +457,29 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                     parsed, holder = intake.get_nowait()
                 except queue.Empty:
                     break
+                if parsed == "cancel":
+                    name = holder
+                    rids = [r for r, (n2, _h) in pending.items()
+                            if n2 == name]
+                    for r in rids:
+                        pending[r][1]["cancelled"] = True
+                        cb.cancel(r)  # active: finalizes via deliver()
+                        if r in pending:  # queued: no finalize fired
+                            _n2, h = pending.pop(r)
+                            resolve_cancel(name, h, [])
+                    continue
                 name, toks, max_new, eos, sp, extra = parsed
                 try:
                     rid = cb.submit(toks, max_new, eos_id=eos,
                                     sampling=sp, **extra)
                 except ValueError as e:
-                    holder["error"] = str(e)
-                    holder["event"].set()
+                    if holder.get("async"):
+                        with stats_lock:
+                            shared["results"][name] = {
+                                "id": name, "error": str(e)}
+                    else:
+                        holder["error"] = str(e)
+                        holder["event"].set()
                     continue
                 pending[rid] = (name, holder)
                 n_sub += 1
@@ -414,6 +487,9 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
             with stats_lock:
                 shared["stats"] = cb.stats()
                 shared["latency"] = cb.latency_summary()
+                shared["progress"] = {
+                    n2: len(cb._emitted.get(r, []))
+                    for r, (n2, _h) in pending.items()}
             if not busy and not pending:
                 if stopping.is_set():
                     break

@@ -583,8 +583,10 @@ def test_serve_rnn_continuous_batching(tok_dir, tmp_path):
 def test_serve_http(tok_dir, tmp_path):
     """cli.serve --http: concurrent POST /generate clients share the
     live slot pool; the greedy response is byte- and token-identical
-    to cli.generate; /stats and /healthz respond; POST /shutdown
-    drains the engine thread to exit 0."""
+    to cli.generate; the async API (POST /submit -> GET /result/ID
+    polling -> consumed-on-read, POST /cancel) works alongside;
+    /stats and /healthz respond; POST /shutdown drains the engine
+    thread to exit 0."""
     import socket
     import threading
     import time
@@ -660,6 +662,56 @@ def test_serve_http(tok_dir, tmp_path):
 
     st = req("/stats")
     assert st["stats"]["committed_tokens"] >= 40
+
+    # ---- async API: /submit returns immediately, /result polls ----
+    def poll(name, deadline_s=120):
+        """Poll /result/<name> until it stops reporting pending.
+        404 means the submit hasn't been drained by the engine thread
+        yet (or the result was consumed) — keep polling."""
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            try:
+                res = req(f"/result/{name}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+                time.sleep(0.05)
+                continue
+            if res.get("status") != "pending":
+                return res
+            assert set(res) == {"id", "status", "n_tokens"}
+            time.sleep(0.05)
+        raise AssertionError(f"result {name} never finalized")
+
+    sub = req("/submit", {"id": "as", "tokens": [24, 28, 31],
+                          "max_new": 24})
+    assert sub == {"id": "as", "status": "queued"}
+    res = poll("as")
+    # same greedy prompt as the sync client -> identical tokens
+    assert res["n_tokens"] == 24
+    assert res["tokens"] == results["a"]["tokens"]
+    assert os.path.exists(res["file"])
+    # the result is consumed on first 200
+    try:
+        req("/result/as")
+        raise AssertionError("result was not consumed on read")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+    # ---- cancel: submit a long request, cancel it immediately ----
+    assert req("/submit", {"id": "cx", "tokens": [24, 28, 31],
+                           "max_new": 200})["status"] == "queued"
+    assert req("/cancel", {"id": "cx"})["status"] == "cancel_requested"
+    res = poll("cx")
+    assert res["status"] == "cancelled"
+    assert res["n_tokens"] < 200
+    assert not os.path.exists(os.path.join(outdir, "cx.mid"))
+
+    # async submit of an oversized request reports the engine error
+    # through /result rather than a blocked POST
+    assert req("/submit", {"id": "big", "tokens": [1],
+                           "max_new": 10_000})["status"] == "queued"
+    res = poll("big")
+    assert "error" in res
 
     # greedy response is identical to cli.generate on the same prime
     from musicgeneration_tpu.cli.generate import main as gen_main
