@@ -25,6 +25,26 @@ with a per-element done mask (everything on device, one compiled program);
 the ragged outputs come back as (tokens [B, bars, steps, 3],
 valid [B, bars, steps, 3]) and `flatten_arrangement` rebuilds the token
 lists on host.
+
+Hidden-carry semantics at bar end: the reference's loop BREAKS at the
+bar token (network.py:246-301: `output, state = self.decoder(...)`
+then `if flag == batch: break`), so the dec_h entering
+`hidden = enc_h + dec_h` is the state OF the bar-emitting step. As
+committed the reference then CRASHES before returning — after the
+break it still calls `get_next_mask(batch, seq)` (utils/data.py:
+435-441) which indexes the now-short `seq` list (empty at batch=1),
+an IndexError on EVERY bar that terminates via a bar token
+(machine-pinned in tests/test_reference_executable.py). We implement
+the evident intent per row: each row's h freezes once its bar is done
+(`freeze_done_hidden=True`, the default), which also makes results
+independent of `max_steps` once a bar has ended and independent of
+the batch composition (the reference's batch>1 loop instead couples
+rows through the shared GRU state — and crashes whenever any row
+finishes before the rest). Greedy B=1 token parity vs the executing
+reference, with ONLY the post-break crash patched, is locked in
+test_reference_executable.py::test_popmag_generate_arrangement_
+executable_parity. `freeze_done_hidden=False` restores our old
+run-to-max_steps variant of the coupled behaviour for A/Bs.
 """
 
 from __future__ import annotations
@@ -56,7 +76,8 @@ def _sample_head(rng, logits, greedy: bool, temperature: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "n_target_bar", "max_steps", "greedy"))
+    static_argnames=("model", "n_target_bar", "max_steps", "greedy",
+                     "freeze_done_hidden"))
 def generate_arrangement(
     model,
     params,
@@ -68,6 +89,7 @@ def generate_arrangement(
     max_steps: int = 200,
     greedy: bool = True,
     temperature: float = 1.0,
+    freeze_done_hidden: bool = True,
 ):
     """Returns (tokens [B, n_target_bar, max_steps, 3] int32,
     valid [B, n_target_bar, max_steps, 3] bool)."""
@@ -161,6 +183,10 @@ def generate_arrangement(
             tokens = jnp.stack([etype, pitch, dur], axis=-1)  # [B, 3]
             valid = jnp.stack([emit1, emit23, emit23], axis=-1)
 
+            if freeze_done_hidden:
+                # rows already done keep their bar-end h (the bar-token
+                # step's own update IS kept: done was False entering it)
+                h = jnp.where(st["done"][None, :, None], st["h"], h)
             new_st = dict(compound=compound, pos=pos, cls=cls_, val=val,
                           vel=vel, track=track, done=newly_done, h=h)
             return new_st, (tokens, valid)

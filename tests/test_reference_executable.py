@@ -412,6 +412,19 @@ def test_init_to_hidden_view_quirk_documented():
 # (iv) PoPMAG compound embedding + Train forward
 # ==========================================================================
 
+def _popmag_transplant(ref, layers):
+    """torch PoPMAG_RNN state -> our PoPMAGRNN param tree."""
+    return {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "encoder": _gru_params(ref.encoder, layers),
+        "decoder": _gru_params(ref.decoder, layers),
+        "head_type": _linear(ref.output_fc[0]),
+        "head_pitch": _linear(ref.output_fc[1]),
+        "head_duration": _linear(ref.output_fc[2]),
+    }
+
+
 def test_popmag_compound_embed_and_train_parity():
     """PoPMAG_RNN.compression (network.py:141-149) and Train
     (network.py:323-363: per-bar enc/dec GRUs, carried
@@ -435,15 +448,7 @@ def test_popmag_compound_embed_and_train_parity():
     assert list(ref.out_len) == list(mp.OUT_LEN)
     assert ref.mx_dim == mp.MX_DIM
 
-    params = {
-        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
-        "inithid_fc": _linear(ref.inithid_fc),
-        "encoder": _gru_params(ref.encoder, L),
-        "decoder": _gru_params(ref.decoder, L),
-        "head_type": _linear(ref.output_fc[0]),
-        "head_pitch": _linear(ref.output_fc[1]),
-        "head_duration": _linear(ref.output_fc[2]),
-    }
+    params = _popmag_transplant(ref, L)
     ours = PoPMAGRNN(event_dim=485, bar_dim=BARD, init_dim=8,
                      embed_dim=E, hidden_dim=H, num_layers=L,
                      dropout_rate=0.0)
@@ -484,6 +489,138 @@ def test_popmag_compound_embed_and_train_parity():
                     jnp.asarray(got[bi, k, :n, head, :width]), axis=-1))
                 np.testing.assert_allclose(our_p, ref_p,
                                            rtol=2e-5, atol=2e-5)
+
+
+def _popmag_generate_setup(bar_bias=0.45, seed=2):
+    """Tiny transplanted (network module, ref, ours, params) +
+    deterministic inputs for arrangement-generation parity.
+
+    (seed, bar_bias) were searched so that under greedy decoding every
+    bar terminates via a bar token well before max_steps and at least
+    one bar emits several events first — per-bar emitted lengths
+    [2, 9, 0] — which exercises the bar-end hidden-freeze carry into
+    later bars. bar_bias is added to the bar token's head-0 bias on the
+    torch side BEFORE transplant, so both sides decode the same model."""
+    rs.load_utils_data()  # installs the mg.* aliases bar_id() needs
+    pg = rs.load_popmag()
+    from musicgeneration_tpu.data import mumidi_packing as mp
+    from musicgeneration_tpu.models.popmag import PoPMAGRNN
+
+    L, H, E, BARD = 2, 16, 16, 188
+    torch.manual_seed(seed)
+    ref = pg.PoPMAG_RNN(init_dim=8, event_dim=485, hidden_dim=H,
+                        bar_dim=BARD, embed_dim=E, rnn_layers=L,
+                        dropout=0.0)
+    ref.eval()
+    assert list(ref.embed_shift) == list(mp.SHIFT)
+    with torch.no_grad():
+        ref.output_fc[0].bias[mp.BAR_TOKEN - mp.SHIFT[0]] += bar_bias
+    params = _popmag_transplant(ref, L)
+    ours = PoPMAGRNN(event_dim=485, bar_dim=BARD, init_dim=8,
+                     embed_dim=E, hidden_dim=H, num_layers=L,
+                     dropout_rate=0.0)
+
+    rng = np.random.default_rng(21)
+    b, bars, s_len = 1, 3, 6  # B=1: the reference's own generate shape
+    src = rng.integers(0, 485 + BARD, size=(b, bars, s_len, 7))
+    src_len = rng.integers(1, s_len + 1, size=(b, bars))
+    init = rng.normal(size=(b, 8)).astype(np.float32)
+    return pg, ref, ours, params, init, src, src_len
+
+
+def test_popmag_generate_bar_crash_pinned():
+    """Reference quirk machine-pinned: PoPMAG_RNN.decoder_one_step
+    (network.py:246-301) `break`s out of the per-row loop when every
+    row has emitted its bar token, but then still calls
+    Melody_Arrangement_Dataset.get_next_mask(batch, seq)
+    (utils/data.py:435-441) whose `seq` list only holds rows that did
+    NOT terminate this step — `torch.LongTensor(seq[i])` IndexErrors.
+    Net effect: the reference's generate path crashes on EVERY bar that
+    ends via a bar token (i.e. on any trained model); it only survives
+    bars that run the full hard-coded 200 steps. Our
+    decode/popmag_generate.py implements the evident intent instead
+    (per-row hidden freeze at the bar-emitting step)."""
+    pg, ref, ours, params, init, src, src_len = _popmag_generate_setup()
+    with torch.no_grad():
+        comp_src = ref.compression(torch.from_numpy(src).long())
+        with pytest.raises(IndexError):
+            ref.generate_arrangement(torch.from_numpy(init), comp_src,
+                                     torch.from_numpy(src_len).long(),
+                                     src.shape[1])
+
+
+def test_popmag_generate_arrangement_executable_parity():
+    """Greedy B=1 arrangement-generation token parity vs the EXECUTING
+    reference (PoPMAG_RNN/network.py:216-301 decoder_one_step +
+    :366-417 generate_arrangement), weight-transplanted.
+
+    The only reference modification is a pad-tolerant get_next_mask
+    standing in for utils/data.py:435-441 — at B=1 the short-seq call
+    happens exclusively AFTER the loop's terminating break (the crash
+    pinned in test_popmag_generate_bar_crash_pinned), where its result
+    feeds the next decoder input that is never consumed, so the patch
+    cannot alter any token. This locks, against the reference's own
+    execution: the typed per-token state machine (position/tempo/
+    chord/track/velocity slot updates, drum pitch offset, head shifts),
+    the per-step compound feedback row, greedy head argmax through
+    final_predict's softmax+pad, the 200-step cap semantics, and the
+    bar-end hidden carry hidden = enc_h + dec_h with dec_h frozen at
+    the bar-emitting step (freeze_done_hidden=True, our default)."""
+    from musicgeneration_tpu.decode.popmag_generate import (
+        flatten_arrangement, generate_arrangement)
+
+    pg, ref, ours, params, init, src, src_len = _popmag_generate_setup()
+    bars = src.shape[1]
+    max_steps = 48  # > the longest bar (9 emitted steps) on both sides
+
+    ds = pg.Melody_Arrangement_Dataset
+    orig = ds.get_next_mask
+
+    def tolerant(batch, seq):
+        pad = torch.zeros((batch, 7))
+        for i in range(min(batch, len(seq))):
+            pad[i, :] = torch.LongTensor([int(x) for x in seq[i]])
+        return pad.reshape(batch, 1, 7).long()
+
+    ds.get_next_mask = staticmethod(tolerant)
+    try:
+        with torch.no_grad():
+            comp_src = ref.compression(torch.from_numpy(src).long())
+            outs = ref.generate_arrangement(
+                torch.from_numpy(init), comp_src,
+                torch.from_numpy(src_len).long(), bars)
+    finally:
+        ds.get_next_mask = orig
+    ref_seq = np.asarray([int(t) for t in outs[0]])
+
+    pj = jax.tree.map(jnp.asarray, params)
+    args = (jnp.asarray(init), jnp.asarray(src), jnp.asarray(src_len),
+            jax.random.PRNGKey(0))
+    tokens, valid = generate_arrangement(
+        ours, pj, *args, n_target_bar=bars, max_steps=max_steps,
+        greedy=True)
+    # the searched dynamics: every bar ends early, one is multi-step
+    lens = np.asarray(valid)[0, :, :, 0].sum(axis=-1)
+    assert lens.max() >= 2 and lens.max() < max_steps - 2, (
+        f"generation dynamics drifted (per-bar lengths {lens}); "
+        "re-search (seed, bar_bias) in _popmag_generate_setup")
+    our_seq = flatten_arrangement(np.asarray(tokens), np.asarray(valid))
+    np.testing.assert_array_equal(our_seq[0], ref_seq)
+
+    # freeze semantics: results independent of max_steps once bars end
+    t2, v2 = generate_arrangement(
+        ours, pj, *args, n_target_bar=bars, max_steps=max_steps + 16,
+        greedy=True)
+    np.testing.assert_array_equal(
+        flatten_arrangement(np.asarray(t2), np.asarray(v2))[0], ref_seq)
+
+    # and the lock has teeth: the pre-fix behaviour (h keeps evolving
+    # after a bar ends) diverges from the reference on later bars
+    t3, v3 = generate_arrangement(
+        ours, pj, *args, n_target_bar=bars, max_steps=max_steps,
+        greedy=True, freeze_done_hidden=False)
+    assert not np.array_equal(
+        flatten_arrangement(np.asarray(t3), np.asarray(v3))[0], ref_seq)
 
 
 # ==========================================================================
