@@ -152,6 +152,12 @@ class SlotScheduler:
         """The warm() probe prompt at length n (engine token shape)."""
         return np.ones(n, np.int32)
 
+    def _empty_result(self) -> np.ndarray:
+        """A zero-length result in the engine's token shape (the CP
+        engine overrides with [0, 8] so empty results keep the
+        documented row contract)."""
+        return np.zeros((0,), np.int32)
+
     def _validate_request(self, prompt: np.ndarray, max_new: int,
                           eos_id: Optional[int], kw: dict) -> dict:
         """Engine-specific submit validation. Returns the extra payload
@@ -228,9 +234,12 @@ class SlotScheduler:
         if not e2e:
             return {"n": 0}
         q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]
+        # wait can be empty while e2e is not: a request cancelled while
+        # still QUEUED records done but never admit
         return {"n": len(e2e),
                 "e2e_p50": q(e2e, 0.5), "e2e_p95": q(e2e, 0.95),
-                "wait_p50": q(wait, 0.5), "wait_p95": q(wait, 0.95)}
+                "wait_p50": q(wait, 0.5) if wait else 0.0,
+                "wait_p95": q(wait, 0.95) if wait else 0.0}
 
     # ------------------------------------------------------------ warm
 
@@ -244,8 +253,16 @@ class SlotScheduler:
         segment per halved width). window=W decodes the warm probe as a
         sliding request long enough to compile the re-prime admission
         (transformer engines only)."""
+        if self.pending or any(s.active for s in self.slots):
+            # warm()'s internal run() would drain (and, under _warming,
+            # silently discard) any real request already submitted
+            raise RuntimeError(
+                "warm() must run before real traffic: the pool has "
+                "pending or active requests whose results the warm "
+                "drain would discard")
         p = self._warm_prompt(max(1, prompt_len))
         self._warming = True
+        rid = None
         try:
             kw = {} if window is None else {"window": window}
             default_new = 2 * window if window else self.seg_len
@@ -308,7 +325,7 @@ class SlotScheduler:
         for q in self.pending:
             if q.rid == rid:
                 self.pending.remove(q)
-                self.done[rid] = np.zeros((0,), np.int32)
+                self.done[rid] = self._empty_result()
                 self.times[rid]["done"] = time.perf_counter()
                 return True
         for i, s in enumerate(self.slots):
@@ -391,7 +408,10 @@ class SlotScheduler:
             cut = self._eos_index(toks, eos_id)
             if cut is not None:
                 toks = toks[:cut]
-        self.done[rid] = np.asarray(toks, np.int32)
+        arr = np.asarray(toks, np.int32)
+        if arr.shape[0] == 0:
+            arr = self._empty_result()   # keep the engine's token shape
+        self.done[rid] = arr
         self._n_committed += len(self.done[rid])
         self.times[rid]["done"] = time.perf_counter()
         if self.on_finalize is not None and not self._warming:

@@ -432,12 +432,22 @@ class ContinuousBatcher(SlotScheduler):
             self._t_dev = jnp.int32(self.t)
         return self._t_dev
 
-    def _maybe_compact(self, need_rows: int):
-        """Ensure the next `need_rows` clock ticks stay in the cache."""
+    def _maybe_compact(self, need_rows: int, extra_starts=None):
+        """Ensure the next `need_rows` clock ticks stay in the cache.
+
+        `extra_starts`: starts of requests grouped for admission in the
+        CURRENT `_try_admit` pass but not yet marked active (their
+        bookkeeping runs after the loop). They cap the shift exactly
+        like active slots — without them a compaction triggered by a
+        LATER pending request could drop the clock below an
+        earlier-grouped request's start, producing a negative start and
+        silently corrupt output. The list is mutated in place so the
+        caller's absolute values track the shifted clock."""
         if self.t + need_rows <= self.cache_len:
             return
         act = [int(self._start_host[i]) for i, s in
                enumerate(self.slots) if s.active]
+        act += list(extra_starts or ())
         if not act:
             self.t = 0
             self._t_dev = None
@@ -450,6 +460,9 @@ class ContinuousBatcher(SlotScheduler):
             self.t -= shift
             self._t_dev = None
             self._n_compactions += 1
+            if extra_starts:
+                for k in range(len(extra_starts)):
+                    extra_starts[k] -= shift
 
     def _segment(self):
         """Launch one compiled segment on the mode's program (uniform
@@ -494,17 +507,20 @@ class ContinuousBatcher(SlotScheduler):
             self._start_dirty = False
         groups: Dict[int, list] = {}          # pb -> [(q, slot)]
         remaining = []
-        for q in self.pending:
-            p = q.prompt.shape[0]
+        grouped_starts: list = []   # caps _maybe_compact's shift so a
+        for q in self.pending:      # later compaction can't orphan an
+            p = q.prompt.shape[0]   # earlier-grouped request
             if not free:
                 remaining.append(q)
                 continue
             # rows the admission touches: [t-p+1, t-p+1+Pb)
-            self._maybe_compact(max(self.seg_len, q.pb - p + 1))
+            self._maybe_compact(max(self.seg_len, q.pb - p + 1),
+                                grouped_starts)
             if p - 1 > self.t or self.t - (p - 1) + q.pb > self.cache_len:
                 remaining.append(q)   # wait for the clock to advance
                 continue
             groups.setdefault(q.pb, []).append((q, free.pop(0)))
+            grouped_starts.append(self.t - (p - 1))
         if groups:
             # the host start mirror is shipped whole (meta row 2):
             # admitted slots at t-p+1, every still-free slot PARKED at

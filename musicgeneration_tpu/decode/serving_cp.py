@@ -146,6 +146,11 @@ class CPContinuousBatcher(ContinuousBatcher):
     def _warm_prompt(self, n: int) -> np.ndarray:
         return np.zeros((n, 8), np.int32)
 
+    def _empty_result(self) -> np.ndarray:
+        # empty results keep the [n, 8] row contract (queued cancels,
+        # eos on the very first row)
+        return np.zeros((0, 8), np.int32)
+
     def _eos_index(self, toks, eos_id) -> Optional[int]:
         for j, row in enumerate(toks):
             if row[0] == eos_id:

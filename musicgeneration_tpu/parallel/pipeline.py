@@ -87,8 +87,8 @@ def make_pipeline_apply(model, mesh: Mesh, n_micro: int):
     * x: [B, L] int tokens, B % n_micro == 0 and the microbatch must
       divide the 'data' axis. rng=None -> deterministic (no dropout);
       a key activates the model's dropout sites (independent stream
-      per (tick, stage, layer) — a different but equally-distributed
-      stream than the unpipelined model, like any remesh).
+      per (data shard, tick, stage, layer) — a different but equally-
+      distributed stream than the unpipelined model, like any remesh).
 
     Drop-in as make_train_step(..., apply_fn=...). Embedding/positional
     head stay outside the shard_map (replicated compute, ~1% of trunk
@@ -147,8 +147,13 @@ def make_pipeline_apply(model, mesh: Mesh, n_micro: int):
             if deterministic:
                 xs = local
             else:
+                # fold in the DATA shard index too: the key enters the
+                # shard_map replicated (P() in-spec), so without it
+                # every data shard would draw bit-identical dropout
+                # masks for different examples (correlated dropout)
+                kd = jax.random.fold_in(key, jax.lax.axis_index("data"))
                 keys = jax.random.split(
-                    jax.random.fold_in(jax.random.fold_in(key, t),
+                    jax.random.fold_in(jax.random.fold_in(kd, t),
                                        stage), lp)
                 xs = (local, keys)
             y, _ = jax.lax.scan(one_layer, x_in, xs)

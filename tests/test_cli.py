@@ -660,7 +660,16 @@ def test_serve_http(tok_dir, tmp_path):
     # oversized max_new is rejected by the engine with a 400
     assert results["bad"]["http_error"] == 400
 
-    st = req("/stats")
+    # the /stats snapshot refreshes AFTER each engine step() returns,
+    # while /generate clients resolve MID-step (the deliver callback
+    # fires inside cb.step()) — so the snapshot can lag the final
+    # segment's commit by one iteration; poll briefly
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        st = req("/stats")
+        if st["stats"]["committed_tokens"] >= 40:
+            break
+        time.sleep(0.1)
     assert st["stats"]["committed_tokens"] >= 40
 
     # ---- async API: /submit returns immediately, /result polls ----

@@ -160,6 +160,31 @@ def test_dropout_mode_runs():
     assert not np.array_equal(np.asarray(out), np.asarray(det))
 
 
+def test_dropout_decorrelated_across_data_shards(monkeypatch):
+    """Two IDENTICAL examples on different data shards must not draw
+    bit-identical LAYER dropout masks: the key enters the shard_map
+    replicated (in-spec P()), so pipeline.py folds the data-axis index
+    into the per-(tick, stage, layer) keys — without the fold both
+    shards drew the same mask (correlated dropout). The embedding
+    dropout runs OUTSIDE the shard_map over the full batch (per-row
+    masks already); it is stubbed out so the check isolates the
+    in-pipeline keys."""
+    from musicgeneration_tpu.parallel import pipeline as pl
+    monkeypatch.setattr(pl, "_flax_dropout", lambda x, rate, rng: x)
+    model = _model(2, dropout=0.5)
+    params = stack_layer_params(_params(model), 2)
+    mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+    apply_fn = make_pipeline_apply(model, mesh, n_micro=1)
+    row = np.asarray(_tokens(4, 1))
+    x = jnp.asarray(np.tile(row, (2, 1)))       # identical examples
+    out = np.asarray(apply_fn(params, x, rng=jax.random.PRNGKey(9)))
+    assert not np.array_equal(out[0], out[1]), (
+        "data shards drew bit-identical dropout masks")
+    # deterministic path: identical rows do stay identical
+    det = np.asarray(apply_fn(params, x))
+    np.testing.assert_array_equal(det[0], det[1])
+
+
 def test_geometry_errors():
     model = _model(4)
     mesh = make_mesh(dp=1, pp=4, devices=jax.devices()[:4])

@@ -412,3 +412,66 @@ def test_serving_cancel_pending_and_active():
     out2 = cb.run()
     np.testing.assert_array_equal(out2[rid_new],
                                   _reference(m, params, p_new, n_new))
+
+
+def test_serving_compact_mid_admission_no_orphan():
+    """A compaction triggered by a LATER pending request inside one
+    _try_admit pass must not drop the clock below an EARLIER-grouped
+    request's start: grouped-but-not-yet-active requests cap the shift
+    exactly like active slots (serving.py _maybe_compact extra_starts).
+    Before that cap, this scenario computed start = -12 for the first
+    grouped request — silently corrupt output, no error raised."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=4, seg_len=8,
+                           cache_len=128, prompt_bucket=16,
+                           sampling=GREEDY, depth=1)
+    # jump the clock high with a throwaway long-prompt request
+    cb.submit(np.ones(97, np.int32), 8)
+    cb.step()                                  # t = 104, retired
+    # a long-running active whose start (102) pins the naive shift high
+    pA = np.asarray([5, 9, 2], np.int32)
+    rA = cb.submit(pA, 112)
+    cb.step()
+    cb.step()                                  # t = 120
+    assert cb.t == 120 and int(cb._start_host[0]) == 102
+    # ONE admission pass: q1 (p=31 -> pb=32, need 8 rows: no compact,
+    # implied start 90) groups first; q2 (p=3 -> pb=16, need 14 rows:
+    # t+14 > cache_len) then forces a compaction whose naive shift
+    # (min of ACTIVE starts = 102) exceeds q1's start
+    p1 = np.arange(1, 32, dtype=np.int32)
+    p2 = np.asarray([7, 3, 11], np.int32)
+    r1 = cb.submit(p1, 16)
+    r2 = cb.submit(p2, 16)
+    cb.step()
+    assert (cb._start_host >= 0).all(), cb._start_host
+    outs = cb.run()
+    _assert_greedy_match(m, params, p1, outs[r1],
+                         _reference(m, params, p1, 16))
+    _assert_greedy_match(m, params, p2, outs[r2],
+                         _reference(m, params, p2, 16))
+    _assert_greedy_match(m, params, pA, outs[rA],
+                         _reference(m, params, pA, 112))
+
+
+def test_latency_summary_queued_cancel_only():
+    """A request cancelled while still QUEUED records done but never
+    admit; latency_summary must not crash on the empty wait list."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=2, sampling=GREEDY)
+    rid = cb.submit(np.asarray([1, 2, 3], np.int32), 16)
+    assert cb.cancel(rid) is True
+    s = cb.latency_summary()
+    assert s["n"] == 1
+    assert s["wait_p50"] == 0.0 and s["wait_p95"] == 0.0
+    assert s["e2e_p50"] >= 0.0
+
+
+def test_warm_refuses_live_traffic():
+    """warm()'s internal drain would silently discard already-submitted
+    requests (their on_finalize is suppressed by _warming); it must
+    refuse to run once real traffic exists."""
+    m, params = _model("fused")
+    cb = ContinuousBatcher(m, params, slots=2, sampling=GREEDY)
+    cb.submit(np.asarray([1, 2, 3], np.int32), 8)
+    with pytest.raises(RuntimeError, match="warm"):
+        cb.warm()

@@ -149,3 +149,15 @@ def test_cp_serving_validation(model):
         cb.submit(np.ones(5, np.int32), 8)
     with pytest.raises(ValueError, match="per-request sampling"):
         cb.submit(np.zeros((2, 8), np.int32), 8, sampling=GREEDY)
+
+
+def test_cp_queued_cancel_keeps_row_shape(model):
+    """Empty CP results (queued cancel, eos on the first row) keep the
+    documented [n, 8] row contract instead of collapsing to (0,)."""
+    m, params = model
+    rng = np.random.RandomState(11)
+    cb = CPContinuousBatcher(m, params, slots=2, seg_len=8,
+                             prompt_bucket=16, sampling=GREEDY)
+    rid = cb.submit(_rows(rng, 4), 16)
+    assert cb.cancel(rid) is True
+    assert cb.done[rid].shape == (0, 8)
