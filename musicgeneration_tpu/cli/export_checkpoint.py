@@ -69,6 +69,13 @@ def _gru(params: Dict[str, Any], prefix: str, out: Dict[str, Any]):
 
 def export_music_transformer(params: Dict[str, Any],
                              kwargs: Dict[str, Any], step: int):
+    dh = int(params["layer_0"]["rga"]["E"].shape[-1])
+    if dh != 64:
+        raise ValueError(
+            f"head_dim={dh} has no reference analogue: the reference "
+            "hard-codes h = d_model // 64 (MusicTransformer/layers.py:"
+            "45-60), so its E table is [max_seq, 64] — only "
+            "head_dim=64 checkpoints can round-trip")
     sd: Dict[str, Any] = {}
     sd["Decoder.embedding.weight"] = _t(
         params["embedding"]["embedding"])
@@ -106,15 +113,20 @@ def export_performance_rnn(params, kwargs, step):
     _lin(params["concat_input_fc"], "concat_input_fc", sd)
     _gru(params["gru"], "gru", sd)
     _lin(params["output_fc"], "output_fc", sd)
-    # PerformanceRNN/config.py:6-13 field names
+    # PerformanceRNN/config.py:6-13 field names — every shape-derivable
+    # field comes from the state dict itself (the ground truth the
+    # reference's strict load will check), not kwargs
     event_dim = sd["event_embedding.weight"].shape[0]
+    gru_layers = 0
+    while f"gru.weight_ih_l{gru_layers}" in sd:
+        gru_layers += 1
     model_config = {
-        "init_dim": kwargs.get("init_dim", 32),
+        "init_dim": sd["inithid_fc.weight"].shape[1],
         "event_dim": event_dim,
         "control_dim": (sd["concat_input_fc.weight"].shape[1]
                         - event_dim - 1),
-        "hidden_dim": kwargs.get("hidden_dim", 512),
-        "gru_layers": kwargs.get("num_layers", 3),
+        "hidden_dim": sd["gru.weight_hh_l0"].shape[1],
+        "gru_layers": gru_layers,
         "gru_dropout": kwargs.get("dropout_rate", 0.3),
     }
     return {"model_config": model_config, "model_state": sd,

@@ -232,6 +232,8 @@ def import_torch_checkpoint(path: str, out_dir: str,
 
     try:
         ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except OSError:
+        raise   # missing/unreadable file: full unpickling won't help
     except Exception:
         # session dicts can carry non-tensor config objects; the file is
         # user-supplied so the fallback matches torch<2.6 semantics

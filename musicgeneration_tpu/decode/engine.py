@@ -62,11 +62,14 @@ def align_cache_len(model, max_len: int) -> int:
     (found at CP B32: p+steps=520) and is slow where it fits. Round up
     to a 128-row multiple; models whose relative table is smaller fall
     back to the bf16 sublane tile (16 — Mosaic rejects DMA slices of
-    non-16-multiple cache rows on hardware; the max_seq clamp itself
-    rounds DOWN to 16 so a non-16-multiple max_seq cannot reintroduce
-    the crash). Models decoding through the XLA path are returned
-    unchanged — that path reads every cache row per step, so padding
-    is pure waste there."""
+    non-16-multiple cache rows on hardware). The 16-row fallback may
+    exceed a non-16-multiple max_seq by up to 15 rows: harmless padding
+    (init_cache takes cache_len independently, and decode positions
+    stay bounded by the p+steps <= max_seq check), where returning the
+    raw max_len would hand the selection a non-16-multiple length.
+    Models decoding through the XLA path are returned unchanged — that
+    path reads every cache row per step, so padding is pure waste
+    there."""
     if max_len % 128 == 0:
         return max_len
     if not getattr(model, "_decode_fused", lambda: False)():
@@ -74,8 +77,8 @@ def align_cache_len(model, max_len: int) -> int:
     max_seq = getattr(model, "max_seq", 1 << 30)
     aligned = -(-max_len // 128) * 128
     if aligned > max_seq:
-        aligned = min(-(-max_len // 16) * 16, max_seq - max_seq % 16)
-    return aligned if aligned >= max_len else max_len
+        aligned = -(-max_len // 16) * 16
+    return aligned
 
 
 def expand_controls(controls: jnp.ndarray, steps: int) -> jnp.ndarray:
@@ -361,8 +364,13 @@ def generate_tp(model, params, prompt, rng, decode_params: DecodeParams,
     The reference has no tensor-parallel anything; this is the serving
     analogue of the trainer's tp axis (SURVEY.md §5 distributed row).
     """
+    if "model" not in mesh.shape:
+        raise ValueError("generate_tp needs a mesh with a 'model' axis "
+                         f"(got axes {tuple(mesh.shape)})")
     n_model = mesh.shape["model"]
-    n_data = mesh.shape["data"]
+    # the 'data' axis is optional: a pure-TP Mesh(devices, ('model',))
+    # replicates the batch
+    n_data = mesh.shape.get("data", 1)
     if getattr(model, "_decode_fused", lambda: False)():
         raise ValueError(
             "generate_tp shards the XLA decode path; build the model "
@@ -380,8 +388,8 @@ def generate_tp(model, params, prompt, rng, decode_params: DecodeParams,
     from ..parallel.mesh import param_shardings
 
     params = jax.device_put(params, param_shardings(mesh, params))
-    prompt = jax.device_put(
-        prompt, NamedSharding(mesh, P("data", None)))
+    prompt_spec = P("data", None) if "data" in mesh.shape else P()
+    prompt = jax.device_put(prompt, NamedSharding(mesh, prompt_spec))
     rng = jax.device_put(rng, NamedSharding(mesh, P()))
     return generate(model, params, prompt, rng, decode_params,
                     controls, cache0, prompt_len)
@@ -421,6 +429,12 @@ def generate_sliding(model, params, prompt: jnp.ndarray, rng: jax.Array,
     """
     import numpy as np
 
+    ms = getattr(model, "max_seq", None)
+    if ms is not None and 2 * window > ms:
+        raise ValueError(
+            f"window ({window}) must be <= max_seq//2 ({ms // 2}): the "
+            "sliding cache spans 2*window positions, all of which must "
+            "stay inside the model's position/E tables")
     b = prompt.shape[0]
     max_len = 2 * window
     produced = []

@@ -181,6 +181,13 @@ def generate_speculative(
     nothing sped up, chunk-1 = every proposal landed)."""
     b, p = prompt.shape
     dp = decode_params
+    if not (hasattr(model, "decode_chunk")
+            and hasattr(model, "max_seq")):
+        raise ValueError(
+            "speculative decoding needs a chunk-verify target with a "
+            "position-indexed cache (decode_chunk/prefill — the "
+            f"transformer families); {type(model).__name__} has "
+            "neither (RNN families decode through generate())")
     if spec.chunk < 2:
         raise ValueError("spec.chunk must be >= 2 (1 proposal minimum)")
     need = p + dp.steps + spec.chunk

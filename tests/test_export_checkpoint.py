@@ -161,3 +161,15 @@ def test_export_rejects_unexportable(tmp_path):
                       {})
     with pytest.raises(SystemExit, match="torch format"):
         export_torch_checkpoint(ckpt, str(tmp_path / "no.pth"))
+
+
+def test_export_rejects_nonreference_head_dim():
+    """head_dim != 64 has no reference analogue (the reference
+    hard-codes h = d_model//64, E = [max_seq, 64]); exporting must
+    refuse instead of writing a .pth strict-load will reject."""
+    from musicgeneration_tpu.cli.export_checkpoint import (
+        export_music_transformer,
+    )
+    params = {"layer_0": {"rga": {"E": np.zeros((8, 128), np.float32)}}}
+    with pytest.raises(ValueError, match="head_dim=128"):
+        export_music_transformer(params, {}, 0)

@@ -426,3 +426,42 @@ class TestScanLayers:
         assert generate_main([ckpt, out, "--steps", "8",
                               "--temperature", "0"]) == 0
         assert (tmp_path / "o.mid").exists()
+
+
+def test_engine_validation_edges():
+    """Friendly validation errors on the library entry points (found in
+    review): align_cache_len stays 16-aligned even when max_len falls
+    in a non-16-multiple max_seq's final partial block; generate_sliding
+    rejects windows its inner generate() could never serve; speculative
+    decoding rejects targets without a position-indexed cache."""
+    import types
+
+    from musicgeneration_tpu.decode.engine import (
+        align_cache_len,
+        generate_sliding,
+    )
+    from musicgeneration_tpu.decode.speculative import (
+        generate_speculative,
+    )
+
+    stub = types.SimpleNamespace(_decode_fused=lambda: True,
+                                 max_seq=1000)
+    assert align_cache_len(stub, 512) == 512
+    assert align_cache_len(stub, 513) == 640        # 128-aligned
+    assert align_cache_len(stub, 990) == 992        # 16-fallback
+    got = align_cache_len(stub, 1000)               # final partial block
+    assert got % 16 == 0 and got >= 1000
+    xla = types.SimpleNamespace(_decode_fused=lambda: False,
+                                max_seq=1000)
+    assert align_cache_len(xla, 1000) == 1000       # XLA path untouched
+
+    slide_stub = types.SimpleNamespace(max_seq=512)
+    with pytest.raises(ValueError, match="max_seq//2"):
+        generate_sliding(slide_stub, {}, jnp.ones((1, 4), jnp.int32),
+                         jax.random.PRNGKey(0), steps=2000, window=512)
+
+    rnn_stub = types.SimpleNamespace()              # no decode_chunk
+    with pytest.raises(ValueError, match="chunk-verify"):
+        generate_speculative(rnn_stub, {}, jnp.ones((1, 4), jnp.int32),
+                             jax.random.PRNGKey(0),
+                             DecodeParams(max_len=64, steps=16))
