@@ -68,10 +68,14 @@ def main(argv=None) -> int:
                          "scope); other families eval in-train via "
                          "eval_dir/eval_every")
     scheme = meta.get("scheme", "midilike")
+    # pop scan_layers so the model is built UNROLLED to match the
+    # unstacked params below (same handling as cli.generate)
+    model_kwargs = dict(meta.get("model_kwargs", {}))
+    scanned = bool(model_kwargs.pop("scan_layers", False))
     model, tcfg, _apply, _loss, _adapter = build_session(
-        cfg, scheme, dict(meta.get("model_kwargs", {})))
+        cfg, scheme, model_kwargs)
     params = payload["state"]["params"]
-    if "layers_scan" in params:
+    if scanned or "layers_scan" in params:
         from ..models.music_transformer import unstack_scanned_params
         params = unstack_scanned_params(dict(params), model.num_layers)
 
@@ -85,6 +89,11 @@ def main(argv=None) -> int:
     seqs = [np.asarray(corpus[i]) for i in range(len(corpus))]
 
     eval_step = jax.jit(make_eval_step(model, tcfg))
+    # one jitted program for the bucket histogram ids (an un-jitted
+    # apply would re-run the forward op-by-op — ~25 ms tunnel RTT per
+    # dispatch on the tunneled TPU)
+    bucket_fwd = jax.jit(lambda p, xb: logits_bucketting(
+        model.apply({"params": p}, xb)))
     rng = np.random.RandomState(args.seed)
     losses, accs = [], []
     bucket = np.zeros(model.vocab_size, np.int64)
@@ -94,8 +103,7 @@ def main(argv=None) -> int:
         losses.append(float(m["loss"]))
         accs.append(float(m["accuracy"]))
         if args.bucket:
-            logits = model.apply({"params": params}, jnp.asarray(x))
-            ids = np.asarray(logits_bucketting(logits))
+            ids = np.asarray(bucket_fwd(params, jnp.asarray(x)))
             bucket += np.bincount(ids, minlength=model.vocab_size)
 
     out = {

@@ -144,7 +144,10 @@ def main(argv=None) -> int:
             f"cli.serve drives the MusicTransformer, CP and RNN "
             f"families; {cfg.model} decodes through cli.generate")
     params = payload["state"]["params"]
-    if scanned:
+    # "layers_scan" in params catches pp-trained checkpoints whose
+    # stacked layout was injected at session-build time without the
+    # scan_layers kwarg being persisted (same probe as cli.generate)
+    if scanned or "layers_scan" in params:
         from ..models.music_transformer import unstack_scanned_params
         params = unstack_scanned_params(dict(params), model.num_layers)
     print(f"restored {cfg.model} at step {payload['step']} "
@@ -157,6 +160,9 @@ def main(argv=None) -> int:
 
     def parse_request(line: str, ln: int):
         req = json.loads(line)
+        if not isinstance(req, dict):
+            raise ValueError("request must be a JSON object, got "
+                             f"{type(req).__name__}")
         name = str(req.get("id", ln))
         if "tokens" in req:
             toks = np.asarray(req["tokens"], np.int32)
@@ -264,7 +270,14 @@ def main(argv=None) -> int:
         written.append((path, len(toks)))
 
     cb = build_cb(per_row, deliver)
-    cb.warm()          # segment + admission (+ compaction) compiles
+    # sliding requests are known upfront in file mode: precompile the
+    # widest window's re-prime admission too (a mid-serve compile
+    # stalls the whole pool ~0.8 s on the tunneled v5e)
+    wmax = max((e.get("window", 0) for *_, e in parsed), default=0)
+    try:
+        cb.warm(**({"window": wmax} if wmax else {}))
+    except ValueError:
+        cb.warm()   # an invalid window= fails per-request at submit
 
     rids = []
     for name, toks, max_new, eos, sp, extra in parsed:
@@ -387,7 +400,11 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 return
             try:
                 parsed = parse_request(self._read_body(), next_id())
-            except (ValueError, UnicodeDecodeError) as e:
+            except (ValueError, TypeError, KeyError, AttributeError,
+                    UnicodeDecodeError) as e:
+                # TypeError/KeyError/AttributeError: malformed field
+                # types (e.g. "max_new": {}) must 400, not kill the
+                # handler thread
                 self._json(400, {"error": str(e)})
                 return
             if self.path == "/submit":
@@ -403,8 +420,9 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 self._json(400, {"error": holder["error"]})
                 return
             toks = holder["tokens"]
+            # .tolist() serves flat ids AND the CP engine's [n, 8] rows
             self._json(200, {"id": parsed[0],
-                             "tokens": [int(t) for t in toks],
+                             "tokens": np.asarray(toks).tolist(),
                              "n_tokens": int(len(toks)),
                              "file": holder["path"]})
 
@@ -431,7 +449,7 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
         if holder.get("async"):
             with stats_lock:
                 shared["results"][name] = {
-                    "id": name, "tokens": [int(t) for t in toks],
+                    "id": name, "tokens": np.asarray(toks).tolist(),
                     "n_tokens": int(len(toks)), "file": path}
             return
         holder["tokens"] = toks
@@ -484,6 +502,10 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 pending[rid] = (name, holder)
                 n_sub += 1
             busy = cb.step()
+            # step()-driven modes deliver through on_finalize; drop the
+            # scheduler's retained copy so a long-running server does
+            # not grow without bound (run() is what consumes `done`)
+            cb.done.clear()
             with stats_lock:
                 shared["stats"] = cb.stats()
                 shared["latency"] = cb.latency_summary()
@@ -536,23 +558,47 @@ def _serve_follow(scheme, build_cb, parse_request, args) -> int:
     print(json.dumps({"ready": True, "slots": args.slots}), flush=True)
 
     fh = sys.stdin
+    fd = fh.fileno()
+    rbuf = b""
     eof = False
     ln = 0
     n_sub = 0
-    t0 = time.perf_counter()
-    while True:
-        # drain every line already buffered without blocking
+
+    def take_lines():
+        """Every complete line the pipe has ready, without blocking.
+        select() on the RAW fd must pair with os.read: a buffered
+        readline() can pull several lines into Python's TextIOWrapper
+        buffer while select then reports the fd empty — a burst of
+        requests written in one pipe write would stall after the
+        first."""
+        nonlocal rbuf, eof
+        out = []
         while not eof and select.select([fh], [], [], 0)[0]:
-            line = fh.readline()
-            if line == "":
+            chunk = os.read(fd, 1 << 16)
+            if not chunk:
                 eof = True
                 break
+            rbuf += chunk
+        while b"\n" in rbuf:
+            raw, rbuf = rbuf.split(b"\n", 1)
+            out.append(raw.decode())
+        if eof and rbuf:               # trailing line without newline
+            out.append(rbuf.decode())
+            rbuf = b""
+        return out
+
+    t0 = time.perf_counter()
+    while True:
+        for line in take_lines():
             if not line.strip():
                 continue
             try:
                 name, toks, max_new, eos, sp, extra = parse_request(
                     line.strip(), ln)
-            except ValueError as e:
+            except (ValueError, TypeError, KeyError,
+                    AttributeError) as e:
+                # malformed field types must error THIS line, not
+                # kill the server with queued requests in flight
                 print(json.dumps({"id": str(ln), "error": str(e)}),
                       flush=True)
                 ln += 1
@@ -568,6 +614,8 @@ def _serve_follow(scheme, build_cb, parse_request, args) -> int:
             names[rid] = name
             n_sub += 1
         busy = cb.step()
+        # results stream through deliver(); run() is what consumes done
+        cb.done.clear()
         if not busy:
             if eof:
                 break

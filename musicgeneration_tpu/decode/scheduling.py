@@ -128,8 +128,13 @@ class SlotScheduler:
         # per-request wall-clock: rid -> {submit, admit, done} seconds
         # (perf_counter); admit is the prefill dispatch, done the host
         # commit — done-submit is the e2e latency a client observes,
-        # admit-submit the queue wait.
+        # admit-submit the queue wait. Both the summary samples and the
+        # per-rid entries are BOUNDED so a long-running server doesn't
+        # grow (or pay an ever-larger percentile sort) per request.
         self.times: Dict[int, Dict[str, float]] = {}
+        self._lat = deque(maxlen=4096)     # (e2e, wait|None) samples
+        self._fin_rids = deque()           # finalized rids, prune order
+        self._times_cap = 8192
         self._next_rid = 0
         self._pad_id = pad_id
         self._async_fetch = jax.default_backend() != "cpu"
@@ -221,16 +226,15 @@ class SlotScheduler:
         }
 
     def latency_summary(self) -> Dict[str, float]:
-        """Client-side request latency over every finalized request:
-        e2e (submit -> host commit) and queue wait (submit -> prefill
-        dispatch) p50/p95 in seconds. e2e includes pipeline lag — an
+        """Client-side request latency over the most recent finalized
+        requests (a bounded 4096-sample window): e2e (submit -> host
+        commit) and queue wait (submit -> prefill dispatch) p50/p95 in
+        seconds. e2e includes pipeline lag — an
         eos-bearing request's slot retires up to `depth` segments after
         its eos, and commit waits for the segment fetch — so this is
         the number a caller actually observes, not device decode time."""
-        e2e = sorted(t["done"] - t["submit"] for t in self.times.values()
-                     if "done" in t)
-        wait = sorted(t["admit"] - t["submit"] for t in self.times.values()
-                      if "admit" in t and "done" in t)
+        e2e = sorted(s[0] for s in self._lat)
+        wait = sorted(s[1] for s in self._lat if s[1] is not None)
         if not e2e:
             return {"n": 0}
         q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]
@@ -327,6 +331,7 @@ class SlotScheduler:
                 self.pending.remove(q)
                 self.done[rid] = self._empty_result()
                 self.times[rid]["done"] = time.perf_counter()
+                self._record_latency(rid)
                 return True
         for i, s in enumerate(self.slots):
             if s.active and s.rid == rid:
@@ -340,6 +345,20 @@ class SlotScheduler:
         return False
 
     # ------------------------------------------------------- internals
+
+    def _record_latency(self, rid: int) -> None:
+        """Push the finalized request's latency sample and prune the
+        oldest per-rid entries past the cap (warm probes excluded)."""
+        if self._warming:
+            return
+        t = self.times.get(rid)
+        if t is None or "done" not in t:
+            return
+        wait = (t["admit"] - t["submit"]) if "admit" in t else None
+        self._lat.append((t["done"] - t["submit"], wait))
+        self._fin_rids.append(rid)
+        while len(self._fin_rids) > self._times_cap:
+            self.times.pop(self._fin_rids.popleft(), None)
 
     def _free_slots(self) -> List[int]:
         return [i for i, s in enumerate(self.slots) if not s.active]
@@ -414,6 +433,7 @@ class SlotScheduler:
         self.done[rid] = arr
         self._n_committed += len(self.done[rid])
         self.times[rid]["done"] = time.perf_counter()
+        self._record_latency(rid)
         if self.on_finalize is not None and not self._warming:
             self.on_finalize(rid, self.done[rid])
 

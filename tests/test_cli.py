@@ -803,8 +803,17 @@ def test_serve_follow_stdin_online(tok_dir, tmp_path, monkeypatch,
                                 "max_new": 24}) + "\n")
             w.flush()
             _time.sleep(0.5)   # arrives mid-serve, pool already running
+            # BURST: several lines in ONE pipe write — a buffered
+            # readline() drain pulls them all into Python's buffer
+            # while select() on the raw fd then reports it empty, so
+            # only os.read-based draining serves past the first; the
+            # malformed middle line must error without killing the
+            # server
             w.write(json.dumps({"id": "late", "tokens": [5, 15, 25],
-                                "max_new": 16}) + "\n")
+                                "max_new": 16}) + "\n"
+                    + "[1,2,3]\n"
+                    + json.dumps({"id": "b2", "tokens": [7, 9],
+                                  "max_new": 8}) + "\n")
             w.flush()
 
     th = threading.Thread(target=writer)
@@ -818,8 +827,9 @@ def test_serve_follow_stdin_online(tok_dir, tmp_path, monkeypatch,
              capsys.readouterr().out.strip().splitlines()
              if l.startswith("{")]
     ids = {l.get("id") for l in lines if "id" in l}
-    assert {"a", "late"} <= ids
+    assert {"a", "late", "b2"} <= ids
     assert any(l.get("ready") for l in lines)
+    assert any("error" in l for l in lines)   # the malformed line
     from musicgeneration_tpu.cli.generate import main as gen_main
     ref_mid = str(tmp_path / "ref_follow.mid")
     assert gen_main([ckpt, ref_mid, "--steps", "24",
