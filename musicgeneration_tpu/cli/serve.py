@@ -276,8 +276,14 @@ def main(argv=None) -> int:
     wmax = max((e.get("window", 0) for *_, e in parsed), default=0)
     try:
         cb.warm(**({"window": wmax} if wmax else {}))
-    except ValueError:
-        cb.warm()   # an invalid window= fails per-request at submit
+    except ValueError as e:
+        # an invalid window= fails per-request at submit; surface the
+        # skipped precompile so the ~0.8 s mid-serve re-prime compile
+        # on the first sliding request isn't a silent stall
+        print(f"warning: window precompile skipped ({e}); sliding "
+              "requests pay their re-prime compile mid-serve",
+              file=sys.stderr)
+        cb.warm()
 
     rids = []
     for name, toks, max_new, eos, sp, extra in parsed:

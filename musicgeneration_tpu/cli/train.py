@@ -36,6 +36,19 @@ class TrainCLIConfig(Config):
     train_mode: str = "crop"      # crop (slide_seq2seq) | segment
                                   # (reference Event_MelodyRNN default:
                                   # strided window index list, train.py:311-314)
+                                  # | window (fixed window/stride,
+                                  # train.py:209-261) | sequence
+                                  # (length-sorted padded full seqs,
+                                  # train.py:263-309 + SeqBatchify)
+    window_size: int = 200        # window mode (Event_MelodyRNN/config.py:20)
+    stride_size: int = 10
+    # window-mode scheduled sampling (train.py:231-232): probability a
+    # step's next input is the ground-truth event instead of the
+    # model's own greedy sample; 1.0 (the reference's shipped config,
+    # config.py:22) = pure teacher forcing
+    teacher_forcing_ratio: float = 1.0
+    seq_pad_to: Optional[int] = None  # sequence-mode pad length
+                                      # (default: longest corpus seq)
     accum_steps: int = 1
     label_smoothing: float = 0.1
     warmup_steps: int = 4000
@@ -160,6 +173,76 @@ def _segment_batch_fn(corpus, cfg: TrainCLIConfig):
         batch = gather_windows(seqs, sel, window,
                                time_major=False).astype(np.int32)
         return batch[:, :-1], batch[:, 1:]
+
+    return batch_at
+
+
+def _window_batch_fn(corpus, cfg: TrainCLIConfig):
+    """Reference Event_MelodyRNN window mode (train.py:209-218): FIXED
+    window_size/stride_size (config.py:20-21, defaults 200/10) index
+    list over every file, shuffled per epoch, drop_last. Differs from
+    segment mode only in where the window geometry comes from (segment
+    derives it from the shortest file). The batch is the FULL window —
+    both the teacher inputs (the model drops the last internally) and
+    the loss target (train.py:233: CE(outputs, events))."""
+    from ..data.batching import gather_windows, window_indices
+
+    seqs = [np.asarray(corpus[i]) for i in range(len(corpus))]
+    w = cfg.window_size
+    indices = window_indices([len(s) for s in seqs], w, cfg.stride_size)
+    b = cfg.batch_size * cfg.accum_steps
+    if len(indices) < b:
+        raise ValueError(
+            f"window mode: only {len(indices)} windows "
+            f"(window_size={w}, stride_size={cfg.stride_size}) for "
+            f"batch {b} — corpus too small (NB data.py:77's exclusive "
+            "stop drops exactly-fitting tails, reproduced here)")
+    per_epoch = (len(indices) - b) // b + 1
+
+    def batch_at(idx: int):
+        epoch, pos = divmod(idx, per_epoch)
+        order = _batch_rng(cfg.seed, epoch, tag=1).permutation(
+            len(indices))
+        sel = indices[order[pos * b:pos * b + b]]
+        batch = gather_windows(seqs, sel, w,
+                               time_major=False).astype(np.int32)
+        return batch, batch
+
+    return batch_at
+
+
+def _sequence_batch_fn(corpus, cfg: TrainCLIConfig):
+    """Reference Event_MelodyRNN sequence mode (train.py:263-272):
+    whole sequences, shuffled per epoch, drop_last; each batch is
+    SeqBatchified (data.py:23-36 — length-sorted descending, padded,
+    labels = the shifted unpadded tails) via pad_and_batch_sequences.
+    Every batch pads to ONE static length (the longest corpus sequence,
+    or seq_pad_to) so the train step compiles once."""
+    from ..data.batching import pad_and_batch_sequences
+
+    seqs = [np.asarray(corpus[i]) for i in range(len(corpus))]
+    max_len = max(len(s) for s in seqs)
+    pad_to = cfg.seq_pad_to or max_len
+    if max_len > pad_to:
+        raise ValueError(
+            f"sequence mode: longest corpus sequence ({max_len}) "
+            f"exceeds seq_pad_to={pad_to} — raise it (truncating full "
+            "sequences would silently change the reference semantics)")
+    b = cfg.batch_size * cfg.accum_steps
+    if len(seqs) < b:
+        raise ValueError(
+            f"sequence mode: {len(seqs)} sequences < batch {b} "
+            "(drop_last leaves no batch)")
+    per_epoch = len(seqs) // b
+
+    def batch_at(idx: int):
+        epoch, pos = divmod(idx, per_epoch)
+        order = _batch_rng(cfg.seed, epoch, tag=2).permutation(len(seqs))
+        pick = order[pos * b:pos * b + b]
+        sb = pad_and_batch_sequences([seqs[i] for i in pick],
+                                     pad_to=pad_to)
+        return ({"tokens": sb.tokens, "lengths": sb.lengths},
+                np.zeros((b,), np.int32))
 
     return batch_at
 
@@ -372,24 +455,87 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
             accum_steps=cfg.accum_steps, max_grad_norm=cfg.max_grad_norm,
             peak_lr=cfg.peak_lr or 1e-3)
 
+        def adapter(b):
+            x, _y = b
+            return x, x
+
+        if cfg.train_mode == "sequence":
+            if name != "event_rnn":
+                raise SystemExit(
+                    "train_mode=sequence is the reference "
+                    "Event_MelodyRNN path (train.py:263-309) — use "
+                    "model=event_rnn")
+
+            def seq_loss_fn(params, x, y, rng):
+                # reference sequence mode (Event_MelodyRNN/train.py:
+                # 285-295): Train(init, padded, lengths) through the
+                # pack_padded path, CE(flattened valid rows, Y) where
+                # Y = each sequence's tokens[1:len] (SeqBatchify,
+                # data.py:32-35) — i.e. masked mean CE over positions
+                # 1 <= t < len, logits row t predicting tokens[t]
+                del y
+                tokens, lengths = x["tokens"], x["lengths"]
+                init_rng, drop_rng = jax.random.split(rng)
+                init = jax.random.normal(
+                    init_rng, (tokens.shape[0], model.init_dim))
+                logits = model.apply({"params": params}, init, tokens.T,
+                                     deterministic=False, lengths=lengths,
+                                     rngs={"dropout": drop_rng})
+                logits = logits[:-1].transpose(1, 0, 2)  # [B, L, V]
+                t_pos = jnp.arange(tokens.shape[1])[None, :]
+                mask = (t_pos >= 1) & (t_pos < lengths[:, None])
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                tok_lp = jnp.take_along_axis(
+                    logp, tokens[..., None].astype(jnp.int32),
+                    axis=-1)[..., 0]
+                n = jnp.maximum(mask.sum(), 1).astype(jnp.float32)
+                loss = -(tok_lp * mask).sum() / n
+                acc = ((jnp.argmax(logits, -1) == tokens)
+                       * mask).sum() / n
+                return loss, acc
+
+            return model, tcfg, None, seq_loss_fn, lambda b: b
+
+        if cfg.train_mode == "window" and cfg.teacher_forcing_ratio < 1.0:
+            from ..models.event_rnn import scheduled_sampling_logits
+            from ..train.objective import (smooth_cross_entropy,
+                                           token_accuracy)
+            ratio = float(cfg.teacher_forcing_ratio)
+
+            def sched_loss_fn(params, x, y, rng):
+                init_rng, tf_rng, drop_rng = jax.random.split(rng, 3)
+                init = jax.random.normal(
+                    init_rng, (x.shape[0], model.init_dim))
+                # one scalar draw per step, shared by the batch
+                # (network.py:160-162)
+                draws = jax.random.bernoulli(
+                    tf_rng, ratio, (x.shape[1] - 1,))
+                logits = scheduled_sampling_logits(
+                    model, params, init, x.T, draws, drop_rng)
+                logits = logits.transpose(1, 0, 2)
+                loss = smooth_cross_entropy(logits, y, vocab, 0.0, None)
+                return loss, token_accuracy(logits, y, None)
+
+            return model, tcfg, None, sched_loss_fn, adapter
+
         def apply_fn(params, x, rng):
             # reference draws a fresh latent per batch
             # (Event_MelodyRNN/train.py:334: init = randn(batch, 32))
             init_rng, drop_rng = jax.random.split(rng)
             init = jax.random.normal(
                 init_rng, (x.shape[0], model.init_dim))
-            # model consumes [T, B] and returns T+1 rows; row i predicts
-            # events[i] (row 0 from the primary event alone). Training
-            # target = the full crop, like the reference's
-            # CE(outputs, events) (Event_MelodyRNN/train.py:340)
+            # Training target = the full crop, like the reference's
+            # CE(outputs, events) (Event_MelodyRNN/train.py:340).
+            # EventMelodyRNN consumes [T, B] and returns T+1 rows (row
+            # i predicts events[i], row 0 from the primary event
+            # alone) — drop the last; PerformanceRNN already returns
+            # exactly T aligned rows.
             logits = model.apply({"params": params}, init, x.T,
                                  deterministic=False,
                                  rngs={"dropout": drop_rng})
-            return logits[:-1].transpose(1, 0, 2)
-
-        def adapter(b):
-            x, _y = b
-            return x, x
+            if logits.shape[0] == x.shape[1] + 1:
+                logits = logits[:-1]
+            return logits.transpose(1, 0, 2)
 
         return model, tcfg, apply_fn, None, adapter
 
@@ -510,6 +656,13 @@ def main(argv=None) -> int:
         # segment mode shrinks its window to the SHORTEST sequence
         # (reference train.py:312) — don't pre-filter short files away
         limlen = 2
+    elif cfg.train_mode == "window":
+        # need at least one strided window: len > window_size
+        # (data.py:77 exclusive stop)
+        limlen = cfg.window_size + 1
+    elif cfg.train_mode == "sequence":
+        # whole sequences of any usable length (>= 1 label token)
+        limlen = 2
     else:
         limlen = cfg.seq_len + 1
     corpus = TokenCorpus(args.data_dir, limlen=limlen, key=key)
@@ -537,6 +690,17 @@ def main(argv=None) -> int:
     model, tcfg, apply_fn, loss_fn, adapter = build_session(
         cfg, scheme, model_kwargs, mesh=mesh)
 
+    if cfg.train_mode in ("window", "sequence"):
+        # reference Event_MelodyRNN train modes (train.py:209-309);
+        # the RNN-shaped loss target (full window / shifted tails)
+        # doesn't fit the transformer or conditioned streams
+        if cfg.model not in ("event_rnn", "performance_rnn") or (
+                scheme == "midilike_control"):
+            raise SystemExit(
+                f"train_mode={cfg.train_mode} is wired for the plain "
+                "RNN families (model=event_rnn|performance_rnn on an "
+                "unconditioned scheme)")
+
     if cfg.model == "popmag":
         batch_at = _popmag_batch_fn(corpus, cfg)
     elif cfg.model == "cp_transformer":
@@ -545,6 +709,10 @@ def main(argv=None) -> int:
         batch_at = _control_batch_fn(corpus, cfg)
     elif cfg.train_mode == "segment":
         batch_at = _segment_batch_fn(corpus, cfg)
+    elif cfg.train_mode == "window":
+        batch_at = _window_batch_fn(corpus, cfg)
+    elif cfg.train_mode == "sequence":
+        batch_at = _sequence_batch_fn(corpus, cfg)
     else:
         batch_at = _lm_batch_fn(corpus, cfg)
     from ..data.prefetch import prefetch_to_device
@@ -611,7 +779,16 @@ def main(argv=None) -> int:
         profile_dir=cfg.profile_dir,
         stream_meta={"data_seed": cfg.seed, "train_mode": cfg.train_mode,
                      "model": cfg.model})
-    tokens_per_batch = cfg.batch_size * cfg.accum_steps * cfg.seq_len
+    if cfg.train_mode == "window":
+        tokens_per_batch = (cfg.batch_size * cfg.accum_steps
+                            * cfg.window_size)
+    elif cfg.train_mode == "sequence":
+        # actual trained tokens vary per batch; report the mean
+        tokens_per_batch = int(np.mean([len(corpus[i]) for i in
+                                        range(len(corpus))])
+                               * cfg.batch_size * cfg.accum_steps)
+    else:
+        tokens_per_batch = cfg.batch_size * cfg.accum_steps * cfg.seq_len
     run_loop(state, train_step, stream, loop_cfg, eval_step=eval_step,
              eval_batches=eval_batches, tokens_per_batch=tokens_per_batch,
              config_dict={"cli": cfg.to_dict(), "scheme": scheme,
@@ -642,6 +819,10 @@ def _init_state(model, tcfg, rng, example, cfg: TrainCLIConfig,
         init = jnp.zeros((1, model.init_dim))
         variables = model.init(init_rng, init, x["tokens"][:1].T,
                                x["controls"][:1].transpose(1, 0, 2))
+    elif isinstance(x, dict) and "lengths" in x:   # sequence mode
+        import jax.numpy as jnp
+        init = jnp.zeros((1, model.init_dim))
+        variables = model.init(init_rng, init, x["tokens"][:1].T)
     elif cfg.model in ("event_rnn", "performance_rnn"):
         import jax.numpy as jnp
         init = jnp.zeros((1, model.init_dim))

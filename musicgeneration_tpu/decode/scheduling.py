@@ -133,6 +133,7 @@ class SlotScheduler:
         # grow (or pay an ever-larger percentile sort) per request.
         self.times: Dict[int, Dict[str, float]] = {}
         self._lat = deque(maxlen=4096)     # (e2e, wait|None) samples
+        self._n_finalized = 0              # lifetime finalize counter
         self._fin_rids = deque()           # finalized rids, prune order
         self._times_cap = 8192
         self._next_rid = 0
@@ -236,11 +237,13 @@ class SlotScheduler:
         e2e = sorted(s[0] for s in self._lat)
         wait = sorted(s[1] for s in self._lat if s[1] is not None)
         if not e2e:
-            return {"n": 0}
+            return {"n": 0, "n_finalized": self._n_finalized}
         q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]
         # wait can be empty while e2e is not: a request cancelled while
-        # still QUEUED records done but never admit
-        return {"n": len(e2e),
+        # still QUEUED records done but never admit.  `n` is the SAMPLE
+        # WINDOW size (caps at 4096); `n_finalized` is the lifetime
+        # finalized-request counter for cumulative monitoring.
+        return {"n": len(e2e), "n_finalized": self._n_finalized,
                 "e2e_p50": q(e2e, 0.5), "e2e_p95": q(e2e, 0.95),
                 "wait_p50": q(wait, 0.5) if wait else 0.0,
                 "wait_p95": q(wait, 0.95) if wait else 0.0}
@@ -332,6 +335,12 @@ class SlotScheduler:
                 self.done[rid] = self._empty_result()
                 self.times[rid]["done"] = time.perf_counter()
                 self._record_latency(rid)
+                # queued cancels honor the streaming-delivery contract
+                # too: step()-driven embedders that clear `done` after
+                # each on_finalize would otherwise silently lose the
+                # (empty) result of a queued cancel.
+                if self.on_finalize is not None and not self._warming:
+                    self.on_finalize(rid, self.done[rid])
                 return True
         for i, s in enumerate(self.slots):
             if s.active and s.rid == rid:
@@ -354,6 +363,7 @@ class SlotScheduler:
         t = self.times.get(rid)
         if t is None or "done" not in t:
             return
+        self._n_finalized += 1
         wait = (t["admit"] - t["submit"]) if "admit" in t else None
         self._lat.append((t["done"] - t["submit"], wait))
         self._fin_rids.append(rid)

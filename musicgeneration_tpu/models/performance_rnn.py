@@ -134,6 +134,18 @@ class PerformanceRNN(nn.Module):
         flat = h_seq.transpose(0, 2, 1, 3).reshape(t_len, b, -1)
         return self.output_fc(flat).astype(jnp.float32)
 
+    def step_train(self, token: jnp.ndarray, hidden: jnp.ndarray,
+                   deterministic: bool = True):
+        """One unconditioned step WITH inter-layer dropout (the
+        reference's generate() step under model.train(),
+        network.py:106-154) for scheduled-sampling training. token:
+        [B] int, hidden: [L, B, H] -> (logits [B, event_dim],
+        hidden')."""
+        x = self._step_input(token, None)
+        _, h, _ = self.gru(x[None], hidden, deterministic=deterministic,
+                           return_all_hiddens=True)
+        return self._head(h), h
+
     # -- incremental decoding --------------------------------------------------
 
     def init_cache(self, batch: int, cache_len: int = 0,

@@ -43,5 +43,11 @@ if os.environ.get("MG_TPU_TESTS") != "1":
         )
 
         enable_persistent_compile_cache()
+    else:
+        # Propagate the opt-out to in-process CLI invocations: the CLIs
+        # call enable_persistent_compile_cache() themselves (opt-out
+        # env var MG_NO_COMPILE_CACHE), which would silently re-enable
+        # the persistent cache mid-suite and defeat MG_TEST_NOCACHE.
+        os.environ["MG_NO_COMPILE_CACHE"] = "1"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

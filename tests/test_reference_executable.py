@@ -1479,3 +1479,162 @@ def test_chord_inference_direct_fuzz_executable_parity():
         our_out = Ours().extract(our_notes)
         assert [list(c) for c in our_out] == [list(c) for c in ref_out], \
             f"trial {trial}"
+
+
+# ==========================================================================
+# (ix) Event_MelodyRNN 'sequence' / 'window' train modes
+# ==========================================================================
+
+def _event_rnn_pair(dims=None, seed=7):
+    """Transplanted (torch reference, our model, params) triple."""
+    er = rs.load_event_rnn()
+    from musicgeneration_tpu.models.event_rnn import EventMelodyRNN
+
+    dims = dims or dict(init_dim=8, event_dim=40, hidden_dim=32,
+                        rnn_layers=2)
+    torch.manual_seed(seed)
+    ref = er.Event_Melody_RNN(dropout=0.0, **dims)
+    ref.eval()
+    params = {
+        "event_embedding": {"embedding": t2j(ref.event_embedding.weight)},
+        "inithid_fc": _linear(ref.inithid_fc),
+        "gru": _gru_params(ref.rnn, dims["rnn_layers"]),
+        "output_fc": _linear(ref.output_fc),
+    }
+    ours = EventMelodyRNN(event_dim=dims["event_dim"],
+                          init_dim=dims["init_dim"],
+                          hidden_dim=dims["hidden_dim"],
+                          num_layers=dims["rnn_layers"],
+                          dropout_rate=0.0)
+    return ref, ours, params
+
+
+def test_seqbatchify_executable_parity():
+    """pad_and_batch_sequences vs the executing reference SeqBatchify
+    (utils/data.py:23-36): same sort order, padded tokens, lengths, and
+    concatenated shifted-tail labels."""
+    data_mod = rs.load_utils_data()
+    from musicgeneration_tpu.data.batching import pad_and_batch_sequences
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 40, size=int(n)).astype(np.int64)
+            for n in rng.integers(3, 25, size=6)]
+    X, Y, lengths = data_mod.SeqBatchify([list(s) for s in seqs])
+    sb = pad_and_batch_sequences(seqs)
+    np.testing.assert_array_equal(sb.tokens, X.astype(np.int32))
+    np.testing.assert_array_equal(sb.lengths, lengths)
+    np.testing.assert_array_equal(sb.labels, Y.astype(np.int32))
+
+
+def test_sequence_mode_loss_executable_parity():
+    """cli.train train_mode=sequence loss vs the reference sequence-mode
+    objective (Event_MelodyRNN/train.py:263-295) executed through its
+    WORKING pieces: SeqBatchify -> SeqForward's pack_padded path ->
+    CE(flatten_padded_sequences(outs, lengths), Y).
+
+    (As literally shipped the reference's sequence branch cannot run:
+    Train feeds a batch-major [B, mx] tensor to the time-major
+    SeqForward, whose get_primary_event(batch=mx) + cat((one, output))
+    then disagrees with the label count in the CE call. The lock below
+    drives the same modules in the composition the code intends —
+    packed RNN over the padded batch, loss over each sequence's
+    shifted unpadded tail — sharing h0 across frameworks to bypass the
+    separately-pinned init_to_hidden B>1 view scramble.)"""
+    data_mod = rs.load_utils_data()
+    ref, ours, params = _event_rnn_pair()
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    seqs = [rng.integers(0, 40, size=int(n)).astype(np.int64)
+            for n in rng.integers(4, 20, size=4)]
+    X, Y, lengths = data_mod.SeqBatchify([list(s) for s in seqs])
+    b, mx = X.shape
+    init = rng.normal(size=(b, 8)).astype(np.float32)
+
+    with torch.no_grad():
+        # shared h0: our per-element init mapping, computed in torch
+        h0 = torch.tanh(ref.inithid_fc(torch.from_numpy(init)))
+        h0 = h0.view(b, 2, 32).permute(1, 0, 2).contiguous()
+        one_in = ref.get_primary_event(b)
+        _, hidden = ref.rnn(ref.event_embedding(one_in), h0)
+        emb = ref.event_embedding(torch.from_numpy(X.astype(np.int64)))
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            emb, lengths, batch_first=True)
+        out, _ = ref.rnn(packed, hidden)
+        out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True)
+        outs = ref.output_fc(out)                      # [B, mx, V]
+        flat = data_mod.flatten_padded_sequences(outs, lengths)
+        ref_loss = torch.nn.CrossEntropyLoss()(
+            flat, torch.from_numpy(Y.astype(np.int64))).item()
+
+    # our sequence-mode loss (cli/train.py seq_loss_fn semantics),
+    # with the same init instead of a drawn one
+    tokens = jnp.asarray(X.astype(np.int32))
+    lens_j = jnp.asarray(lengths.astype(np.int32))
+    logits = ours.apply({"params": params}, jnp.asarray(init), tokens.T,
+                        lengths=lens_j)
+    logits = logits[:-1].transpose(1, 0, 2)
+    t_pos = jnp.arange(tokens.shape[1])[None, :]
+    mask = (t_pos >= 1) & (t_pos < lens_j[:, None])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, tokens[..., None],
+                                 axis=-1)[..., 0]
+    our_loss = float(-(tok_lp * mask).sum() / mask.sum())
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-5, atol=2e-5)
+
+
+def test_window_mode_scheduled_sampling_parity(monkeypatch):
+    """scheduled_sampling_logits vs the reference window-mode training
+    forward `generate(init, W, events=events[:-1],
+    teacher_forcing_ratio=r, output_type='logit')`
+    (Event_MelodyRNN/train.py:231-232, network.py:119-164), with the
+    reference's global np.random.random() patched to a recorded draw
+    sequence so both sides make identical teacher/self decisions.
+    B=1 keeps init_to_hidden quirk-free."""
+    ref, ours, params = _event_rnn_pair(seed=9)
+    from musicgeneration_tpu.models.event_rnn import (
+        scheduled_sampling_logits)
+    import jax.numpy as jnp
+
+    W, ratio = 12, 0.5
+    rng = np.random.default_rng(13)
+    events = rng.integers(0, 40, size=(W, 1))
+    init = rng.normal(size=(1, 8)).astype(np.float32)
+    draws = list(rng.uniform(size=2 * W))
+    seq = iter(list(draws))
+    monkeypatch.setattr(np.random, "random", lambda: next(seq))
+    with torch.no_grad():
+        ref_logits = ref.generate(
+            torch.from_numpy(init), W,
+            events=torch.from_numpy(events[:-1]).to(torch.long),
+            teacher_forcing_ratio=ratio,
+            output_type='logit').numpy()           # [W, 1, V]
+    monkeypatch.undo()
+    # reference draw order per step: use_greedy (always true at
+    # greedy=1.0), then — for steps < W-1 — the teacher draw
+    teach = np.asarray([draws[2 * t + 1] <= ratio for t in range(W - 1)])
+    got = np.asarray(scheduled_sampling_logits(
+        ours, params, jnp.asarray(init), jnp.asarray(events),
+        jnp.asarray(teach)))
+    assert teach.sum() not in (0, W - 1)  # the mix actually mixes
+    np.testing.assert_allclose(got, ref_logits, rtol=2e-5, atol=2e-5)
+
+
+def test_scheduled_sampling_full_teacher_equals_train_forward():
+    """All-teacher draws reduce scheduled sampling to the plain
+    teacher-forced forward (EventMelodyRNN.__call__ rows [:-1])."""
+    _, ours, params = _event_rnn_pair(seed=4)
+    from musicgeneration_tpu.models.event_rnn import (
+        scheduled_sampling_logits)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    events = jnp.asarray(rng.integers(0, 40, size=(9, 3)))
+    init = jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))
+    sched = scheduled_sampling_logits(
+        ours, params, init, events, jnp.ones((8,), bool))
+    plain = ours.apply({"params": params}, init, events)[:-1]
+    np.testing.assert_allclose(np.asarray(sched), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
