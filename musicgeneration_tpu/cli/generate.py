@@ -72,8 +72,50 @@ def _write_midi(scheme: str, tokens: np.ndarray, path: str) -> None:
     elif scheme == "cp":
         from ..tokenizers import cp as cp_codec
         cp_codec.write_midi(tokens.reshape(-1, 8), path)
+    elif scheme == "mumidi":
+        from ..tokenizers.mumidi import MuMIDI_EventSeq
+        MuMIDI_EventSeq.write_midi(
+            MuMIDI_EventSeq.from_array(tokens.astype(np.int64)), path)
     else:
         raise ValueError(f"cannot write scheme {scheme!r}")
+
+
+def _melody_compound_from_midi(prime: str, max_bars: int,
+                               max_bar_len: int):
+    """Melody MIDI -> packed compound (src [bars, S, 7] int32,
+    src_len [bars] int32) for PoPMAG decoding — the input side of the
+    reference's generate_arrangement (PoPMAG_RNN/generate.py:150-177).
+    Shared by cli.generate --model popmag and cli.serve's PoPMAG
+    requests."""
+    from ..data import mumidi_packing as mp
+    from ..tokenizers.mumidi import MuMIDI_EventSeq
+
+    melody_events, _ = MuMIDI_EventSeq.extract_split_events(prime)
+    if melody_events is None:
+        raise ValueError(
+            f"prime {prime!r} has no extractable melody track — "
+            "PoPMAG needs a multi-track MIDI whose melody/role "
+            "classification succeeds (MuMIDI.extract_split_events "
+            "returned None, the reference's skip condition)")
+    melody = MuMIDI_EventSeq.to_array(melody_events).astype(np.int64)
+    bars = list(MuMIDI_EventSeq.segmentation(melody))[:max_bars]
+    # truncate at the first overlong bar — clipping inside a bar would
+    # cut compound token groups mid-way (same rule as train batching)
+    for k, bar in enumerate(bars):
+        if len(bar) > max_bar_len:
+            bars = bars[:k]
+            break
+    if not bars:
+        raise ValueError(
+            "prime melody has no usable bars after MuMIDI encoding "
+            "(first bar longer than max_bar_len?)")
+    packed, lens = mp.pack_compound(bars, 0)
+    s_len = max(len(a) for a in packed)
+    src = np.zeros((len(packed), s_len, 7), np.int32)
+    for gi, arr in enumerate(packed):
+        src[gi, :len(arr)] = arr
+    src_len = np.maximum(np.asarray(lens, np.int32), 1)
+    return src, src_len
 
 
 def _dp_mesh(dp: int, batch: int, tp: int = 1):
@@ -594,37 +636,19 @@ def _generate_arrangement(model, params, cfg, args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from ..data import mumidi_packing as mp
     from ..decode.popmag_generate import (
         flatten_arrangement,
         generate_arrangement,
     )
     from ..tokenizers.mumidi import MuMIDI_EventSeq
 
-    melody_events, _ = MuMIDI_EventSeq.extract_split_events(args.prime)
-    if melody_events is None:
-        raise SystemExit(
-            f"prime {args.prime!r} has no extractable melody track — "
-            "PoPMAG needs a multi-track MIDI whose melody/role "
-            "classification succeeds (MuMIDI.extract_split_events "
-            "returned None, the reference's skip condition)")
-    melody = MuMIDI_EventSeq.to_array(melody_events).astype(np.int64)
-    bars = list(MuMIDI_EventSeq.segmentation(melody))[:cfg.max_bars]
-    # truncate at the first overlong bar — clipping inside a bar would cut
-    # compound token groups mid-way (same rule as the train-side batching)
-    for k, bar in enumerate(bars):
-        if len(bar) > cfg.max_bar_len:
-            bars = bars[:k]
-            break
-    if not bars:
-        raise SystemExit("prime melody has no usable bars after MuMIDI "
-                         "encoding (first bar longer than max_bar_len?)")
-    packed, lens = mp.pack_compound(bars, 0)
-    s_len = max(len(a) for a in packed)
-    src = np.zeros((1, len(packed), s_len, 7), np.int32)
-    for gi, arr in enumerate(packed):
-        src[0, gi, :len(arr)] = arr
-    src_len = np.maximum(np.asarray(lens, np.int32), 1)[None]
+    try:
+        src, src_len = _melody_compound_from_midi(
+            args.prime, cfg.max_bars, cfg.max_bar_len)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    bars = list(range(src.shape[0]))     # bar count drives n_target_bar
+    src, src_len = src[None], src_len[None]
 
     nb = max(args.batch, 1)
     if nb > 1:  # N stochastic arrangements: one latent per row

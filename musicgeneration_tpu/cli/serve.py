@@ -100,6 +100,8 @@ def main(argv=None) -> int:
     p.add_argument("--cache-len", type=int, default=None)
     p.add_argument("--ctrl-window", type=int, default=256,
                    help="per-slot control window (performance_rnn)")
+    p.add_argument("--seg-bars", type=int, default=2,
+                   help="bars per dispatched segment (popmag)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--topk", type=int, default=0)
     p.add_argument("--topp", type=float, default=1.0)
@@ -138,11 +140,12 @@ def main(argv=None) -> int:
         cfg, scheme, model_kwargs)
     is_rnn = cfg.model in RNN_MODELS
     is_cp = cfg.model == "cp_transformer"
+    is_popmag = cfg.model == "popmag"
     if not isinstance(model, MusicTransformer) and not is_rnn \
-            and not is_cp:
+            and not is_cp and not is_popmag:
         raise SystemExit(
-            f"cli.serve drives the MusicTransformer, CP and RNN "
-            f"families; {cfg.model} decodes through cli.generate")
+            f"cli.serve drives the MusicTransformer, CP, RNN and "
+            f"PoPMAG families; {cfg.model} has no serving engine")
     params = payload["state"]["params"]
     # "layers_scan" in params catches pp-trained checkpoints whose
     # stacked layout was injected at session-build time without the
@@ -164,6 +167,38 @@ def main(argv=None) -> int:
             raise ValueError("request must be a JSON object, got "
                              f"{type(req).__name__}")
         name = str(req.get("id", ln))
+        if is_popmag:
+            # melody->arrangement: {"prime": melody.mid} or
+            # {"melody": [[..7-wide rows..] per bar]}; max_new counts
+            # target BARS (default: the melody's bar count)
+            if "melody" in req:
+                src = np.asarray(req["melody"], np.int32)
+                src_len = (np.asarray(req.get(
+                    "src_len", (src != 0).any(-1).sum(-1)), np.int32))
+            elif req.get("prime"):
+                from .generate import _melody_compound_from_midi
+                src, src_len = _melody_compound_from_midi(
+                    req["prime"], cfg.max_bars, cfg.max_bar_len)
+            else:
+                raise ValueError(
+                    "PoPMAG requests need 'prime' (a melody MIDI) or "
+                    "'melody' (packed [bars, S, 7] compound rows)")
+            extra = {"src_len": src_len}
+            if "init" in req:
+                extra["init"] = np.asarray(req["init"], np.float32)
+            elif "init_seed" in req:
+                extra["init"] = np.random.RandomState(
+                    int(req["init_seed"])).randn(
+                        model.init_dim).astype(np.float32)
+            if req.get("eos") is not None:
+                raise ValueError("PoPMAG requests retire by bar count; "
+                                 "drop 'eos'")
+            if any(f in req for f in samp_fields) or "window" in req:
+                raise ValueError(
+                    "per-request sampling / window= are not defined "
+                    "for PoPMAG; set the CLI-level flags")
+            return (name, src, int(req.get("max_new", src.shape[0])),
+                    None, None, extra)
         if "tokens" in req:
             toks = np.asarray(req["tokens"], np.int32)
         elif is_cp:
@@ -219,6 +254,15 @@ def main(argv=None) -> int:
                 req.get("eos"), sp, extra)
 
     def build_cb(per_row: bool, on_finalize):
+        if is_popmag:
+            from ..decode.serving_popmag import PopMAGContinuousBatcher
+            return PopMAGContinuousBatcher(
+                model, params, slots=args.slots, sampling=sampling,
+                seg_len=args.seg_bars, max_bars=cfg.max_bars,
+                max_bar_len=cfg.max_bar_len, depth=args.depth,
+                prompt_bucket=min(8, cfg.max_bars),
+                on_finalize=on_finalize,
+                rng=jax.random.PRNGKey(args.seed))
         if is_rnn:
             return RNNContinuousBatcher(
                 model, params, slots=args.slots, sampling=sampling,

@@ -74,6 +74,107 @@ def _sample_head(rng, logits, greedy: bool, temperature: float):
     ).astype(jnp.int32)
 
 
+def decode_bar_steps(model, params, enc_h, bar_embed, rng_bar, *,
+                     max_steps: int, greedy: bool, temperature,
+                     freeze_done_hidden: bool = True):
+    """One target bar's typed decode loop (the body shared by
+    generate_arrangement and the PoPMAG serving engine,
+    decode/serving_popmag.py). enc_h: [L, B, H] encoder hidden entering
+    the bar; bar_embed: [B] int32 bar-position token ids (a broadcast
+    scalar in the dedicated generator, per-row bar cursors in the
+    serving pool). Returns (tokens [B, max_steps, 3] int32,
+    valid [B, max_steps, 3] bool, dec_h [L, B, H])."""
+    b = enc_h.shape[1]
+    va = {"params": params}
+
+    drum_id = _R["track"].start + 5  # MUMIDI_TRACKS.index('drum') == 5
+    pos_lo, pos_hi = _rng_bounds("position")
+    cls_lo, cls_hi = _rng_bounds("tempo_class")
+    val_lo, val_hi = _rng_bounds("tempo_value")
+    chd_lo, chd_hi = _rng_bounds("chord")
+    trk_lo, trk_hi = _rng_bounds("track")
+    vel_lo, vel_hi = _rng_bounds("note_velocity")
+    bar_lo, bar_hi = _rng_bounds("bar")
+
+    start = jnp.stack([
+        bar_embed.astype(jnp.int32),
+        jnp.full((b,), mp.POS0, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.full((b,), mp.BAR_TOKEN, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    ], axis=-1)  # [B, 7]
+
+    state0 = dict(
+        compound=start,
+        pos=jnp.zeros((b,), jnp.int32),
+        cls=jnp.zeros((b,), jnp.int32),
+        val=jnp.zeros((b,), jnp.int32),
+        vel=jnp.zeros((b,), jnp.int32),
+        track=jnp.full((b,), -1, jnp.int32),
+        done=jnp.zeros((b,), jnp.bool_),
+        h=enc_h,
+    )
+
+    def step(st, rng_t):
+        logits, h = model.apply(va, st["compound"], st["h"],
+                                method=model.decode_compound_step)
+        r1, r2, r3 = jax.random.split(rng_t, 3)
+        etype = _sample_head(r1, logits[:, 0], greedy, temperature)
+        etype = etype + mp.SHIFT[0]  # token id space
+
+        is_bar = (etype >= bar_lo) & (etype < bar_hi)
+        is_pos = (etype >= pos_lo) & (etype < pos_hi)
+        is_cls = (etype >= cls_lo) & (etype < cls_hi)
+        is_val = (etype >= val_lo) & (etype < val_hi)
+        is_chd = (etype >= chd_lo) & (etype < chd_hi)
+        is_trk = (etype >= trk_lo) & (etype < trk_hi)
+        is_vel = (etype >= vel_lo) & (etype < vel_hi)
+
+        pitch = _sample_head(r2, logits[:, 1], greedy, temperature)
+        pitch = pitch + jnp.where(st["track"] == drum_id, 128, 0)
+        pitch = pitch + mp.SHIFT[1]
+        dur = _sample_head(r3, logits[:, 2], greedy, temperature)
+        dur = dur + mp.SHIFT[2]
+
+        newly_done = st["done"] | is_bar
+        active = ~st["done"]
+
+        pos = jnp.where(is_pos & active, etype, st["pos"])
+        cls_ = jnp.where(is_cls & active, etype, st["cls"])
+        val = jnp.where(is_val & active, etype, st["val"])
+        # chord/track land in the velocity slot (network.py:271-281)
+        vel = jnp.where((is_chd | is_trk | is_vel) & active, etype,
+                        st["vel"])
+        track = jnp.where(is_trk & active, etype, st["track"])
+        note_pitch = jnp.where(is_vel & active, pitch, 0)
+        note_dur = jnp.where(is_vel & active, dur, 0)
+
+        compound = jnp.stack([
+            bar_embed.astype(jnp.int32), pos, cls_, val,
+            vel, note_pitch, note_dur], axis=-1)
+
+        emit1 = active & ~is_bar
+        emit23 = emit1 & is_vel
+        tokens = jnp.stack([etype, pitch, dur], axis=-1)  # [B, 3]
+        valid = jnp.stack([emit1, emit23, emit23], axis=-1)
+
+        if freeze_done_hidden:
+            # rows already done keep their bar-end h (the bar-token
+            # step's own update IS kept: done was False entering it)
+            h = jnp.where(st["done"][None, :, None], st["h"], h)
+        new_st = dict(compound=compound, pos=pos, cls=cls_, val=val,
+                      vel=vel, track=track, done=newly_done, h=h)
+        return new_st, (tokens, valid)
+
+    rngs = jax.random.split(rng_bar, max_steps)
+    st_final, (tokens, valid) = jax.lax.scan(step, state0, rngs)
+    # tokens: [steps, B, 3] -> [B, steps, 3]
+    return (tokens.transpose(1, 0, 2), valid.transpose(1, 0, 2),
+            st_final["h"])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "n_target_bar", "max_steps", "greedy",
@@ -98,15 +199,6 @@ def generate_arrangement(
     hidden0 = model.apply(va, init, method=model.init_to_hidden)
     src_e = model.apply(va, src, method=model.compression)
 
-    drum_id = _R["track"].start + 5  # MUMIDI_TRACKS.index('drum') == 5
-    pos_lo, pos_hi = _rng_bounds("position")
-    cls_lo, cls_hi = _rng_bounds("tempo_class")
-    val_lo, val_hi = _rng_bounds("tempo_value")
-    chd_lo, chd_hi = _rng_bounds("chord")
-    trk_lo, trk_hi = _rng_bounds("track")
-    vel_lo, vel_hi = _rng_bounds("note_velocity")
-    bar_lo, bar_hi = _rng_bounds("bar")
-
     def decode_bar(carry, inputs):
         hidden, = carry
         k, rng_bar = inputs
@@ -118,86 +210,15 @@ def generate_arrangement(
                                          keepdims=False),
             method=model.encode_bar)
 
-        bar_embed = jnp.minimum(k, model.bar_dim - 1) + mp.EVENT_DIM
-        start = jnp.stack([
-            jnp.full((b,), bar_embed, jnp.int32),
-            jnp.full((b,), mp.POS0, jnp.int32),
-            jnp.zeros((b,), jnp.int32),
-            jnp.zeros((b,), jnp.int32),
-            jnp.full((b,), mp.BAR_TOKEN, jnp.int32),
-            jnp.zeros((b,), jnp.int32),
-            jnp.zeros((b,), jnp.int32),
-        ], axis=-1)  # [B, 7]
-
-        state0 = dict(
-            compound=start,
-            pos=jnp.zeros((b,), jnp.int32),
-            cls=jnp.zeros((b,), jnp.int32),
-            val=jnp.zeros((b,), jnp.int32),
-            vel=jnp.zeros((b,), jnp.int32),
-            track=jnp.full((b,), -1, jnp.int32),
-            done=jnp.zeros((b,), jnp.bool_),
-            h=enc_h,
-        )
-
-        def step(st, rng_t):
-            logits, h = model.apply(va, st["compound"], st["h"],
-                                    method=model.decode_compound_step)
-            r1, r2, r3 = jax.random.split(rng_t, 3)
-            etype = _sample_head(r1, logits[:, 0], greedy, temperature)
-            etype = etype + mp.SHIFT[0]  # token id space
-
-            is_bar = (etype >= bar_lo) & (etype < bar_hi)
-            is_pos = (etype >= pos_lo) & (etype < pos_hi)
-            is_cls = (etype >= cls_lo) & (etype < cls_hi)
-            is_val = (etype >= val_lo) & (etype < val_hi)
-            is_chd = (etype >= chd_lo) & (etype < chd_hi)
-            is_trk = (etype >= trk_lo) & (etype < trk_hi)
-            is_vel = (etype >= vel_lo) & (etype < vel_hi)
-
-            pitch = _sample_head(r2, logits[:, 1], greedy, temperature)
-            pitch = pitch + jnp.where(st["track"] == drum_id, 128, 0)
-            pitch = pitch + mp.SHIFT[1]
-            dur = _sample_head(r3, logits[:, 2], greedy, temperature)
-            dur = dur + mp.SHIFT[2]
-
-            newly_done = st["done"] | is_bar
-            active = ~st["done"]
-
-            pos = jnp.where(is_pos & active, etype, st["pos"])
-            cls_ = jnp.where(is_cls & active, etype, st["cls"])
-            val = jnp.where(is_val & active, etype, st["val"])
-            # chord/track land in the velocity slot (network.py:271-281)
-            vel = jnp.where((is_chd | is_trk | is_vel) & active, etype,
-                            st["vel"])
-            track = jnp.where(is_trk & active, etype, st["track"])
-            note_pitch = jnp.where(is_vel & active, pitch, 0)
-            note_dur = jnp.where(is_vel & active, dur, 0)
-
-            compound = jnp.stack([
-                jnp.full((b,), bar_embed, jnp.int32), pos, cls_, val,
-                vel, note_pitch, note_dur], axis=-1)
-
-            emit1 = active & ~is_bar
-            emit23 = emit1 & is_vel
-            tokens = jnp.stack([etype, pitch, dur], axis=-1)  # [B, 3]
-            valid = jnp.stack([emit1, emit23, emit23], axis=-1)
-
-            if freeze_done_hidden:
-                # rows already done keep their bar-end h (the bar-token
-                # step's own update IS kept: done was False entering it)
-                h = jnp.where(st["done"][None, :, None], st["h"], h)
-            new_st = dict(compound=compound, pos=pos, cls=cls_, val=val,
-                          vel=vel, track=track, done=newly_done, h=h)
-            return new_st, (tokens, valid)
-
-        rngs = jax.random.split(rng_bar, max_steps)
-        st_final, (tokens, valid) = jax.lax.scan(step, state0, rngs)
-        # tokens: [steps, B, 3] -> [B, steps, 3]
-        dec_h = st_final["h"]
+        bar_embed = jnp.full(
+            (b,), jnp.minimum(k, model.bar_dim - 1) + mp.EVENT_DIM,
+            jnp.int32)
+        tokens, valid, dec_h = decode_bar_steps(
+            model, params, enc_h, bar_embed, rng_bar,
+            max_steps=max_steps, greedy=greedy, temperature=temperature,
+            freeze_done_hidden=freeze_done_hidden)
         hidden = enc_h + dec_h  # network.py:414
-        return (hidden,), (tokens.transpose(1, 0, 2),
-                           valid.transpose(1, 0, 2))
+        return (hidden,), (tokens, valid)
 
     ks = jnp.arange(n_target_bar)
     rngs = jax.random.split(rng, n_target_bar)

@@ -430,9 +430,12 @@ class SlotScheduler:
         if width < self.b:
             self._resize(width)
 
-    def _finalize(self, rid: int):
-        max_new, eos_id = self._req.pop(rid)
-        toks = self._emitted.pop(rid)[:max_new]
+    def _assemble_result(self, toks: List, max_new: int,
+                         eos_id) -> np.ndarray:
+        """Emitted segment units -> the request's result array. The
+        default trims to max_new and cuts at eos; the PoPMAG engine
+        overrides to flatten per-bar blocks into a token stream."""
+        toks = toks[:max_new]
         if eos_id is not None:
             cut = self._eos_index(toks, eos_id)
             if cut is not None:
@@ -440,7 +443,12 @@ class SlotScheduler:
         arr = np.asarray(toks, np.int32)
         if arr.shape[0] == 0:
             arr = self._empty_result()   # keep the engine's token shape
-        self.done[rid] = arr
+        return arr
+
+    def _finalize(self, rid: int):
+        max_new, eos_id = self._req.pop(rid)
+        self.done[rid] = self._assemble_result(
+            self._emitted.pop(rid), max_new, eos_id)
         self._n_committed += len(self.done[rid])
         self.times[rid]["done"] = time.perf_counter()
         self._record_latency(rid)
