@@ -54,6 +54,12 @@ starts a threaded endpoint in front of the same live pool —
                      {"id", "tokens": [...], "n_tokens", "file"}
     POST /submit     same body, returns {"id", "status": "queued"}
                      immediately (non-blocking)
+    POST /stream     same body, server-sent events: one
+                     `data: {"id", "tokens": [...]}` chunk per decoded
+                     segment AS IT COMMITS (tokens observable
+                     mid-generation), then `event: done` with
+                     {"id", "n_tokens", "file"}; the chunks
+                     concatenate to exactly /generate's tokens
     GET  /result/ID  202 {"status": "pending", "n_tokens": so-far}
                      while decoding; 200 with the /generate payload
                      once finalized (result is consumed on first 200);
@@ -427,6 +433,49 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n).decode()
 
+        def _stream(self, parsed):
+            """POST /stream: server-sent events — one `data:` event per
+            freshly decoded token chunk (flushed as the engine commits
+            each segment, so a client reads tokens MID-generation), then
+            an `event: done` with the /generate-style summary. The
+            streamed chunks concatenate to exactly the /generate
+            `tokens` array (both run through the engine's
+            `_assemble_result`, so eos cuts and max_new trims apply to
+            the stream too, prefix-exact)."""
+            q = queue.Queue()
+            holder = {"stream": q, "sent": 0}
+            intake.put((parsed, holder))
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+            def emit(event, obj):
+                head = f"event: {event}\n" if event else ""
+                self.wfile.write(
+                    (head + f"data: {json.dumps(obj)}\n\n").encode())
+                self.wfile.flush()
+
+            deadline = time.monotonic() + args.http_timeout
+            try:
+                while True:
+                    try:
+                        kind, payload = q.get(
+                            timeout=max(0.0, deadline - time.monotonic()))
+                    except queue.Empty:
+                        emit("error", {"error": "generation timed out"})
+                        return
+                    if kind == "tok":
+                        emit(None, {"id": parsed[0], "tokens": payload})
+                    elif kind == "done":
+                        emit("done", payload)
+                        return
+                    else:   # error
+                        emit("error", payload)
+                        return
+            except (BrokenPipeError, ConnectionResetError):
+                holder["gone"] = True   # client went away: stop pushing
+
         def do_POST(self):  # noqa: N802
             if self.path == "/shutdown":
                 stopping.set()
@@ -442,7 +491,7 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 self._json(202, {"id": name,
                                  "status": "cancel_requested"})
                 return
-            if self.path not in ("/generate", "/submit"):
+            if self.path not in ("/generate", "/submit", "/stream"):
                 self._json(404, {"error": f"no route {self.path}"})
                 return
             if stopping.is_set():
@@ -461,6 +510,8 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 intake.put((parsed, {"async": True}))
                 self._json(200, {"id": parsed[0], "status": "queued"})
                 return
+            if self.path == "/stream":
+                return self._stream(parsed)
             holder = {"event": threading.Event()}
             intake.put((parsed, holder))
             if not holder["event"].wait(args.http_timeout):
@@ -484,6 +535,10 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 shared["results"][name] = {"id": name,
                                            "status": "cancelled",
                                            "n_tokens": int(len(toks))}
+        elif "stream" in holder:
+            holder["stream"].put(("done", {
+                "id": name, "status": "cancelled",
+                "n_tokens": int(len(toks))}))
         else:
             holder["error"] = "cancelled"
             holder["event"].set()
@@ -501,6 +556,19 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                 shared["results"][name] = {
                     "id": name, "tokens": np.asarray(toks).tolist(),
                     "n_tokens": int(len(toks)), "file": path}
+            return
+        if "stream" in holder:
+            # flush whatever the per-segment pushes haven't sent (the
+            # finalize may run ahead of the last streaming sweep), then
+            # the done event; `toks` IS the assembled result, so the
+            # streamed concatenation equals /generate's tokens exactly
+            arr = np.asarray(toks)
+            if len(arr) > holder["sent"] and not holder.get("gone"):
+                holder["stream"].put(("tok",
+                                      arr[holder["sent"]:].tolist()))
+                holder["sent"] = len(arr)
+            holder["stream"].put(("done", {
+                "id": name, "n_tokens": int(len(arr)), "file": path}))
             return
         holder["tokens"] = toks
         holder["path"] = path
@@ -545,13 +613,36 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                         with stats_lock:
                             shared["results"][name] = {
                                 "id": name, "error": str(e)}
+                    elif "stream" in holder:
+                        holder["stream"].put(("error",
+                                              {"error": str(e)}))
                     else:
                         holder["error"] = str(e)
                         holder["event"].set()
                     continue
+                if "stream" in holder:
+                    holder["req"] = (max_new, eos)
                 pending[rid] = (name, holder)
                 n_sub += 1
             busy = cb.step()
+            # push fresh tokens to /stream clients: the emitted list is
+            # run through the engine's _assemble_result so the stream
+            # is always a PREFIX of the final /generate result (max_new
+            # trim + eos cut applied mid-flight)
+            for rid, (name, holder) in list(pending.items()):
+                if "stream" not in holder or holder.get("gone") \
+                        or holder.get("cancelled"):
+                    continue
+                em = cb._emitted.get(rid)
+                if not em:
+                    continue
+                mn, eos2 = holder["req"]
+                cur = cb._assemble_result(list(em), mn, eos2)
+                if len(cur) > holder["sent"]:
+                    holder["stream"].put(
+                        ("tok",
+                         np.asarray(cur[holder["sent"]:]).tolist()))
+                    holder["sent"] = len(cur)
             # step()-driven modes deliver through on_finalize; drop the
             # scheduler's retained copy so a long-running server does
             # not grow without bound (run() is what consumes `done`)

@@ -722,6 +722,35 @@ def test_serve_http(tok_dir, tmp_path):
     res = poll("big")
     assert "error" in res
 
+    # ---- POST /stream: SSE token chunks arrive MID-generation and
+    # concatenate to exactly the /generate result ----
+    sse = urllib.request.urlopen(
+        base + "/stream",
+        data=json.dumps({"id": "st", "tokens": [24, 28, 31],
+                         "max_new": 24}).encode(), timeout=120)
+    assert sse.headers["Content-Type"] == "text/event-stream"
+    events, cur_event, streamed, done_payload = [], None, [], None
+    for raw in sse:
+        line = raw.decode().rstrip("\n")
+        if line.startswith("event: "):
+            cur_event = line[7:]
+        elif line.startswith("data: "):
+            payload = json.loads(line[6:])
+            events.append((cur_event, payload))
+            if cur_event == "done":
+                done_payload = payload
+                break
+            elif cur_event is None:
+                streamed.extend(payload["tokens"])
+            cur_event = None
+    # max_new 24 over seg_len 8 -> several incremental chunks, each
+    # flushed as its segment committed (mid-generation delivery)
+    tok_events = [e for e in events if e[0] is None]
+    assert len(tok_events) >= 2
+    assert done_payload["n_tokens"] == 24
+    assert streamed == results["a"]["tokens"]   # prefix-exact stream
+    assert os.path.exists(done_payload["file"])
+
     # greedy response is identical to cli.generate on the same prime
     from musicgeneration_tpu.cli.generate import main as gen_main
     ref_mid = str(tmp_path / "ref_http.mid")
