@@ -49,6 +49,18 @@ class TrainCLIConfig(Config):
     teacher_forcing_ratio: float = 1.0
     seq_pad_to: Optional[int] = None  # sequence-mode pad length
                                       # (default: longest corpus seq)
+    # Draft distillation (music_transformer): train this model against
+    # a frozen teacher checkpoint's token distributions —
+    # loss = (1-alpha)*smoothCE + alpha*T^2*KL(teacher_T || student_T).
+    # The speculative-decoding recipe: distill a small draft
+    # (model.num_layers=2 model.d_model=128) from the serving target's
+    # checkpoint on the target's own corpus, then decode with
+    # cli.generate --spec <draft ckpt>. distill_temp=1 optimizes
+    # exactly the T=1 distribution match that drives spec-decode
+    # acceptance.
+    distill_from: Optional[str] = None
+    distill_alpha: float = 0.5
+    distill_temp: float = 1.0
     accum_steps: int = 1
     label_smoothing: float = 0.1
     warmup_steps: int = 4000
@@ -337,14 +349,93 @@ def _popmag_batch_fn(corpus, cfg: TrainCLIConfig):
     return batch_at
 
 
+def _load_teacher(cfg: TrainCLIConfig, student):
+    """Restore the distill_from checkpoint as a frozen teacher.
+
+    The teacher must share the student's vocab (same scheme) and train
+    sequence length (relative-attention E tables are sized by max_seq,
+    so a teacher trained at another seq_len has incompatible position
+    geometry)."""
+    from ..utils.checkpoint import restore_checkpoint
+
+    payload = restore_checkpoint(cfg.distill_from)
+    meta = payload.get("config", {})
+    if "cli" not in meta:
+        raise SystemExit("distill_from checkpoint has no CLI config")
+    tcfg_cli = TrainCLIConfig.from_dict(meta["cli"])
+    if tcfg_cli.model != "music_transformer":
+        raise SystemExit("distill_from must be a music_transformer "
+                         "checkpoint")
+    if tcfg_cli.seq_len != cfg.seq_len:
+        raise SystemExit(
+            f"teacher was trained at seq_len={tcfg_cli.seq_len}, "
+            f"student at {cfg.seq_len} — they must match (relative "
+            "attention position tables are max_seq-sized)")
+    tkwargs = dict(meta.get("model_kwargs", {}))
+    tscanned = bool(tkwargs.pop("scan_layers", False))
+    t_model, _, _, _, _ = build_session(
+        tcfg_cli, meta.get("scheme", "midilike"), tkwargs)
+    t_params = payload["state"]["params"]
+    if tscanned or "layers_scan" in t_params:
+        from ..models.music_transformer import unstack_scanned_params
+        t_params = unstack_scanned_params(dict(t_params),
+                                          t_model.num_layers)
+    if t_model.vocab_size != student.vocab_size:
+        raise SystemExit(
+            f"teacher vocab ({t_model.vocab_size}) != student vocab "
+            f"({student.vocab_size}) — distill on the same scheme")
+    return t_model, t_params
+
+
+def _make_distill_loss(model, tcfg, t_model, t_params, *, alpha: float,
+                       temp: float, apply_fn=None):
+    """(1-alpha)*smoothCE(labels) + alpha*T^2*KL(teacher_T||student_T),
+    KL averaged over non-pad positions — the standard distillation
+    objective; at temp=1 the KL term directly optimizes the T=1
+    distribution match that sets speculative-decoding acceptance."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..train.objective import smooth_cross_entropy, token_accuracy
+
+    def loss_fn(params, x, y, rng):
+        if apply_fn is not None:
+            s_logits = apply_fn(params, x, rng)
+        else:
+            s_logits = model.apply({"params": params}, x,
+                                   deterministic=False,
+                                   rngs={"dropout": rng})
+        t_logits = t_model.apply({"params": t_params}, x,
+                                 deterministic=True)
+        ce = smooth_cross_entropy(s_logits, y, tcfg.vocab_size,
+                                  tcfg.label_smoothing, tcfg.pad_id)
+        t_lp = jax.nn.log_softmax(
+            t_logits.astype(jnp.float32) / temp, axis=-1)
+        s_lp = jax.nn.log_softmax(
+            s_logits.astype(jnp.float32) / temp, axis=-1)
+        kl = (jnp.exp(t_lp) * (t_lp - s_lp)).sum(-1)
+        mask = (y != tcfg.pad_id) if tcfg.pad_id is not None else (
+            jnp.ones_like(y, jnp.bool_))
+        kl = (kl * mask).sum() / jnp.maximum(mask.sum(), 1) * (temp ** 2)
+        loss = (1.0 - alpha) * ce + alpha * kl
+        return loss, token_accuracy(s_logits, y, tcfg.pad_id)
+
+    return loss_fn
+
+
 def build_session(cfg: TrainCLIConfig, scheme: str,
-                  model_kwargs: Dict[str, Any], mesh=None):
+                  model_kwargs: Dict[str, Any], mesh=None,
+                  distill: bool = False):
     """Construct (model, trainer_cfg, apply_fn, loss_fn, batch_adapter).
 
     batch_adapter maps a raw batch from the stream to the (x, y) pair the
     train step consumes. `mesh` (train-time only, never persisted): with
     sp>1 the MusicTransformer attention switches to the sequence-parallel
-    ring impl over the mesh's 'seq' axis.
+    ring impl over the mesh's 'seq' axis. `distill` (train-time only)
+    activates the cfg.distill_from teacher objective — restore-time
+    callers (serve/eval/export) rebuild sessions from persisted configs
+    that may carry a stale teacher path, so the teacher only loads when
+    cli.train asks for it.
     """
     import jax
     import jax.numpy as jnp
@@ -403,6 +494,18 @@ def build_session(cfg: TrainCLIConfig, scheme: str,
             label_smoothing=cfg.label_smoothing, d_model=model.d_model,
             warmup_steps=cfg.warmup_steps, accum_steps=cfg.accum_steps,
             max_grad_norm=cfg.max_grad_norm, peak_lr=cfg.peak_lr)
+        if distill and cfg.distill_from:
+            if mesh is not None and (mesh.shape.get("seq", 1) > 1
+                                     or mesh.shape.get("pipe", 1) > 1):
+                raise SystemExit("distill_from composes with dp/fsdp "
+                                 "meshes only (the teacher forward is "
+                                 "an unsharded plain apply)")
+            t_model, t_params = _load_teacher(cfg, model)
+            loss_fn = _make_distill_loss(
+                model, tcfg, t_model, t_params,
+                alpha=cfg.distill_alpha, temp=cfg.distill_temp,
+                apply_fn=apply_fn)
+            return model, tcfg, None, loss_fn, lambda b: b
         return model, tcfg, apply_fn, None, lambda b: b
 
     if name == "melody_rnn":
@@ -688,7 +791,8 @@ def main(argv=None) -> int:
             raise SystemExit("seq_len must divide sp")
 
     model, tcfg, apply_fn, loss_fn, adapter = build_session(
-        cfg, scheme, model_kwargs, mesh=mesh)
+        cfg, scheme, model_kwargs, mesh=mesh,
+        distill=bool(cfg.distill_from))
 
     if cfg.train_mode in ("window", "sequence"):
         # reference Event_MelodyRNN train modes (train.py:209-309);

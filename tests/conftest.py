@@ -51,3 +51,33 @@ if os.environ.get("MG_TPU_TESTS") != "1":
         os.environ["MG_NO_COMPILE_CACHE"] = "1"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --------------------------------------------------------------------------
+# In-process executable-count relief valve.
+#
+# A full quick-lane run (~390 tests, several hundred live compiled XLA:CPU
+# executables) reliably CRASHES this box's XLA during one of the last big
+# compiles (generate_sliding at tests/test_serving_sliding.py — segfault
+# inside backend_compile_and_load; round-4 VERDICT #1, reproduced 5/5 with
+# and without every compile-cache layer). Neither half of the suite alone
+# triggers it — the aggravator is cumulative in-process compiler state.
+# Dropping jax's in-memory caches every N tests keeps the live-executable
+# population bounded and the full lane green (re-jits reload from the
+# persistent disk cache, so the cost is small). MG_TEST_CLEAR_CACHES sets
+# the interval (0 disables; default 60).
+_CLEAR_EVERY = int(os.environ.get("MG_TEST_CLEAR_CACHES", "60"))
+_test_counter = [0]
+
+
+def pytest_runtest_teardown(item, nextitem):
+    if _CLEAR_EVERY <= 0:
+        return
+    _test_counter[0] += 1
+    if _test_counter[0] % _CLEAR_EVERY == 0:
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()

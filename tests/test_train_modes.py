@@ -133,3 +133,63 @@ def test_mode_validation(tmp_path):
     with pytest.raises(SystemExit, match="RNN families"):
         train_main([tok, "model=music_transformer",
                     "train_mode=window", "steps=1"])
+
+
+# ------------------------------------------------------- distillation
+
+def test_distill_loss_zero_when_student_is_teacher(tmp_path):
+    """alpha=1, temp=1: KL(teacher || student) vanishes when the
+    student IS the teacher — the objective's fixed point."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicgeneration_tpu.cli.train import _make_distill_loss
+    from musicgeneration_tpu.models import MusicTransformer
+    from musicgeneration_tpu.train.trainer import TrainerConfig
+
+    m = MusicTransformer(vocab_size=40, num_layers=1, d_model=64,
+                         max_seq=16, dropout_rate=0.0)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 16), jnp.int32))["params"]
+    tcfg = TrainerConfig(vocab_size=40, pad_id=39, label_smoothing=0.0)
+    loss_fn = _make_distill_loss(m, tcfg, m, params, alpha=1.0,
+                                 temp=1.0)
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 38, (2, 16)))
+    loss, _acc = loss_fn(params, x, x, jax.random.PRNGKey(1))
+    assert abs(float(loss)) < 1e-5
+
+
+@pytest.mark.slow
+def test_train_distill_draft_e2e(tmp_path):
+    """The spec-decode draft recipe: teacher ckpt -> distilled small
+    student trains e2e; mismatched seq_len is rejected."""
+    from musicgeneration_tpu.cli.tokenize import main as tokenize_main
+    from musicgeneration_tpu.cli.train import main as train_main
+    from .fixtures import simple_piano_midi
+
+    midi_dir = tmp_path / "midis"
+    midi_dir.mkdir()
+    for i in range(3):
+        simple_piano_midi(str(midi_dir / f"f{i}.mid"), seed=i,
+                          n_notes=120)
+    tok = str(tmp_path / "tok")
+    assert tokenize_main([str(midi_dir), tok, "--scheme", "midilike",
+                          "--workers", "1"]) == 0
+    tdir = str(tmp_path / "teacher")
+    assert train_main([tok, "model=music_transformer", "steps=3",
+                       "batch_size=2", "seq_len=32", "ckpt_every=2",
+                       f"ckpt_dir={tdir}", "model.num_layers=1",
+                       "model.d_model=64"]) == 0
+    metrics = str(tmp_path / "draft.jsonl")
+    assert train_main([tok, "model=music_transformer", "steps=3",
+                       "batch_size=2", "seq_len=32", "log_every=1",
+                       f"metrics_path={metrics}",
+                       f"distill_from={tdir}", "distill_alpha=0.5",
+                       "model.num_layers=1", "model.d_model=64"]) == 0
+    lines = [json.loads(l) for l in open(metrics)]
+    assert lines and np.isfinite(lines[-1]["loss"])
+    with pytest.raises(SystemExit, match="seq_len"):
+        train_main([tok, "model=music_transformer", "steps=1",
+                    "batch_size=2", "seq_len=64",
+                    f"distill_from={tdir}", "model.num_layers=1",
+                    "model.d_model=64"])
