@@ -255,6 +255,77 @@ def bench_serve_cp(slots=32, n_req=256, prompt_len=16, seg_len=32,
     return total / dt_cb, total / dt_st, total, dt_cb, dt_st
 
 
+def bench_serve_popmag(slots=16, n_req=64, bar_len=32, max_steps=64,
+                       seg_bars=2, depth=4, seed=0):
+    """MG_BENCH_SERVE_POPMAG=1: PoPMAG melody->arrangement continuous
+    batching (decode/serving_popmag.py, production 2L/h256 model) vs
+    static generate_arrangement batches padded to each group's longest
+    melody. Unit = requested target BARS per second (each bar costs a
+    fixed max_steps-scan, so bars/s is the capacity number; the
+    continuous win comes from not decoding short requests out to the
+    group max)."""
+    import numpy as np
+
+    from musicgeneration_tpu.data import mumidi_packing as mp
+    from musicgeneration_tpu.decode.popmag_generate import (
+        generate_arrangement)
+    from musicgeneration_tpu.decode.sampling import SamplingParams
+    from musicgeneration_tpu.decode.serving_popmag import (
+        PopMAGContinuousBatcher)
+    from musicgeneration_tpu.models.popmag import PoPMAGRNN
+
+    m = PoPMAGRNN()
+    rng = np.random.RandomState(seed)
+    init0 = jnp.zeros((1, m.init_dim))
+    src0 = jnp.zeros((1, 4, bar_len, 7), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), init0, src0,
+                    jnp.ones((1, 4), jnp.int32), src0,
+                    jnp.ones((1, 4), jnp.int32))["params"]
+    n_bars = rng.randint(4, 17, size=n_req)
+    mels = [rng.randint(1, mp.EVENT_DIM,
+                        size=(int(b), bar_len, 7)).astype(np.int32)
+            for b in n_bars]
+    lens = [rng.randint(8, bar_len + 1, size=int(b)).astype(np.int32)
+            for b in n_bars]
+    total_bars = int(n_bars.sum())
+    cb = PopMAGContinuousBatcher(
+        m, params, slots=slots, seg_len=seg_bars, max_bars=16,
+        max_bar_len=bar_len, max_steps=max_steps, prompt_bucket=4,
+        depth=depth, sampling=SamplingParams(temperature=1.0),
+        rng=jax.random.PRNGKey(seed))
+    cb.warm(4)
+    t0 = time.perf_counter()
+    for mel, ln in zip(mels, lens):
+        cb.submit(mel, mel.shape[0], src_len=ln)
+    outs = cb.run()
+    dt_cb = time.perf_counter() - t0
+    assert len(outs) == n_req
+
+    # static: groups of `slots`, each padded/decoded to the group max
+    def run_static():
+        for i in range(0, n_req, slots):
+            grp = list(range(i, min(i + slots, n_req)))
+            gb = max(int(n_bars[j]) for j in grp)
+            src = np.zeros((len(grp), gb, bar_len, 7), np.int32)
+            sl = np.ones((len(grp), gb), np.int32)
+            for r, j in enumerate(grp):
+                src[r, :n_bars[j]] = mels[j]
+                sl[r, :n_bars[j]] = lens[j]
+            toks, valid = generate_arrangement(
+                m, params, jnp.zeros((len(grp), m.init_dim)),
+                jnp.asarray(src), jnp.asarray(sl),
+                jax.random.PRNGKey(i), n_target_bar=gb,
+                max_steps=max_steps, greedy=False)
+            np.asarray(toks)
+
+    run_static()   # compile per distinct group bar-count
+    t0 = time.perf_counter()
+    run_static()
+    dt_st = time.perf_counter() - t0
+    return (total_bars / dt_cb, total_bars / dt_st, total_bars, dt_cb,
+            dt_st)
+
+
 def bench_train(model, params, batch=8, seq=512) -> float:
     """Fused train step throughput (steps/sec) on the flagship model."""
     import numpy as np
@@ -456,6 +527,15 @@ def main():
                   f"({dt_cb:.2f}s vs {dt_st:.2f}s)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# serve-cp bench skipped: {e}", file=sys.stderr)
+    if os.environ.get("MG_BENCH_SERVE_POPMAG"):
+        try:
+            cbr, str_, total, dt_cb, dt_st = bench_serve_popmag()
+            print(f"# serve-popmag: continuous {cbr:.0f} bars/s goodput "
+                  f"vs static-padded {str_:.0f} ({cbr / str_:.2f}x); "
+                  f"{total} bars, 64 reqs, 16 slots seg2 "
+                  f"({dt_cb:.2f}s vs {dt_st:.2f}s)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# serve-popmag bench skipped: {e}", file=sys.stderr)
     if os.environ.get("MG_BENCH_MFU"):
         try:
             bench_mfu()

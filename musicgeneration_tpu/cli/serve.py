@@ -108,6 +108,11 @@ def main(argv=None) -> int:
                    help="per-slot control window (performance_rnn)")
     p.add_argument("--seg-bars", type=int, default=2,
                    help="bars per dispatched segment (popmag)")
+    p.add_argument("--boost", type=int, default=4,
+                   help="RNN engines: fuse up to this many segments "
+                        "into one launch when the queue is empty and "
+                        "every active request has that much left "
+                        "(amortizes dispatch/fetch RTT; 1 disables)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--topk", type=int, default=0)
     p.add_argument("--topp", type=float, default=1.0)
@@ -273,7 +278,7 @@ def main(argv=None) -> int:
             return RNNContinuousBatcher(
                 model, params, slots=args.slots, sampling=sampling,
                 seg_len=args.seg_len, depth=args.depth,
-                ctrl_window=args.ctrl_window,
+                ctrl_window=args.ctrl_window, boost=args.boost,
                 per_row_sampling=per_row, on_finalize=on_finalize,
                 rng=jax.random.PRNGKey(args.seed))
         if is_cp:

@@ -92,6 +92,7 @@ class SlotScheduler:
         self._min_b = min(min_slots, slots)
         self.sp = sampling
         self.seg_len = seg_len
+        self._last_seg = seg_len      # steps of the segment in flight
         self.prompt_bucket = prompt_bucket
         # segments in flight before the host waits for tokens. Count-
         # retired requests (no eos) schedule without reading the device,
@@ -501,12 +502,18 @@ class SlotScheduler:
         else:
             toks = np.asarray(toks)
         occ = [(i, s.rid) for i, s in enumerate(self.slots) if s.active]
+        # engines may dispatch a LONGER segment than seg_len (the RNN
+        # engine's boost mode fuses several segments into one launch to
+        # amortize per-segment dispatch/fetch RTT); _segment() records
+        # the actual step count in _last_seg
+        seg = self._last_seg
+        self._last_seg = self.seg_len
         self._n_segments += 1
-        self._n_slot_steps += self.b * self.seg_len
-        self._n_active_slot_steps += len(occ) * self.seg_len
+        self._n_slot_steps += self.b * seg
+        self._n_active_slot_steps += len(occ) * seg
         for i, s in enumerate(self.slots):
             if s.active:
-                s.scheduled += self.seg_len
+                s.scheduled += seg
                 if s.eos_id is None and s.scheduled >= s.max_new:
                     s.rid, s.active = -1, False   # count retirement
                     self._park_slot(i)

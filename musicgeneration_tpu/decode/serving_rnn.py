@@ -213,6 +213,7 @@ class RNNContinuousBatcher(SlotScheduler):
                  seg_len: int = 32, prompt_bucket: int = 32,
                  depth: int = 4, min_slots: int = 8,
                  per_row_sampling: bool = False, ctrl_window: int = 256,
+                 boost: int = 1,
                  on_finalize: Optional[Callable] = None,
                  rng: Optional[jax.Array] = None):
         super().__init__(
@@ -222,6 +223,18 @@ class RNNContinuousBatcher(SlotScheduler):
             rng=rng, pad_id=0)
         self.model = model
         self.params = params
+        # boost>1: when the queue is empty, every active slot is
+        # eos-free, and all of them have >= boost*seg_len steps left,
+        # dispatch ONE boost*seg_len-step program instead of `boost`
+        # seg_len ones. The GRU step is so cheap on the tunneled TPU
+        # that per-segment dispatch+fetch RTT dominates (BASELINE.md
+        # round-4 RNN serving rows); fusing launches amortizes it with
+        # zero token-stream change (the scan is the same ops, longer).
+        # Exactly two compiled segment programs per pool width (seg and
+        # boost*seg); warm() precompiles both.
+        if boost < 1:
+            raise ValueError(f"boost must be >= 1, got {boost}")
+        self.boost = boost
         self.init_dim = getattr(model, "init_dim", None)
         self.ctrl_dim = getattr(model, "control_dim", None)
         self.ctrl_window = ctrl_window
@@ -275,6 +288,19 @@ class RNNContinuousBatcher(SlotScheduler):
             self.cache, self.tok, self.n, self.ctrl_buf, self.dflt,
             jnp.asarray(idx, jnp.int32))
 
+    def _boosted_seg(self) -> int:
+        """seg_len, or boost*seg_len when every active slot is eos-free
+        with at least that many steps remaining and nothing is queued
+        (a longer segment must not delay admission or eos retirement)."""
+        if self.boost <= 1 or self.pending:
+            return self.seg_len
+        big = self.boost * self.seg_len
+        for s in self.slots:
+            if s.active and (s.eos_id is not None
+                             or s.max_new - s.scheduled < big):
+                return self.seg_len
+        return big
+
     def _segment(self):
         samp = None
         if self.per_row:
@@ -282,12 +308,31 @@ class RNNContinuousBatcher(SlotScheduler):
                 self._samp_dev = jnp.asarray(self._samp_host)
                 self._samp_dirty = False
             samp = self._samp_dev
+        seg = self._boosted_seg()
+        self._last_seg = seg
         out = _run_segment_rnn(
             self.model, self.params, self.cache, self.tok, self.n,
-            self.ctrl_buf, self.dflt, samp, self.rng, self.seg_len,
+            self.ctrl_buf, self.dflt, samp, self.rng, seg,
             self.sp)
         self.cache, self.tok, self.n, self.rng, toks = out
         return toks
+
+    def _warm_after_drain(self) -> None:
+        """Precompile the boost-length segment program for this width
+        (the boost condition never holds during warm()'s tiny probe)."""
+        if self.boost > 1:
+            samp = None
+            if self.per_row:
+                if self._samp_dirty:
+                    self._samp_dev = jnp.asarray(self._samp_host)
+                    self._samp_dirty = False
+                samp = self._samp_dev
+            out = _run_segment_rnn(
+                self.model, self.params, self.cache, self.tok, self.n,
+                self.ctrl_buf, self.dflt, samp, self.rng,
+                self.boost * self.seg_len, self.sp)
+            self.cache, self.tok, self.n, self.rng, toks = out
+            np.asarray(toks)   # free slots only: garbage, discarded
 
     def _try_admit(self):
         """Move pending requests into free slots (FIFO). No clock, no

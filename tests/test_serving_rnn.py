@@ -353,3 +353,41 @@ def test_rnn_serving_fuzz_parity():
         np.testing.assert_array_equal(
             outs[rid], ref,
             err_msg=f"rid={rid} p={p.size} mn={mn} eos={eos}")
+
+
+def test_rnn_serving_boost_greedy_parity():
+    """boost=4: long eos-free requests decode through fused
+    4*seg_len-step launches once the queue drains; greedy outputs are
+    token-identical to the boost=1 pool and to dedicated generate runs
+    (the boosted scan is the same op stream, just fewer dispatches)."""
+    m, params = _event_model()
+    reqs = _requests(21, 4, max_p=10, max_new=90, init_dim=m.init_dim)
+    outs = {}
+    segs = {}
+    for boost in (1, 4):
+        cb = RNNContinuousBatcher(m, params, slots=2, seg_len=8,
+                                  prompt_bucket=8, min_slots=2,
+                                  boost=boost, sampling=GREEDY)
+        cb.warm()
+        rids = [cb.submit(p, mn, init=z) for p, mn, z in reqs]
+        res = cb.run()
+        outs[boost] = {i: res[rid] for i, rid in enumerate(rids)}
+        segs[boost] = cb.stats()["segments"]
+    assert segs[4] < segs[1]          # boost actually fused launches
+    for i, (p, mn, z) in enumerate(reqs):
+        np.testing.assert_array_equal(outs[1][i], outs[4][i])
+        np.testing.assert_array_equal(
+            outs[4][i], _reference(m, params, p, mn, init=z))
+
+
+def test_rnn_serving_boost_defers_to_eos_and_queue():
+    """An eos-bearing or queued request pins dispatches back to
+    seg_len (boost must not delay retirement or admission)."""
+    m, params = _event_model()
+    cb = RNNContinuousBatcher(m, params, slots=1, seg_len=8,
+                              prompt_bucket=8, min_slots=1, boost=4,
+                              sampling=GREEDY)
+    p = np.asarray([3, 5, 7], np.int32)
+    cb.submit(p, 64, eos_id=EDIM + 5)   # unreachable eos, but set
+    cb.run()
+    assert cb.stats()["slot_steps"] == cb.stats()["segments"] * 8
