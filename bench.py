@@ -16,6 +16,7 @@ steps/sec and tokenizer files/sec.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -156,7 +157,7 @@ def bench_serve(model, params, slots=32, n_req=256, prompt_len=64,
 
 
 def bench_serve_rnn(slots=64, n_req=256, prompt_len=16, seg_len=64,
-                    depth=4, seed=0):
+                    depth=4, seed=0, boost=None):
     """MG_BENCH_SERVE_RNN=1: RNN-family continuous batching
     (decode/serving_rnn.py) on the reference EventMelodyRNN config
     (308/512/3, bf16) vs the static-512 batch server. The RNN static
@@ -179,8 +180,10 @@ def bench_serve_rnn(slots=64, n_req=256, prompt_len=16, seg_len=64,
                           size=(n_req, prompt_len)).astype(np.int32)
     inits = rng.randn(n_req, m.init_dim).astype(np.float32)
     total = int(lens.sum())
+    if boost is None:
+        boost = int(os.environ.get("MG_BENCH_RNN_BOOST", "4"))
     cb = RNNContinuousBatcher(m, params, slots=slots, seg_len=seg_len,
-                              depth=depth, sampling=sp,
+                              depth=depth, sampling=sp, boost=boost,
                               prompt_bucket=prompt_len,
                               rng=jax.random.PRNGKey(seed))
     cb.warm(prompt_len, widths=True)
@@ -514,7 +517,8 @@ def main():
             cbr, str_, total, dt_cb, dt_st = bench_serve_rnn()
             print(f"# serve-rnn: continuous {cbr:.0f} tok/s goodput vs "
                   f"static-512 {str_:.0f} ({cbr / str_:.2f}x); {total} "
-                  f"tokens, 256 reqs, 64 slots seg64 "
+                  f"tokens, 256 reqs, 64 slots seg64 boost"
+                  f"{os.environ.get('MG_BENCH_RNN_BOOST', '4')} "
                   f"({dt_cb:.2f}s vs {dt_st:.2f}s)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# serve-rnn bench skipped: {e}", file=sys.stderr)
