@@ -181,7 +181,7 @@ def bench_serve_rnn(slots=64, n_req=256, prompt_len=16, seg_len=64,
     inits = rng.randn(n_req, m.init_dim).astype(np.float32)
     total = int(lens.sum())
     if boost is None:
-        boost = int(os.environ.get("MG_BENCH_RNN_BOOST", "4"))
+        boost = int(os.environ.get("MG_BENCH_RNN_BOOST", "8"))
     cb = RNNContinuousBatcher(m, params, slots=slots, seg_len=seg_len,
                               depth=depth, sampling=sp, boost=boost,
                               prompt_bucket=prompt_len,
@@ -518,7 +518,7 @@ def main():
             print(f"# serve-rnn: continuous {cbr:.0f} tok/s goodput vs "
                   f"static-512 {str_:.0f} ({cbr / str_:.2f}x); {total} "
                   f"tokens, 256 reqs, 64 slots seg64 boost"
-                  f"{os.environ.get('MG_BENCH_RNN_BOOST', '4')} "
+                  f"{os.environ.get('MG_BENCH_RNN_BOOST', '8')} "
                   f"({dt_cb:.2f}s vs {dt_st:.2f}s)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# serve-rnn bench skipped: {e}", file=sys.stderr)

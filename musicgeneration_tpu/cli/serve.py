@@ -108,7 +108,7 @@ def main(argv=None) -> int:
                    help="per-slot control window (performance_rnn)")
     p.add_argument("--seg-bars", type=int, default=2,
                    help="bars per dispatched segment (popmag)")
-    p.add_argument("--boost", type=int, default=4,
+    p.add_argument("--boost", type=int, default=8,
                    help="RNN engines: fuse up to this many segments "
                         "into one launch when the queue is empty and "
                         "every active request has that much left "

@@ -270,8 +270,16 @@ def _kernel(q_ref, k_ref, v_ref, e_ref, pad_ref, out_ref, lse_ref, *,
                                        prescaled=prescale)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p_ij = jnp.exp(logits - m_new)
-        l_new = l * alpha + jnp.sum(p_ij, axis=-1, keepdims=True)
+        if os.environ.get("MG_ATTN_EXP_BF16") == "1":
+            # A/B knob (trace-time): run the big [BQ, BK] exp in bf16
+            # (packed VPU lanes) — NOT exact; perf probe for the
+            # production-shape MFU study only
+            p_ij = jnp.exp((logits - m_new).astype(jnp.bfloat16))
+            l_new = l * alpha + jnp.sum(
+                p_ij.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            p_ij = jnp.exp(logits - m_new)
+            l_new = l * alpha + jnp.sum(p_ij, axis=-1, keepdims=True)
         # weights drop to the value dtype for the PV matmul — the same
         # precision choice as the XLA path (relative_global_attention)
         acc_new = acc * alpha + jax.lax.dot_general(
