@@ -291,10 +291,12 @@ def bench_serve_popmag(slots=16, n_req=64, bar_len=32, max_steps=64,
     lens = [rng.randint(8, bar_len + 1, size=int(b)).astype(np.int32)
             for b in n_bars]
     total_bars = int(n_bars.sum())
+    boost = int(os.environ.get("MG_BENCH_POPMAG_BOOST", "4"))
     cb = PopMAGContinuousBatcher(
         m, params, slots=slots, seg_len=seg_bars, max_bars=16,
         max_bar_len=bar_len, max_steps=max_steps, prompt_bucket=4,
-        depth=depth, sampling=SamplingParams(temperature=1.0),
+        depth=depth, boost=boost,
+        sampling=SamplingParams(temperature=1.0),
         rng=jax.random.PRNGKey(seed))
     cb.warm(4)
     t0 = time.perf_counter()

@@ -271,7 +271,7 @@ def main(argv=None) -> int:
                 model, params, slots=args.slots, sampling=sampling,
                 seg_len=args.seg_bars, max_bars=cfg.max_bars,
                 max_bar_len=cfg.max_bar_len, depth=args.depth,
-                prompt_bucket=min(8, cfg.max_bars),
+                boost=args.boost, prompt_bucket=min(8, cfg.max_bars),
                 on_finalize=on_finalize,
                 rng=jax.random.PRNGKey(args.seed))
         if is_rnn:

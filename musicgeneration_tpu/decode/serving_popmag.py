@@ -136,7 +136,7 @@ class PopMAGContinuousBatcher(SlotScheduler):
                  seg_len: int = 2, max_bars: int = 32,
                  max_bar_len: int = 96, max_steps: int = 200,
                  prompt_bucket: int = 8, depth: int = 4,
-                 min_slots: int = 8,
+                 min_slots: int = 8, boost: int = 4,
                  on_finalize: Optional[Callable] = None,
                  rng: Optional[jax.Array] = None):
         if sampling.top_k or sampling.top_p < 1.0:
@@ -158,6 +158,15 @@ class PopMAGContinuousBatcher(SlotScheduler):
         self.max_bars = max_bars
         self.max_bar_len = max_bar_len
         self.max_steps = max_steps
+        # boost: bars fused into one launch when the queue is empty and
+        # every active slot has at least that many bars left (popmag
+        # requests are always count-retired, so this is pure
+        # dispatch/fetch-RTT amortization — the serving_rnn.py boost
+        # with the eos condition dropped). Two programs: seg and
+        # boost*seg; warm() precompiles both.
+        if boost < 1:
+            raise ValueError(f"boost must be >= 1, got {boost}")
+        self.boost = boost
         L, H = model.num_layers, model.hidden_dim
         self.hidden = jnp.zeros((L, slots, H), jnp.float32)
         self.src = jnp.zeros((slots, max_bars, max_bar_len, 7),
@@ -239,12 +248,32 @@ class PopMAGContinuousBatcher(SlotScheduler):
             self.hidden, self.src, self.src_len, self.k,
             jnp.asarray(idx, jnp.int32))
 
+    def _boosted_seg(self) -> int:
+        if self.boost <= 1 or self.pending:
+            return self.seg_len
+        big = self.boost * self.seg_len
+        for s in self.slots:
+            if s.active and s.max_new - s.scheduled < big:
+                return self.seg_len
+        return big
+
     def _segment(self):
+        seg = self._boosted_seg()
+        self._last_seg = seg
         self.hidden, self.k, self.rng, out = _run_segment_popmag(
             self.model, self.params, self.hidden, self.src,
             self.src_len, self.k, self.rng, self._temp_dev,
-            self.seg_len, self.max_steps, self.sp.greedy)
+            seg, self.max_steps, self.sp.greedy)
         return out
+
+    def _warm_after_drain(self) -> None:
+        if self.boost > 1:
+            self.hidden, self.k, self.rng, out = _run_segment_popmag(
+                self.model, self.params, self.hidden, self.src,
+                self.src_len, self.k, self.rng, self._temp_dev,
+                self.boost * self.seg_len, self.max_steps,
+                self.sp.greedy)
+            np.asarray(out)   # free slots only: garbage, discarded
 
     def _try_admit(self):
         free = self._free_slots()

@@ -86,7 +86,8 @@ def test_greedy_parity_full_pool(setup):
     for rid, ref in zip(rids, refs):
         np.testing.assert_array_equal(outs[rid], ref)
     st = cb.stats()
-    assert st["segments"] >= n_bars and st["admitted"] == 2
+    # boost may fuse several bars per dispatch; slot-steps count bars
+    assert st["slot_steps"] >= n_bars and st["admitted"] == 2
 
 
 def test_seg_len_and_overcommit_equivalence(setup):
@@ -146,7 +147,7 @@ def test_warm_and_cancel(setup):
     cb = _mk_cb(model, params, batch, slots=2)
     cb.warm()
     assert not cb.pending and not any(s.active for s in cb.slots)
-    rid = cb.submit(batch.src[0], 4, src_len=batch.src_len[0])
+    rid = cb.submit(batch.src[0], 12, src_len=batch.src_len[0])
     cb.step()
     assert cb.cancel(rid)
     outs = cb.run()
