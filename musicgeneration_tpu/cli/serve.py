@@ -82,6 +82,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -271,7 +272,11 @@ def main(argv=None) -> int:
                 model, params, slots=args.slots, sampling=sampling,
                 seg_len=args.seg_bars, max_bars=cfg.max_bars,
                 max_bar_len=cfg.max_bar_len, depth=args.depth,
-                boost=args.boost, prompt_bucket=min(8, cfg.max_bars),
+                boost=args.boost,
+                # a bucket that always divides max_bars (melody buffers
+                # are max_bars wide; a non-divisor bucket could round a
+                # prompt past them)
+                prompt_bucket=math.gcd(8, cfg.max_bars),
                 on_finalize=on_finalize,
                 rng=jax.random.PRNGKey(args.seed))
         if is_rnn:
@@ -461,13 +466,16 @@ def _serve_http(scheme, build_cb, parse_request, args) -> int:
                     (head + f"data: {json.dumps(obj)}\n\n").encode())
                 self.wfile.flush()
 
-            deadline = time.monotonic() + args.http_timeout
+            # IDLE timeout: the clock resets on every delivered
+            # event — a long generation that is actively streaming
+            # must not be cut mid-flight; only a stall of
+            # --http-timeout with no progress errors out
             try:
                 while True:
                     try:
-                        kind, payload = q.get(
-                            timeout=max(0.0, deadline - time.monotonic()))
+                        kind, payload = q.get(timeout=args.http_timeout)
                     except queue.Empty:
+                        holder["gone"] = True   # stop engine pushes
                         emit("error", {"error": "generation timed out"})
                         return
                     if kind == "tok":

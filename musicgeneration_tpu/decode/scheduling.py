@@ -93,6 +93,7 @@ class SlotScheduler:
         self.sp = sampling
         self.seg_len = seg_len
         self._last_seg = seg_len      # steps of the segment in flight
+        self.boost = 1                # engines may raise (see _boosted_seg)
         self.prompt_bucket = prompt_bucket
         # segments in flight before the host waits for tokens. Count-
         # retired requests (no eos) schedule without reading the device,
@@ -185,6 +186,28 @@ class SlotScheduler:
         """Room check / device-state refresh before a dispatch. Return
         ``_BLOCKED`` to defer until an in-flight segment is collected."""
         return None
+
+    def _boosted_seg(self) -> int:
+        """The step count an engine with ``self.boost > 1`` should
+        dispatch: ``boost*seg_len`` when the queue is empty and every
+        active slot is eos-free with at least that many steps left
+        (a longer launch must never delay admission or eos
+        retirement), else ``seg_len``. An all-free pool (warm()'s
+        widths probe) also returns ``seg_len`` so warm compiles the
+        BASE program per width — the boosted variant is the engine's
+        ``_warm_after_drain`` job. The engine records the chosen
+        length in ``_last_seg`` before launching."""
+        if self.boost <= 1 or self.pending:
+            return self.seg_len
+        big = self.boost * self.seg_len
+        any_active = False
+        for s in self.slots:
+            if s.active:
+                any_active = True
+                if (s.eos_id is not None
+                        or s.max_new - s.scheduled < big):
+                    return self.seg_len
+        return big if any_active else self.seg_len
 
     def _warm_after_drain(self) -> None:
         """Extra compiles after the warm request drains (per width)."""

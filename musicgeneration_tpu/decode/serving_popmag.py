@@ -248,15 +248,6 @@ class PopMAGContinuousBatcher(SlotScheduler):
             self.hidden, self.src, self.src_len, self.k,
             jnp.asarray(idx, jnp.int32))
 
-    def _boosted_seg(self) -> int:
-        if self.boost <= 1 or self.pending:
-            return self.seg_len
-        big = self.boost * self.seg_len
-        for s in self.slots:
-            if s.active and s.max_new - s.scheduled < big:
-                return self.seg_len
-        return big
-
     def _segment(self):
         seg = self._boosted_seg()
         self._last_seg = seg

@@ -288,19 +288,6 @@ class RNNContinuousBatcher(SlotScheduler):
             self.cache, self.tok, self.n, self.ctrl_buf, self.dflt,
             jnp.asarray(idx, jnp.int32))
 
-    def _boosted_seg(self) -> int:
-        """seg_len, or boost*seg_len when every active slot is eos-free
-        with at least that many steps remaining and nothing is queued
-        (a longer segment must not delay admission or eos retirement)."""
-        if self.boost <= 1 or self.pending:
-            return self.seg_len
-        big = self.boost * self.seg_len
-        for s in self.slots:
-            if s.active and (s.eos_id is not None
-                             or s.max_new - s.scheduled < big):
-                return self.seg_len
-        return big
-
     def _segment(self):
         samp = None
         if self.per_row:

@@ -391,3 +391,23 @@ def test_rnn_serving_boost_defers_to_eos_and_queue():
     cb.submit(p, 64, eos_id=EDIM + 5)   # unreachable eos, but set
     cb.run()
     assert cb.stats()["slot_steps"] == cb.stats()["segments"] * 8
+
+
+def test_boosted_seg_base_cases():
+    """_boosted_seg returns the BASE seg_len on an all-free pool (so
+    warm(widths=True)'s probe compiles the plain program per width —
+    the boosted variant is _warm_after_drain's job) and with requests
+    queued; the boosted length only with active eos-free slots that
+    all have >= boost*seg_len steps left."""
+    m, params = _event_model()
+    cb = RNNContinuousBatcher(m, params, slots=2, seg_len=8,
+                              prompt_bucket=8, min_slots=2, boost=4,
+                              sampling=GREEDY)
+    assert cb._boosted_seg() == 8            # all free (warm probe)
+    r = cb.submit(np.asarray([3, 5], np.int32), 100)
+    assert cb._boosted_seg() == 8            # queued, not yet admitted
+    cb._try_admit()
+    assert cb._boosted_seg() == 32           # active, 100 >= 32 left
+    cb.submit(np.asarray([4], np.int32), 8)
+    assert cb._boosted_seg() == 8            # queue non-empty again
+    cb.run()
