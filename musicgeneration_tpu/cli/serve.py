@@ -280,6 +280,14 @@ def main(argv=None) -> int:
                 on_finalize=on_finalize,
                 rng=jax.random.PRNGKey(args.seed))
         if is_rnn:
+            if args.slots > 64:
+                # measured guidance (BASELINE.md RNN serving rows): the
+                # GRU step is cheap enough that wide pools pay more in
+                # dispatch than they save in occupancy on this backend
+                print(f"note: RNN serving measured best at <= 64 slots "
+                      f"(boost {args.boost}); {args.slots} slots ran "
+                      "0.86-0.93x the static server in benchmarks",
+                      file=sys.stderr)
             return RNNContinuousBatcher(
                 model, params, slots=args.slots, sampling=sampling,
                 seg_len=args.seg_len, depth=args.depth,
