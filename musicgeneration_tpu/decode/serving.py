@@ -233,6 +233,7 @@ class ContinuousBatcher(SlotScheduler):
                  seg_len: int = 32, cache_len: Optional[int] = None,
                  prompt_bucket: int = 64, depth: int = 4,
                  min_slots: int = 8, per_row_sampling: bool = False,
+                 boost: int = 1,
                  on_finalize: Optional[Callable] = None,
                  rng: Optional[jax.Array] = None):
         super().__init__(
@@ -242,6 +243,16 @@ class ContinuousBatcher(SlotScheduler):
             rng=rng, pad_id=getattr(model, "pad_id", 0))
         self.model = model
         self.params = params
+        # boost: multi-segment fused dispatch (scheduling.py
+        # _boosted_seg; additionally pinned by sliding slots and cache
+        # headroom in _pre_segment). Off by default pending a hardware
+        # win: the transformer segment is compute-heavy enough that the
+        # dispatch tax it amortizes is a smaller fraction than in the
+        # RNN engine, where boost=8 is the measured winner.
+        if boost < 1:
+            raise ValueError(f"boost must be >= 1, got {boost}")
+        self.boost = boost
+        self._next_seg = seg_len
         max_seq = getattr(model, "max_seq", 2048)
         self.cache_len = align_cache_len(
             model, min(cache_len or max_seq, max_seq))
@@ -347,13 +358,45 @@ class ContinuousBatcher(SlotScheduler):
         # without this the first cache wrap pays the compile mid-serve
         self.cache, self.start = _compact(self.cache, self.start,
                                           jnp.int32(0))
+        big = self.boost * self.seg_len
+        if self.boost > 1 and self.t + big <= self.cache_len:
+            # compile the boosted segment program for this width on
+            # COPIES (the program donates cache+rng; the live state
+            # must survive the throwaway run)
+            cache_copy = jax.tree.map(jnp.copy, self.cache)
+            if self.per_row:
+                if self._samp_dirty:
+                    self._samp_dev = jnp.asarray(self._samp_host)
+                    self._samp_dirty = False
+                out = _run_segment_perrow(
+                    self.model, self.params, cache_copy, self.tok,
+                    self.start, self._samp_dev, self._t_device(),
+                    jax.random.PRNGKey(0), big)
+            else:
+                out = _run_segment(
+                    self.model, self.params, cache_copy, self.tok,
+                    self.start, self._t_device(), jax.random.PRNGKey(0),
+                    big, self.sp)
+            np.asarray(out[-1])
 
     def _pre_segment(self):
         if self._maybe_reprime() is _BLOCKED:
             return _BLOCKED
-        self._maybe_compact(self.seg_len)
-        if self.t + self.seg_len > self.cache_len:
+        # boost (scheduling.py _boosted_seg): fuse boost*seg_len steps
+        # into one launch when the queue/eos/remaining conditions allow;
+        # additionally pinned here by sliding slots (re-prime points are
+        # scheduled at base-seg lookahead) and by KV-cache headroom
+        seg = self._boosted_seg()
+        if seg > self.seg_len and any(
+                s.active and s.window for s in self.slots):
+            seg = self.seg_len
+        self._maybe_compact(seg)
+        if self.t + seg > self.cache_len and seg > self.seg_len:
+            seg = self.seg_len
+            self._maybe_compact(seg)
+        if self.t + seg > self.cache_len:
             return _BLOCKED
+        self._next_seg = seg
         if self._start_dirty:
             # drain tail: retirements parked slots in the mirror with no
             # admission to carry the refresh — ship the vector so the
@@ -467,7 +510,10 @@ class ContinuousBatcher(SlotScheduler):
     def _segment(self):
         """Launch one compiled segment on the mode's program (uniform
         static params vs per-row packed rows) and advance the mirrors.
-        Returns the [seg, B] token futures."""
+        Returns the [seg, B] token futures. The step count is
+        _pre_segment's choice (seg_len, or the boosted length)."""
+        seg = self._next_seg
+        self._last_seg = seg
         if self.per_row:
             if self._samp_dirty:
                 self._samp_dev = jnp.asarray(self._samp_host)
@@ -475,14 +521,14 @@ class ContinuousBatcher(SlotScheduler):
             out = _run_segment_perrow(
                 self.model, self.params, self.cache, self.tok,
                 self.start, self._samp_dev, self._t_device(), self.rng,
-                self.seg_len)
+                seg)
         else:
             out = _run_segment(
                 self.model, self.params, self.cache, self.tok,
-                self.start, self._t_device(), self.rng, self.seg_len,
+                self.start, self._t_device(), self.rng, seg,
                 self.sp)
         self.cache, self.tok, self._t_dev, self.rng, toks = out
-        self.t += self.seg_len
+        self.t += seg
         return toks
 
     def _try_admit(self):

@@ -475,3 +475,29 @@ def test_warm_refuses_live_traffic():
     cb.submit(np.asarray([1, 2, 3], np.int32), 8)
     with pytest.raises(RuntimeError, match="warm"):
         cb.warm()
+
+
+def test_transformer_boost_greedy_parity():
+    """boost=4 on the KV-cache engine: once the queue drains, eos-free
+    requests decode through fused 4*seg_len-step launches; greedy
+    outputs are token-identical to the boost=1 pool (same op stream,
+    same clock/compaction path, fewer dispatches). Sliding or
+    eos-bearing slots and cache headroom pin dispatch back to
+    seg_len (scheduling.py _boosted_seg + serving.py _pre_segment)."""
+    m, params = _model("fused")
+    reqs = _requests(31, 4, max_p=12, max_new=120)
+    outs, segs = {}, {}
+    for boost in (1, 4):
+        cb = ContinuousBatcher(m, params, slots=2, seg_len=8,
+                               min_slots=2, boost=boost,
+                               sampling=GREEDY)
+        cb.warm()
+        rids = [cb.submit(p, mn) for p, mn in reqs]
+        res = cb.run()
+        outs[boost] = {i: res[rid] for i, rid in enumerate(rids)}
+        segs[boost] = cb.stats()["segments"]
+    assert segs[4] < segs[1]
+    for i, (p, mn) in enumerate(reqs):
+        np.testing.assert_array_equal(outs[1][i], outs[4][i])
+        _assert_greedy_match(m, params, p, outs[4][i],
+                             _reference(m, params, p, mn))
