@@ -298,7 +298,7 @@ def bench_serve_popmag(slots=16, n_req=64, bar_len=32, max_steps=64,
         depth=depth, boost=boost,
         sampling=SamplingParams(temperature=1.0),
         rng=jax.random.PRNGKey(seed))
-    cb.warm(4)
+    cb.warm(4, widths=True)
     t0 = time.perf_counter()
     for mel, ln in zip(mels, lens):
         cb.submit(mel, mel.shape[0], src_len=ln)

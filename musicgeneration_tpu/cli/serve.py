@@ -109,11 +109,14 @@ def main(argv=None) -> int:
                    help="per-slot control window (performance_rnn)")
     p.add_argument("--seg-bars", type=int, default=2,
                    help="bars per dispatched segment (popmag)")
-    p.add_argument("--boost", type=int, default=8,
-                   help="RNN engines: fuse up to this many segments "
-                        "into one launch when the queue is empty and "
-                        "every active request has that much left "
-                        "(amortizes dispatch/fetch RTT; 1 disables)")
+    p.add_argument("--boost", type=int, default=None,
+                   help="fuse up to this many segments into one launch "
+                        "when the queue is empty and every active "
+                        "request has that much left (amortizes "
+                        "dispatch/fetch RTT; 1 disables). Per-engine "
+                        "defaults: RNN 8 (the measured winner at <= 64 "
+                        "slots), popmag 4, transformer 1 (measured "
+                        "neutral); CP rows don't support it")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--topk", type=int, default=0)
     p.add_argument("--topp", type=float, default=1.0)
@@ -272,7 +275,7 @@ def main(argv=None) -> int:
                 model, params, slots=args.slots, sampling=sampling,
                 seg_len=args.seg_bars, max_bars=cfg.max_bars,
                 max_bar_len=cfg.max_bar_len, depth=args.depth,
-                boost=args.boost,
+                boost=args.boost if args.boost is not None else 4,
                 # a bucket that always divides max_bars (melody buffers
                 # are max_bars wide; a non-divisor bucket could round a
                 # prompt past them)
@@ -284,17 +287,21 @@ def main(argv=None) -> int:
                 # measured guidance (BASELINE.md RNN serving rows): the
                 # GRU step is cheap enough that wide pools pay more in
                 # dispatch than they save in occupancy on this backend
-                print(f"note: RNN serving measured best at <= 64 slots "
-                      f"(boost {args.boost}); {args.slots} slots ran "
+                print(f"note: RNN serving measured best at <= 64 slots; "
+                      f"{args.slots} slots ran "
                       "0.86-0.93x the static server in benchmarks",
                       file=sys.stderr)
             return RNNContinuousBatcher(
                 model, params, slots=args.slots, sampling=sampling,
                 seg_len=args.seg_len, depth=args.depth,
-                ctrl_window=args.ctrl_window, boost=args.boost,
+                ctrl_window=args.ctrl_window,
+                boost=args.boost if args.boost is not None else 8,
                 per_row_sampling=per_row, on_finalize=on_finalize,
                 rng=jax.random.PRNGKey(args.seed))
         if is_cp:
+            if args.boost and args.boost > 1:
+                print("note: --boost is not supported for compound-word "
+                      "rows; ignored", file=sys.stderr)
             return CPContinuousBatcher(
                 model, params, slots=args.slots, sampling=sampling,
                 seg_len=args.seg_len, cache_len=args.cache_len,
@@ -304,6 +311,7 @@ def main(argv=None) -> int:
             model, params, slots=args.slots, sampling=sampling,
             seg_len=args.seg_len, cache_len=args.cache_len,
             depth=args.depth, per_row_sampling=per_row,
+            boost=args.boost if args.boost is not None else 1,
             on_finalize=on_finalize,
             rng=jax.random.PRNGKey(args.seed))
 

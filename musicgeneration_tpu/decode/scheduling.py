@@ -82,7 +82,10 @@ class SlotScheduler:
                  seg_len: int, prompt_bucket: int, depth: int,
                  min_slots: int, per_row_sampling: bool,
                  on_finalize: Optional[Callable],
-                 rng: Optional[jax.Array], pad_id: int):
+                 rng: Optional[jax.Array], pad_id: int,
+                 boost: int = 1):
+        if boost < 1:
+            raise ValueError(f"boost must be >= 1, got {boost}")
         self.b = slots
         # drain-tail pool shrinking: with the queue empty the pool
         # halves (down to min_slots) once active requests fit — per-step
@@ -93,7 +96,8 @@ class SlotScheduler:
         self.sp = sampling
         self.seg_len = seg_len
         self._last_seg = seg_len      # steps of the segment in flight
-        self.boost = 1                # engines may raise (see _boosted_seg)
+        self.boost = boost            # multi-segment fused dispatch
+                                      # (see _boosted_seg)
         self.prompt_bucket = prompt_bucket
         # segments in flight before the host waits for tokens. Count-
         # retired requests (no eos) schedule without reading the device,

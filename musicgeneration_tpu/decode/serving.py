@@ -236,22 +236,19 @@ class ContinuousBatcher(SlotScheduler):
                  boost: int = 1,
                  on_finalize: Optional[Callable] = None,
                  rng: Optional[jax.Array] = None):
+        # boost: multi-segment fused dispatch (scheduling.py
+        # _boosted_seg; additionally pinned by sliding slots and cache
+        # headroom in _pre_segment). Off by default — measured NEUTRAL
+        # on hardware for this engine (the segment is compute-heavy
+        # enough that dispatch amortization doesn't move goodput;
+        # BASELINE.md); boost=8 is the RNN engine's winner.
         super().__init__(
             slots=slots, sampling=sampling, seg_len=seg_len,
             prompt_bucket=prompt_bucket, depth=depth, min_slots=min_slots,
             per_row_sampling=per_row_sampling, on_finalize=on_finalize,
-            rng=rng, pad_id=getattr(model, "pad_id", 0))
+            rng=rng, pad_id=getattr(model, "pad_id", 0), boost=boost)
         self.model = model
         self.params = params
-        # boost: multi-segment fused dispatch (scheduling.py
-        # _boosted_seg; additionally pinned by sliding slots and cache
-        # headroom in _pre_segment). Off by default pending a hardware
-        # win: the transformer segment is compute-heavy enough that the
-        # dispatch tax it amortizes is a smaller fraction than in the
-        # RNN engine, where boost=8 is the measured winner.
-        if boost < 1:
-            raise ValueError(f"boost must be >= 1, got {boost}")
-        self.boost = boost
         self._next_seg = seg_len
         max_seq = getattr(model, "max_seq", 2048)
         self.cache_len = align_cache_len(
@@ -259,6 +256,11 @@ class ContinuousBatcher(SlotScheduler):
         if self.cache_len <= seg_len:
             raise ValueError(f"cache_len {self.cache_len} must exceed "
                              f"seg_len {seg_len}")
+        if boost > 1 and boost * seg_len >= self.cache_len:
+            raise ValueError(
+                f"boost*seg_len ({boost * seg_len}) must fit under "
+                f"cache_len ({self.cache_len}) or boost can never "
+                "engage — lower boost/seg_len or raise cache_len")
         self.cache = model.apply({"params": params}, slots,
                                  self.cache_len, method=model.init_cache)
         self.t = 0                      # host mirror of the clock
@@ -363,20 +365,8 @@ class ContinuousBatcher(SlotScheduler):
             # compile the boosted segment program for this width on
             # COPIES (the program donates cache+rng; the live state
             # must survive the throwaway run)
-            cache_copy = jax.tree.map(jnp.copy, self.cache)
-            if self.per_row:
-                if self._samp_dirty:
-                    self._samp_dev = jnp.asarray(self._samp_host)
-                    self._samp_dirty = False
-                out = _run_segment_perrow(
-                    self.model, self.params, cache_copy, self.tok,
-                    self.start, self._samp_dev, self._t_device(),
-                    jax.random.PRNGKey(0), big)
-            else:
-                out = _run_segment(
-                    self.model, self.params, cache_copy, self.tok,
-                    self.start, self._t_device(), jax.random.PRNGKey(0),
-                    big, self.sp)
+            out = self._launch(jax.tree.map(jnp.copy, self.cache),
+                               jax.random.PRNGKey(0), big)
             np.asarray(out[-1])
 
     def _pre_segment(self):
@@ -392,8 +382,10 @@ class ContinuousBatcher(SlotScheduler):
             seg = self.seg_len
         self._maybe_compact(seg)
         if self.t + seg > self.cache_len and seg > self.seg_len:
+            # no headroom for the boosted launch even post-compaction
+            # (the compact already rolled to the live window, so
+            # re-compacting at the base length cannot free more)
             seg = self.seg_len
-            self._maybe_compact(seg)
         if self.t + seg > self.cache_len:
             return _BLOCKED
         self._next_seg = seg
@@ -507,26 +499,32 @@ class ContinuousBatcher(SlotScheduler):
                 for k in range(len(extra_starts)):
                     extra_starts[k] -= shift
 
-    def _segment(self):
-        """Launch one compiled segment on the mode's program (uniform
-        static params vs per-row packed rows) and advance the mirrors.
-        Returns the [seg, B] token futures. The step count is
-        _pre_segment's choice (seg_len, or the boosted length)."""
-        seg = self._next_seg
-        self._last_seg = seg
+    def _launch(self, cache, rng, seg: int):
+        """Dispatch the mode's segment program (uniform static params
+        vs per-row packed rows) for `seg` steps — shared by _segment
+        and _warm_after_drain's boosted-program compile so the warm
+        call signature can never diverge from the served one."""
         if self.per_row:
             if self._samp_dirty:
                 self._samp_dev = jnp.asarray(self._samp_host)
                 self._samp_dirty = False
-            out = _run_segment_perrow(
-                self.model, self.params, self.cache, self.tok,
-                self.start, self._samp_dev, self._t_device(), self.rng,
-                seg)
-        else:
-            out = _run_segment(
-                self.model, self.params, self.cache, self.tok,
-                self.start, self._t_device(), self.rng, seg,
-                self.sp)
+            return _run_segment_perrow(
+                self.model, self.params, cache, self.tok,
+                self.start, self._samp_dev, self._t_device(), rng, seg)
+        return _run_segment(
+            self.model, self.params, cache, self.tok,
+            self.start, self._t_device(), rng, seg, self.sp)
+
+    def _segment(self):
+        """Launch one compiled segment and advance the mirrors.
+        Returns the [seg, B] token futures. The step count is
+        _pre_segment's choice (seg_len, or the boosted length) —
+        CONSUMED here so direct _segment() calls that bypass
+        _pre_segment (warm()'s widths probes) run the base program."""
+        seg = self._next_seg
+        self._next_seg = self.seg_len
+        self._last_seg = seg
+        out = self._launch(self.cache, self.rng, seg)
         self.cache, self.tok, self._t_dev, self.rng, toks = out
         self.t += seg
         return toks

@@ -152,21 +152,17 @@ class PopMAGContinuousBatcher(SlotScheduler):
             slots=slots, sampling=sampling, seg_len=seg_len,
             prompt_bucket=prompt_bucket, depth=depth,
             min_slots=min_slots, per_row_sampling=False,
-            on_finalize=on_finalize, rng=rng, pad_id=0)
+            on_finalize=on_finalize, rng=rng, pad_id=0, boost=boost)
         self.model = model
         self.params = params
         self.max_bars = max_bars
         self.max_bar_len = max_bar_len
         self.max_steps = max_steps
-        # boost: bars fused into one launch when the queue is empty and
-        # every active slot has at least that many bars left (popmag
-        # requests are always count-retired, so this is pure
-        # dispatch/fetch-RTT amortization — the serving_rnn.py boost
-        # with the eos condition dropped). Two programs: seg and
-        # boost*seg; warm() precompiles both.
-        if boost < 1:
-            raise ValueError(f"boost must be >= 1, got {boost}")
-        self.boost = boost
+        # boost (scheduling.py _boosted_seg): bars fused into one
+        # launch when the queue is empty and every active slot has at
+        # least that many bars left — pure dispatch/fetch-RTT
+        # amortization (popmag requests are always count-retired). Two
+        # programs: seg and boost*seg; warm() precompiles both.
         L, H = model.num_layers, model.hidden_dim
         self.hidden = jnp.zeros((L, slots, H), jnp.float32)
         self.src = jnp.zeros((slots, max_bars, max_bar_len, 7),

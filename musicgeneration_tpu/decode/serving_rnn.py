@@ -216,25 +216,23 @@ class RNNContinuousBatcher(SlotScheduler):
                  boost: int = 1,
                  on_finalize: Optional[Callable] = None,
                  rng: Optional[jax.Array] = None):
+        # boost>1: when the queue is empty, every active slot is
+        # eos-free, and all of them have >= boost*seg_len steps left,
+        # dispatch ONE boost*seg_len-step program instead of `boost`
+        # seg_len ones (scheduling.py _boosted_seg). The GRU step is so
+        # cheap on the tunneled TPU that per-segment dispatch+fetch RTT
+        # dominates (BASELINE.md RNN serving rows); fusing launches
+        # amortizes it with zero token-stream change; boost=8 beats the
+        # static server at 64 slots. Exactly two compiled segment
+        # programs per pool width (seg and boost*seg); warm()
+        # precompiles both.
         super().__init__(
             slots=slots, sampling=sampling, seg_len=seg_len,
             prompt_bucket=prompt_bucket, depth=depth, min_slots=min_slots,
             per_row_sampling=per_row_sampling, on_finalize=on_finalize,
-            rng=rng, pad_id=0)
+            rng=rng, pad_id=0, boost=boost)
         self.model = model
         self.params = params
-        # boost>1: when the queue is empty, every active slot is
-        # eos-free, and all of them have >= boost*seg_len steps left,
-        # dispatch ONE boost*seg_len-step program instead of `boost`
-        # seg_len ones. The GRU step is so cheap on the tunneled TPU
-        # that per-segment dispatch+fetch RTT dominates (BASELINE.md
-        # round-4 RNN serving rows); fusing launches amortizes it with
-        # zero token-stream change (the scan is the same ops, longer).
-        # Exactly two compiled segment programs per pool width (seg and
-        # boost*seg); warm() precompiles both.
-        if boost < 1:
-            raise ValueError(f"boost must be >= 1, got {boost}")
-        self.boost = boost
         self.init_dim = getattr(model, "init_dim", None)
         self.ctrl_dim = getattr(model, "control_dim", None)
         self.ctrl_window = ctrl_window
